@@ -1,0 +1,109 @@
+"""Config dataclasses shared across the framework.
+
+The reference scatters configuration over constructor kwargs
+(nerfmlp/model.py:29, nerfmlp/renderer.py:6-9) and per-script argparse
+(scripts/train.py:180-192). Here every knob lives in frozen (hashable)
+dataclasses so they can be closed over by ``jax.jit`` without retrace
+surprises; CLI layers construct them from reference-compatible flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the NeRF MLP (reference: nerfmlp/model.py:28-55).
+
+    Defaults reproduce the reference: depth 8, width 256, skip-concat of the
+    encoded input into layer index 5, view-dependent head with a 256-wide
+    bottleneck and a single 128-wide hidden view layer.
+    """
+
+    depth: int = 8
+    width: int = 256
+    input_ch: int = 63          # 3 * (1 + 2 * pos_enc_L) with L=10
+    input_ch_views: int = 27    # 3 * (1 + 2 * dir_enc_L) with L=4
+    skips: Tuple[int, ...] = (5,)
+    use_viewdirs: bool = True
+    output_ch: int = 4          # only used when use_viewdirs=False
+    bottleneck_ch: int = 256
+    view_width: int = 128       # W // 2 in the reference
+
+    @property
+    def num_tf_arrays(self) -> int:
+        """Length of the official .npy weight list this model maps to."""
+        return 2 * self.depth + (8 if self.use_viewdirs else 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Volume-rendering configuration (reference: nerfmlp/renderer.py:6-9).
+
+    ``perturb``/``raw_noise_std`` are train-time stochasticity; inference
+    paths use ``dataclasses.replace(cfg, perturb=False, raw_noise_std=0.0)``
+    (reference: scripts/render_example.py:227-236).
+    """
+
+    pos_enc_L: int = 10
+    dir_enc_L: int = 4
+    N_samples: int = 64
+    N_importance: int = 128
+    near: float = 2.0
+    far: float = 6.0
+    white_bkgd: bool = True
+    perturb: bool = True
+    raw_noise_std: float = 0.0
+    coord_scale: float = 1.0
+    lindisp: bool = False        # inverse-depth sampling (example/run_nerf.py:186-188)
+    ndc: bool = False            # NDC ray reparameterization for LLFF scenes
+    use_viewdirs: bool = True
+    separate_fine: bool = False  # reference shares one net for coarse+fine
+                                 # (renderer.py:76,103); official NeRF uses a
+                                 # separate fine net (example/run_nerf.py:397-403)
+    use_pallas: bool = False     # fused Pallas TPU kernel for the MLP hot path
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+
+    @property
+    def input_ch(self) -> int:
+        return 3 * (1 + 2 * self.pos_enc_L)
+
+    @property
+    def input_ch_views(self) -> int:
+        return 3 * (1 + 2 * self.dir_enc_L)
+
+    def model_config(self) -> ModelConfig:
+        return ModelConfig(
+            input_ch=self.input_ch,
+            input_ch_views=self.input_ch_views,
+            use_viewdirs=self.use_viewdirs,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization & loop configuration (reference: scripts/train.py:180-192).
+
+    LR schedule follows the official exponential decay (0.1 every 250k
+    steps, example/run_nerf.py:705-709) rather than the reference's StepLR
+    which never fires within a default run (train.py:185,260 — noted flaw).
+    """
+
+    batch_size: int = 1024
+    iters: int = 200_000
+    lr: float = 5e-4
+    lr_decay_rate: float = 0.1
+    lr_decay_steps: int = 250_000
+    coarse_loss: bool = False    # official adds img_loss0 (run_nerf.py:820-824);
+                                 # reference trains on the fine map only
+                                 # (train.py:374-376). Default = reference.
+    seed: int = 0
+    quick_val_interval: int = 1000
+    full_val_interval: int = 50_000
+    quick_val_res: int = 256
+    quick_val_subset: int = 10
+    log_interval: int = 100
+    ckpt_interval: int = 10_000
+    grad_clip: float = 0.0       # 0 = off

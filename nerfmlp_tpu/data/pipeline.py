@@ -1,0 +1,127 @@
+"""Host -> device ray-batch streaming.
+
+The reference feeds training through a shuffled ``DataLoader`` over the
+flattened ray pool (scripts/train.py:219-221, num_workers=0). The TPU
+version keeps the precomputed host pool but:
+
+  * samples batches with a reshuffled epoch permutation (numpy, zero-copy
+    gathers),
+  * stacks (rays_o, rays_d, rgb) into one contiguous (B, 9) array so each
+    step ships ONE host->device transfer,
+  * optionally double-buffers via ``jax.device_put`` with a sharding so the
+    next batch is in flight while the current step runs (the analog of the
+    reference's nothing — it re-pays a host sync per step, SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def auto_tune_batch_size(
+    n_rays: int,
+    max_mem_gb: float = 16.0,
+    min_batch: int = 256,
+    max_batch: int = 16384,
+    total_samples: int = 256,
+) -> int:
+    """Pick a train batch size from a real activation-memory model.
+
+    (The reference's version is a documented dummy, nerfmlp/data.py:106-109.)
+    Peak activations per ray ~ total_samples * (enc 63 + trunk 8*256 +
+    heads ~0.7k) floats for fwd+bwd; solve for the largest power-of-two
+    batch under the budget.
+    """
+    floats_per_ray = total_samples * (63 + 8 * 256 + 700) * 3  # fwd+bwd+opt
+    bytes_per_ray = floats_per_ray * 4
+    budget = max_mem_gb * 1e9
+    b = int(budget / max(bytes_per_ray, 1))
+    b = 1 << max(b.bit_length() - 1, 0)  # round down to a power of two
+    return int(np.clip(b, min_batch, max_batch))
+
+
+class RayBatchLoader:
+    """Infinite shuffled batches over a flattened ray pool.
+
+    Yields numpy (batch, 9) arrays laid out [rays_o | rays_d | rgb]; the
+    train step slices them back apart on device.
+    """
+
+    def __init__(
+        self,
+        rays_o: np.ndarray,
+        rays_d: np.ndarray,
+        rgbs: np.ndarray,
+        batch_size: int,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        assert rays_o.shape == rays_d.shape == rgbs.shape
+        self.pool = np.concatenate(
+            [
+                rays_o.astype(np.float32),
+                rays_d.astype(np.float32),
+                rgbs.astype(np.float32),
+            ],
+            axis=-1,
+        )  # (N, 9), contiguous
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+        self._perm = None
+        self._cursor = 0
+        self.epoch = 0
+
+    @classmethod
+    def from_dataset(cls, dataset, batch_size: int, seed: int = 0):
+        return cls(
+            dataset.all_rays_o, dataset.all_rays_d, dataset.all_rgbs,
+            batch_size, seed=seed,
+        )
+
+    def __len__(self) -> int:
+        return self.pool.shape[0]
+
+    def _reshuffle(self) -> None:
+        self._perm = self.rng.permutation(self.pool.shape[0])
+        self._cursor = 0
+        self.epoch += 1
+
+    def next_batch(self) -> np.ndarray:
+        if self._perm is None or self._cursor + self.batch_size > len(self._perm):
+            self._reshuffle()
+        idx = self._perm[self._cursor : self._cursor + self.batch_size]
+        self._cursor += self.batch_size
+        return self.pool[idx]
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            yield self.next_batch()
+
+
+def prefetch_to_device(iterator, sharding=None, buffer_size: int = 2):
+    """Wrap a host batch iterator with async device puts.
+
+    Keeps ``buffer_size`` batches in flight so host gather/shuffle overlaps
+    device compute. With a ``NamedSharding`` the put also scatters the batch
+    across the mesh's data axis (per-host sharding for multi-host setups).
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    it = iter(iterator)
+    for _ in range(buffer_size):
+        queue.append(put(next(it)))
+    while True:
+        yield queue.popleft()
+        queue.append(put(next(it)))

@@ -1,0 +1,131 @@
+"""Camera ray generation: pinhole, NDC reparameterization, look-at poses.
+
+Pinhole math matches the reference bit-for-bit (nerfmlp/data.py:79-87 and
+example/run_nerf_helpers.py:123-141): for pixel (i, j) with i along width,
+
+  dir_cam = [(i - W/2) / focal, -(j - H/2) / focal, -1]
+  rays_d  = dir_cam @ R^T,   rays_o = t   (c2w = [R | t])
+
+NDC follows the original NeRF appendix-C projection for forward-facing
+scenes (behavior of example/run_nerf_helpers.py:143-178).
+
+These are pure functions over jnp arrays; numpy arrays work too (they are
+coerced), so data loaders can call them on host.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_rays(
+    H: int, W: int, focal: float, c2w: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All rays of an HxW image. Returns (rays_o, rays_d), each (H, W, 3)."""
+    c2w = jnp.asarray(c2w)
+    i, j = jnp.meshgrid(
+        jnp.arange(W, dtype=c2w.dtype), jnp.arange(H, dtype=c2w.dtype), indexing="xy"
+    )
+    dirs = jnp.stack(
+        [(i - W * 0.5) / focal, -(j - H * 0.5) / focal, -jnp.ones_like(i)], axis=-1
+    )
+    rays_d = jnp.einsum("hwc,rc->hwr", dirs, c2w[:3, :3])
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return rays_o, rays_d
+
+
+def get_rays_np(H: int, W: int, focal: float, c2w: np.ndarray):
+    """Host-side numpy twin of :func:`get_rays` for dataset preprocessing."""
+    i, j = np.meshgrid(
+        np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32), indexing="xy"
+    )
+    dirs = np.stack(
+        [(i - W * 0.5) / focal, -(j - H * 0.5) / focal, -np.ones_like(i)], axis=-1
+    )
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return rays_o, rays_d
+
+
+def ndc_rays(
+    H: int,
+    W: int,
+    focal: float,
+    near: float,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shift rays to the near plane and project into NDC space.
+
+    For forward-facing (LLFF) captures: after this transform, sampling z
+    linearly in [0, 1] corresponds to sampling disparity linearly between
+    the near plane and infinity (original NeRF appendix C; behavioral
+    parity with example/run_nerf_helpers.py:143-178).
+    """
+    # Shift ray origins to the z = -near plane.
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    sx = -1.0 / (W / (2.0 * focal))
+    sy = -1.0 / (H / (2.0 * focal))
+
+    o0 = sx * rays_o[..., 0] / rays_o[..., 2]
+    o1 = sy * rays_o[..., 1] / rays_o[..., 2]
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+
+    d0 = sx * (rays_d[..., 0] / rays_d[..., 2] - rays_o[..., 0] / rays_o[..., 2])
+    d1 = sy * (rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2])
+    d2 = -2.0 * near / rays_o[..., 2]
+
+    return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
+
+
+def look_at_matrix(
+    eye: np.ndarray, target: np.ndarray, up: np.ndarray = None
+) -> np.ndarray:
+    """Camera-to-world 4x4 for a camera at ``eye`` looking at ``target``.
+
+    NeRF convention: camera looks down its -Z axis (zoom_example.py:21-39).
+    """
+    eye = np.asarray(eye, dtype=np.float32)
+    target = np.asarray(target, dtype=np.float32)
+    up = np.asarray([0.0, 0.0, 1.0] if up is None else up, dtype=np.float32)
+
+    forward = eye - target  # camera +Z points away from the target
+    forward = forward / (np.linalg.norm(forward) + 1e-12)
+    right = np.cross(up, forward)
+    right = right / (np.linalg.norm(right) + 1e-12)
+    true_up = np.cross(forward, right)
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = forward
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def spiral_poses(
+    radius: float,
+    n_frames: int = 120,
+    height: float = 0.0,
+    target: np.ndarray = None,
+    n_rots: float = 1.0,
+) -> np.ndarray:
+    """Circular/spiral camera trajectory for video rendering.
+
+    TPU-side equivalent of the official pose-path rendering driver
+    (example/run_nerf.py:339-375 renders ``render_poses`` trajectories).
+    Returns (n_frames, 4, 4) c2w matrices orbiting ``target``.
+    """
+    target = np.zeros(3, dtype=np.float32) if target is None else np.asarray(target)
+    poses = []
+    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_frames, endpoint=False):
+        eye = np.array(
+            [radius * np.cos(theta), radius * np.sin(theta), height], dtype=np.float32
+        )
+        poses.append(look_at_matrix(eye, target))
+    return np.stack(poses, axis=0)

@@ -1,0 +1,107 @@
+"""Ray-depth sampling: stratified coarse bins + inverse-CDF fine sampling.
+
+Behavioral parity targets:
+  * stratified sampling with in-bin jitter — nerfmlp/renderer.py:52-61
+  * optional ``lindisp`` inverse-depth spacing — example/run_nerf.py:186-188
+  * hierarchical inverse-CDF sampling — nerfmlp/renderer.py:165-198
+    (itself a port of example/run_nerf_helpers.py:183-211)
+
+Everything is static-shape and fully vectorized; ``searchsorted`` +
+``take_along_axis`` lower to efficient XLA gathers on TPU. Randomness is
+keyed JAX PRNG (same distributions as the reference's torch.rand draws).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_sample(
+    rng: Optional[jax.Array],
+    n_rays: int,
+    n_samples: int,
+    near,
+    far,
+    perturb: bool = True,
+    lindisp: bool = False,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Coarse z-values, shape (n_rays, n_samples).
+
+    Linear in depth by default; linear in disparity when ``lindisp``.
+    When ``perturb``, each z is drawn uniformly inside its stratum
+    (bin edges at midpoints, as in renderer.py:57-61).
+    ``near``/``far`` may be scalars or per-ray (n_rays,) arrays.
+    """
+    t_vals = jnp.linspace(0.0, 1.0, n_samples, dtype=dtype)
+    near = jnp.broadcast_to(jnp.asarray(near, dtype=dtype), (n_rays,))[:, None]
+    far = jnp.broadcast_to(jnp.asarray(far, dtype=dtype), (n_rays,))[:, None]
+    if lindisp:
+        z_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
+    else:
+        z_vals = near * (1.0 - t_vals) + far * t_vals
+    z_vals = jnp.broadcast_to(z_vals, (n_rays, n_samples))
+
+    if perturb:
+        if rng is None:
+            raise ValueError("stratified_sample(perturb=True) needs an rng key")
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+        t_rand = jax.random.uniform(rng, z_vals.shape, dtype=dtype)
+        z_vals = lower + (upper - lower) * t_rand
+    return z_vals
+
+
+def sample_pdf(
+    rng: Optional[jax.Array],
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    det: bool = False,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling of ``n_samples`` new z-values per ray.
+
+    ``bins``: (..., M) bin positions (z-midpoints), ``weights``: (..., M-1)
+    unnormalized probability mass per bin interval... matching the
+    reference's call shape (renderer.py:86-87: bins = z_mids (N-1 wide),
+    weights = coarse weights[..., 1:-1] (N-2 wide)).
+
+    Deterministic mode uses evenly spaced u in [0, 1] (renderer.py:179-181).
+    Gradients are stopped by the caller (z_samples.detach(), renderer.py:88).
+    """
+    weights = weights + 1e-5  # avoid nans on empty rays
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., M)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        if rng is None:
+            raise ValueError("sample_pdf(det=False) needs an rng key")
+        u = jax.random.uniform(rng, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
+
+    # Invert the CDF: for each u find its bracketing CDF interval.
+    # jnp.searchsorted is 1-D only (unlike torch's batched variant) — vmap
+    # it over the flattened ray dimension; XLA lowers this to one gather.
+    batch_shape = cdf.shape[:-1]
+    inds = jax.vmap(lambda c, v: jnp.searchsorted(c, v, side="right"))(
+        cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, u.shape[-1])
+    ).reshape(*batch_shape, u.shape[-1])
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), -1)
+    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), -1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)

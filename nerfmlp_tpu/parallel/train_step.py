@@ -1,0 +1,126 @@
+"""The jitted training step, data-parallel over a device mesh.
+
+Design (vs the reference hot loop, scripts/train.py:365-406):
+  * one fused XLA program per step: unpack batch -> coarse+fine render ->
+    MSE loss (+ optional coarse term) -> grads -> Adam update -> metrics,
+  * params/opt-state replicated, batch sharded on the mesh's "data" axis;
+    GSPMD inserts the gradient all-reduce over ICI,
+  * ``donate_argnums`` on (state, batch) so HBM is reused in place,
+  * loss/psnr/grad-norm come back as device scalars — the host never
+    blocks on them except at log intervals (the reference syncs per step
+    via ``loss.item()`` + skimage PSNR, SURVEY §3.1 — deliberately fixed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from nerfmlp_tpu.config import ModelConfig, RenderConfig, TrainConfig
+from nerfmlp_tpu.models.mlp import init_model
+from nerfmlp_tpu.ops.render import render_rays
+
+
+@struct.dataclass
+class TrainState:
+    """Carries everything a step mutates. A flax struct => a pytree."""
+
+    step: jnp.ndarray                 # () int32
+    params: Any                       # {"coarse": ..., ["fine": ...]}
+    opt_state: Any
+    rng: jax.Array
+
+    def bound_apply(self):  # pragma: no cover - convenience
+        return self.params
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    """Adam + exponential LR decay (0.1 every 250k steps by default),
+    matching the official schedule (example/run_nerf.py:705-709)."""
+    schedule = optax.exponential_decay(
+        init_value=tc.lr,
+        transition_steps=tc.lr_decay_steps,
+        decay_rate=tc.lr_decay_rate,
+    )
+    chain = []
+    if tc.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(tc.grad_clip))
+    chain.append(optax.adam(schedule))
+    return optax.chain(*chain)
+
+
+def create_train_state(
+    rc: RenderConfig, tc: TrainConfig, rng: Optional[jax.Array] = None
+) -> TrainState:
+    rng = jax.random.PRNGKey(tc.seed) if rng is None else rng
+    k_coarse, k_fine, k_state = jax.random.split(rng, 3)
+    mc = rc.model_config()
+    params = {"coarse": init_model(k_coarse, mc)}
+    if rc.separate_fine and rc.N_importance > 0:
+        params["fine"] = init_model(k_fine, mc)
+    opt_state = make_optimizer(tc).init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        rng=k_state,
+    )
+
+
+def loss_and_metrics(
+    params: Any,
+    batch: jnp.ndarray,
+    rng: jax.Array,
+    rc: RenderConfig,
+    tc: TrainConfig,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """batch: (B, 9) = [rays_o | rays_d | rgb_target]."""
+    rays_o, rays_d, target = batch[:, 0:3], batch[:, 3:6], batch[:, 6:9]
+    out = render_rays(params, rays_o, rays_d, rng, rc)
+    loss_fine = jnp.mean((out["rgb_map"] - target) ** 2)
+    loss = loss_fine
+    if tc.coarse_loss and "rgb_map_coarse" in out:
+        loss = loss + jnp.mean((out["rgb_map_coarse"] - target) ** 2)
+    psnr = -10.0 * jnp.log10(jnp.maximum(loss_fine, 1e-10))
+    return loss, {"loss": loss_fine, "psnr": psnr}
+
+
+def make_train_step(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "data"):
+    """Build the jitted step. With a mesh, batches are sharded over ``axis``
+    and state is replicated; XLA handles the cross-chip grad reduction."""
+    optimizer = make_optimizer(tc)
+
+    def step_fn(state: TrainState, batch: jnp.ndarray):
+        rng, rng_step = jax.random.split(state.rng)
+        rng_step = jax.random.fold_in(rng_step, state.step)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True
+        )(state.params, batch, rng_step, rc, tc)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics, grad_norm=gnorm, total_loss=loss)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch_shard = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, batch_shard),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
