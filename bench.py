@@ -35,7 +35,7 @@ def main():
         far=6.0,
         perturb=True,
         compute_dtype="bfloat16",
-        use_pallas=False,
+        use_pallas=True,
     )
     tc = TrainConfig(batch_size=batch)
 

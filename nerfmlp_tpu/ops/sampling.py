@@ -86,20 +86,28 @@ def sample_pdf(
             raise ValueError("sample_pdf(det=False) needs an rng key")
         u = jax.random.uniform(rng, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
 
-    # Invert the CDF: for each u find its bracketing CDF interval.
-    # jnp.searchsorted is 1-D only (unlike torch's batched variant) — vmap
-    # it over the flattened ray dimension; XLA lowers this to one gather.
-    batch_shape = cdf.shape[:-1]
-    inds = jax.vmap(lambda c, v: jnp.searchsorted(c, v, side="right"))(
-        cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, u.shape[-1])
-    ).reshape(*batch_shape, u.shape[-1])
+    # Invert the CDF. searchsorted(side="right") = #{j : cdf_j <= u}.
+    # A vmapped binary search is ~25x slower on TPU than this broadcast
+    # compare-all (the CDF is only M~63 wide, so B x S x M bool ops are
+    # trivial VPU work), and take_along_axis gathers are similarly slow —
+    # the bracketing values are read out with one-hot contractions instead.
+    m = cdf.shape[-1]
+    mask = cdf[..., None, :] <= u[..., :, None]  # (B, S, M)
+    inds = jnp.sum(mask.astype(jnp.int32), axis=-1)
     below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    above = jnp.minimum(inds, m - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), -1)
-    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), -1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    oh_below = (below[..., None] == iota).astype(cdf.dtype)  # (B, S, M)
+    oh_above = (above[..., None] == iota).astype(cdf.dtype)
+
+    cdf_below = jnp.sum(oh_below * cdf[..., None, :], axis=-1)
+    cdf_above = jnp.sum(oh_above * cdf[..., None, :], axis=-1)
+    bins_pad = bins if bins.shape[-1] == m else jnp.concatenate(
+        [bins, bins[..., -1:]], axis=-1
+    )
+    bins_below = jnp.sum(oh_below * bins_pad[..., None, :], axis=-1)
+    bins_above = jnp.sum(oh_above * bins_pad[..., None, :], axis=-1)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
