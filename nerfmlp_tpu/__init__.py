@@ -17,6 +17,33 @@ A ground-up re-design of the capabilities of the ``nerf-mlp`` reference
 
 __version__ = "1.0.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compiles across processes (each CLI invocation would
+    otherwise re-pay 30-60s of TPU compilation). Opt out by setting
+    NERFMLP_TPU_NO_CACHE=1; relocate with JAX_COMPILATION_CACHE_DIR."""
+    if _os.environ.get("NERFMLP_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(
+                _os.path.expanduser("~"), ".cache", "nerfmlp_tpu", "jax_cache"
+            ),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization, never a hard dependency
+
+
+_enable_compilation_cache()
+
 from nerfmlp_tpu.config import ModelConfig, RenderConfig, TrainConfig
 from nerfmlp_tpu.models.mlp import NeRFMLP, init_model
 from nerfmlp_tpu.models.import_tf import params_from_numpy, params_to_numpy

@@ -1,0 +1,143 @@
+"""LLFF forward-facing real-scene loader with NDC ray parameterization.
+
+The reference package has no LLFF support; it is the explicitly listed
+extension surface (NOTES.md:164-170, BASELINE.json config 4) with behavior
+defined by the vendored oracle (example/run_nerf.py:587-613: poses_bounds
+loading, near/far from bounds * 0.9 / 1.0, or NDC [0, 1]).
+
+Format: ``poses_bounds.npy`` of shape (N, 17) — 15 = 3x5 pose (R | t | hwf)
++ 2 depth bounds — alongside an ``images/`` (or ``images_{factor}/``)
+directory, the de-facto LLFF layout produced by COLMAP2LLFF.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+class LLFFDataset:
+    """Forward-facing scene; same surface as BlenderDataset
+    (all_rays_*, image_rays, n_images, H/W, focal, dynamic_near_far)."""
+
+    def __init__(
+        self,
+        datadir: str,
+        split: str = "train",
+        img_wh: Tuple[int, int] = (504, 378),
+        white_bkgd: bool = False,  # real photos: no alpha
+        llffhold: int = 8,          # every Nth image is val/test (run_nerf.py:600)
+        use_ndc: bool = True,
+        apply_srgb_to_linear: bool = False,
+        **_,
+    ):
+        self.datadir = datadir
+        self.split = split
+        self.img_wh = tuple(img_wh)
+        self.use_ndc = use_ndc
+        W, H = img_wh
+        self.H, self.W = H, W
+
+        pb = np.load(os.path.join(datadir, "poses_bounds.npy"))  # (N, 17)
+        poses = pb[:, :15].reshape(-1, 3, 5)
+        self.bounds = pb[:, 15:17]
+
+        # LLFF poses are [down, right, back] — rotate to [right, up, back]
+        # (the correction the original load_llff.py applies).
+        poses = np.concatenate(
+            [poses[:, :, 1:2], -poses[:, :, 0:1], poses[:, :, 2:]], axis=2
+        )
+        hwf = poses[0, :, 4]
+        orig_h, orig_w, orig_f = hwf
+        self.focal = float(orig_f * W / orig_w)
+
+        c2w = np.tile(np.eye(4, dtype=np.float32), (poses.shape[0], 1, 1))
+        c2w[:, :3, :4] = poses[:, :, :4]
+        self.poses = c2w.astype(np.float32)
+
+        img_dir = None
+        for cand in ("images", "images_4", "images_8"):
+            d = os.path.join(datadir, cand)
+            if os.path.isdir(d):
+                img_dir = d
+                break
+        if img_dir is None:
+            raise FileNotFoundError(f"no images/ directory under {datadir}")
+        files = sorted(
+            f for f in os.listdir(img_dir)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        if len(files) != self.poses.shape[0]:
+            raise ValueError(
+                f"{len(files)} images vs {self.poses.shape[0]} poses"
+            )
+
+        idxs = np.arange(len(files))
+        hold = idxs[::llffhold] if llffhold > 0 else idxs[:0]
+        keep = (
+            np.setdiff1d(idxs, hold) if split == "train" else hold
+        )
+        self.poses = self.poses[keep]
+        self.bounds = self.bounds[keep]
+
+        from PIL import Image
+
+        imgs = []
+        for i in keep:
+            img = Image.open(os.path.join(img_dir, files[i])).convert("RGB")
+            img = img.resize(self.img_wh, Image.Resampling.LANCZOS)
+            imgs.append(np.asarray(img, dtype=np.float32) / 255.0)
+        self.images = np.stack(imgs, axis=0)
+        if apply_srgb_to_linear:
+            from nerfmlp_tpu.data.blender import srgb_to_linear
+
+            self.images = srgb_to_linear(self.images)
+
+        self._generate_rays()
+
+    def _generate_rays(self) -> None:
+        from nerfmlp_tpu.ops.rays import get_rays_np, ndc_rays
+
+        ro, rd, rgb = [], [], []
+        for k in range(self.poses.shape[0]):
+            o, d = get_rays_np(self.H, self.W, self.focal, self.poses[k])
+            o = o.reshape(-1, 3).astype(np.float32)
+            d = d.reshape(-1, 3).astype(np.float32)
+            if self.use_ndc:
+                import jax.numpy as jnp
+
+                o_n, d_n = ndc_rays(
+                    self.H, self.W, self.focal, 1.0,
+                    jnp.asarray(o.copy()), jnp.asarray(d),
+                )
+                o, d = np.asarray(o_n), np.asarray(d_n)
+            ro.append(o)
+            rd.append(d)
+            rgb.append(self.images[k].reshape(-1, 3).astype(np.float32))
+        self.all_rays_o = np.concatenate(ro, axis=0)
+        self.all_rays_d = np.concatenate(rd, axis=0)
+        self.all_rgbs = np.concatenate(rgb, axis=0)
+
+    def __len__(self) -> int:
+        return self.all_rays_o.shape[0]
+
+    @property
+    def n_images(self) -> int:
+        return self.images.shape[0]
+
+    def image_rays(self, idx: int):
+        n = self.H * self.W
+        sl = slice(idx * n, (idx + 1) * n)
+        return (
+            self.all_rays_o[sl],
+            self.all_rays_d[sl],
+            self.all_rgbs[sl].reshape(self.H, self.W, 3),
+        )
+
+    def dynamic_near_far(self) -> Tuple[float, float]:
+        """NDC: [0, 1] (run_nerf.py:606-608); else bounds * 0.9 / 1.0."""
+        if self.use_ndc:
+            return 0.0, 1.0
+        return float(self.bounds.min() * 0.9), float(self.bounds.max() * 1.0)

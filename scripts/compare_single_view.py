@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Render one training view and concatenate it with ground truth
+side-by-side (reference scripts/compare_single_view.py). Also prints the
+per-view PSNR — the number the visual diff is standing in for.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Render-vs-GT side-by-side")
+    p.add_argument("--datadir", type=str, required=True)
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--img_wh", type=int, nargs=2, default=[400, 400])
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--view_idx", type=int, default=0)
+    p.add_argument("--out", type=str, default="outputs/compare.png")
+    p.add_argument("--N_samples", type=int, default=64)
+    p.add_argument("--N_importance", type=int, default=128)
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.data.blender import BlenderDataset
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.render import render_image
+    from nerfmlp_tpu.train.checkpoint import load_params_any
+    from nerfmlp_tpu.train.metrics import psnr_images, ssim
+
+    ds = BlenderDataset(args.datadir, args.split, img_wh=tuple(args.img_wh))
+    near, far = ds.dynamic_near_far()
+    rc = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
+                      near=near, far=far, perturb=False,
+                      use_pallas=args.use_pallas)
+    template = init_model(jax.random.PRNGKey(0), rc.model_config())
+    params = load_params_any(args.ckpt, template, rc.model_config())
+
+    o, d, gt = ds.image_rays(args.view_idx)
+    img = np.asarray(render_image(params, jnp.asarray(o), jnp.asarray(d),
+                                  ds.H, ds.W, rc))
+    print(f"view {args.view_idx}: PSNR {psnr_images(img, gt):.2f} dB | "
+          f"SSIM {ssim(img, gt):.4f}")
+
+    side = np.concatenate([np.clip(img, 0, 1), np.clip(gt, 0, 1)], axis=1)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    Image.fromarray((side * 255).round().astype(np.uint8)).save(args.out)
+    print(f"wrote {args.out} (left: render, right: ground truth)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Generate a procedural Blender-format test scene (no downloads needed)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Make a synthetic NeRF scene")
+    p.add_argument("--outdir", type=str, required=True)
+    p.add_argument("--img_wh", type=int, nargs=2, default=[128, 128])
+    p.add_argument("--n_train", type=int, default=24)
+    p.add_argument("--n_val", type=int, default=4)
+    p.add_argument("--n_test", type=int, default=4)
+    p.add_argument("--radius", type=float, default=4.0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from nerfmlp_tpu.data.synthetic import make_synthetic_scene
+
+    make_synthetic_scene(
+        args.outdir, n_train=args.n_train, n_val=args.n_val,
+        n_test=args.n_test, img_wh=tuple(args.img_wh),
+        radius=args.radius, seed=args.seed,
+    )
+    print(f"wrote scene to {args.outdir} "
+          f"({args.n_train} train / {args.n_val} val / {args.n_test} test "
+          f"@ {args.img_wh[0]}x{args.img_wh[1]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Training-progress plots from metrics_latest.json — reference
+scripts/plot_training_progress.py: 6-panel static figure (loss log-scale,
+PSNR, SSIM, overfitting gap, iter-time, text summary) and a ``--live``
+mode that re-polls the JSON.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _create_plots_on_axes(axes, m):
+    import numpy as np
+
+    val_steps = m.get("val_steps", [])
+    tl, tp = m.get("train_losses", []), m.get("train_psnrs", [])
+    ql, qp, qs = (
+        m.get("quick_val_losses", []),
+        m.get("quick_val_psnrs", []),
+        m.get("quick_val_ssims", []),
+    )
+
+    ax = axes[0]
+    if tl:
+        ax.semilogy(val_steps[: len(tl)], tl, label="train")
+    if ql:
+        ax.semilogy(val_steps[: len(ql)], ql, label="quick val")
+    ax.set_title("Loss (log)"); ax.set_xlabel("iter"); ax.legend()
+
+    ax = axes[1]
+    if tp:
+        ax.plot(val_steps[: len(tp)], tp, label="train")
+    if qp:
+        ax.plot(val_steps[: len(qp)], qp, label="quick val")
+    fvp, fvs = m.get("full_val_psnrs", []), m.get("full_val_steps", [])
+    if fvp:
+        ax.plot(fvs[: len(fvp)], fvp, "o-", label="full val")
+    ax.set_title("PSNR (dB)"); ax.set_xlabel("iter"); ax.legend()
+
+    ax = axes[2]
+    if qs:
+        ax.plot(val_steps[: len(qs)], qs)
+    ax.set_title("SSIM (quick val)"); ax.set_xlabel("iter")
+
+    ax = axes[3]
+    if tl and ql:
+        n = min(len(tl), len(ql))
+        gap = [abs(a - b) for a, b in zip(tl[:n], ql[:n])]
+        ax.semilogy(val_steps[:n], gap)
+    ax.set_title("|train - val| loss gap (overfitting)"); ax.set_xlabel("iter")
+
+    ax = axes[4]
+    it = m.get("iteration_times", [])
+    if it:
+        it_ms = np.asarray(it[-20000:]) * 1e3
+        ax.plot(np.arange(len(it_ms)), it_ms, lw=0.3)
+        ax.set_ylim(0, np.percentile(it_ms, 99) * 1.5)
+    ax.set_title("iter time (ms)"); ax.set_xlabel("recent iters")
+
+    ax = axes[5]
+    ax.axis("off")
+    lines = [
+        f"step: {m.get('step', 0):,}",
+        f"best quick-val PSNR: {m.get('best_val_psnr', 0):.2f} dB",
+    ]
+    if qp:
+        lines.append(f"latest quick-val PSNR: {qp[-1]:.2f} dB")
+    if ql:
+        lines.append(f"latest quick-val loss: {ql[-1]:.6f}")
+    if it:
+        lines.append(f"median iter time: {np.median(np.asarray(it)) * 1e3:.1f} ms")
+    ax.text(0.02, 0.95, "\n".join(lines), va="top", family="monospace", fontsize=11)
+    ax.set_title("summary")
+
+
+def create_progress_plot(metrics_path, out_path=None, show=False):
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(metrics_path) as f:
+        m = json.load(f)
+    fig, axes = plt.subplots(2, 3, figsize=(16, 9))
+    _create_plots_on_axes(axes.ravel(), m)
+    fig.suptitle("NeRF training progress (nerfmlp_tpu)")
+    fig.tight_layout()
+    out_path = out_path or metrics_path.replace(".json", ".png")
+    fig.savefig(out_path, dpi=110)
+    if show:
+        plt.show()
+    plt.close(fig)
+    print(f"wrote {out_path}")
+    return out_path
+
+
+def animate_progress(metrics_path, interval_s=5.0):
+    """Live mode: re-render the figure whenever the JSON changes
+    (reference's FuncAnimation loop, :158-207; headless-safe here)."""
+    last_mtime = 0.0
+    while True:
+        try:
+            mtime = os.path.getmtime(metrics_path)
+            if mtime > last_mtime:
+                last_mtime = mtime
+                create_progress_plot(metrics_path)
+        except FileNotFoundError:
+            print(f"waiting for {metrics_path} ...")
+        except KeyboardInterrupt:
+            return
+        time.sleep(interval_s)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Plot NeRF training progress")
+    p.add_argument("--metrics", type=str, default="outputs/checkpoints/metrics_latest.json")
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--live", action="store_true")
+    args = p.parse_args(argv)
+    if args.live:
+        animate_progress(args.metrics)
+    else:
+        create_progress_plot(args.metrics, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Render views from a checkpoint — reference scripts/render_example.py.
+
+Loads both framework ``.ckpt`` checkpoints and official TF ``.npy`` weight
+lists (auto-detected by extension, reference :166-207). Default bounds are
+the training-consistent near=2.0 far=6.0 (reference :120-124) unless
+``--dynamic_bounds`` or explicit ``--near/--far`` is given.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Render NeRF views (TPU-native)")
+    p.add_argument("--datadir", type=str, required=True)
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
+    p.add_argument("--ckpt", type=str, required=True,
+                   help=".ckpt (framework) or .npy (official TF weights)")
+    p.add_argument("--out_dir", type=str, default="outputs/renders")
+    p.add_argument("--num_views", type=int, default=1)
+    p.add_argument("--view_idx", type=int, default=None)
+    p.add_argument("--near", type=float, default=2.0)
+    p.add_argument("--far", type=float, default=6.0)
+    p.add_argument("--dynamic_bounds", action="store_true",
+                   help="derive near/far from camera poses instead of 2/6")
+    p.add_argument("--coord_scale", type=float, default=1.0)
+    p.add_argument("--N_samples", type=int, default=64)
+    p.add_argument("--N_importance", type=int, default=None,
+                   help="default: 64 for .npy official weights, 128 otherwise")
+    p.add_argument("--apply_gamma", action="store_true",
+                   help="linear->sRGB transfer on output (reference :12-26)")
+    p.add_argument("--brightness_boost", type=float, default=1.0)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   help="float32 (parity) or bfloat16 (speed)")
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
+    p.add_argument("--tile", type=int, default=4096)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.data.blender import BlenderDataset, linear_to_srgb
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.render import render_image
+    from nerfmlp_tpu.train.checkpoint import load_params_any
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    ds = BlenderDataset(args.datadir, args.split, img_wh=tuple(args.img_wh))
+
+    is_npy = args.ckpt.endswith(".npy")
+    n_importance = args.N_importance
+    if n_importance is None:
+        # Official fine weights were trained at 64 importance samples;
+        # custom checkpoints default to 128 (reference :212-223).
+        n_importance = 64 if is_npy else 128
+
+    near, far = (args.near, args.far)
+    if args.dynamic_bounds:
+        near, far = ds.dynamic_near_far()
+    print(f"bounds: near={near:.3f} far={far:.3f} | "
+          f"samples {args.N_samples}+{n_importance}")
+
+    rc = RenderConfig(
+        N_samples=args.N_samples, N_importance=n_importance,
+        near=near, far=far, perturb=False, raw_noise_std=0.0,
+        coord_scale=args.coord_scale, compute_dtype=args.compute_dtype,
+        use_pallas=args.use_pallas,
+    )
+    template = init_model(jax.random.PRNGKey(0), rc.model_config())
+    params = load_params_any(args.ckpt, template, rc.model_config())
+
+    idxs = [args.view_idx] if args.view_idx is not None else list(range(args.num_views))
+    for i in idxs:
+        o, d, _ = ds.image_rays(i)
+        img = np.asarray(
+            render_image(params, jnp.asarray(o), jnp.asarray(d),
+                         ds.H, ds.W, rc, tile=args.tile)
+        )
+        img = np.clip(img * args.brightness_boost, 0.0, 1.0)
+        if args.apply_gamma:
+            img = linear_to_srgb(img)
+        out = os.path.join(args.out_dir, f"render_{args.split}_{i}.png")
+        Image.fromarray((img * 255).round().astype(np.uint8)).save(out)
+        print(f"wrote {out}")
+    return args.out_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Pure-PIL side-by-side concat of any rendered image vs its ground truth
+(reference scripts/side_by_side_compare.py). Accepts either an index into
+the dataset split (resolves ``r_{i}.png``) or explicit paths.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def get_gt_path(datadir: str, split: str, idx: int) -> str:
+    return os.path.join(datadir, split, f"r_{idx}.png")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Concat two images side by side")
+    p.add_argument("--rendered", type=str, required=True)
+    p.add_argument("--gt", type=str, default=None, help="explicit GT path")
+    p.add_argument("--datadir", type=str, default=None)
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--index", type=int, default=None,
+                   help="GT by dataset index (r_{i}.png)")
+    p.add_argument("--out", type=str, default="outputs/side_by_side.png")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from PIL import Image
+
+    gt_path = args.gt
+    if gt_path is None:
+        if args.datadir is None or args.index is None:
+            p.error("provide --gt or (--datadir and --index)")
+        gt_path = get_gt_path(args.datadir, args.split, args.index)
+
+    a = Image.open(args.rendered).convert("RGB")
+    b = Image.open(gt_path).convert("RGB")
+    if a.size != b.size:
+        b = b.resize(a.size, Image.Resampling.LANCZOS)
+    side = np.concatenate([np.asarray(a), np.asarray(b)], axis=1)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    Image.fromarray(side).save(args.out)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Full training CLI — flag-compatible with the reference scripts/train.py
+(:180-192), plus TPU-native extensions (mesh data-parallelism, bf16
+compute, the fused Pallas kernel, separate fine net, coarse loss).
+
+Example:
+  python scripts/train.py --datadir /data/lego --img_wh 400 400 \\
+      --batch_size 1024 --iters 200000 --save_dir outputs/lego
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train NeRF (TPU-native)")
+    # Reference flags (train.py:180-192).
+    p.add_argument("--datadir", type=str, required=True)
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--img_wh", type=int, nargs=2, default=[1024, 1024])
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=200000)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--save_dir", type=str, default="outputs/checkpoints")
+    p.add_argument("--quick_val_interval", type=int, default=1000)
+    p.add_argument("--full_val_interval", type=int, default=10000)
+    p.add_argument("--quick_val_res", type=int, nargs=2, default=[256, 256])
+    p.add_argument("--quick_val_subset", type=int, default=10)
+    p.add_argument("--resume", type=str, default=None)
+    # Sampling / renderer (reference ctor kwargs + example/ superset flags).
+    p.add_argument("--N_samples", type=int, default=64)
+    p.add_argument("--N_importance", type=int, default=128)
+    p.add_argument("--near", type=float, default=None, help="override dynamic near")
+    p.add_argument("--far", type=float, default=None, help="override dynamic far")
+    p.add_argument("--lindisp", action="store_true")
+    p.add_argument("--no_white_bkgd", action="store_true")
+    p.add_argument("--raw_noise_std", type=float, default=0.0)
+    p.add_argument("--separate_fine", action="store_true",
+                   help="official two-net scheme instead of the shared net")
+    p.add_argument("--coarse_loss", action="store_true",
+                   help="add the coarse rgb loss term (official behavior)")
+    # TPU-native knobs.
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true", default=True)
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dataset_type", type=str, default="blender",
+                   choices=["blender", "llff"])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    if args.img_wh[0] >= 1024 or args.img_wh[1] >= 1024:
+        print("⚠️  High resolution training: consider batch_size>=512, lr<=2e-4")
+
+    import jax
+
+    from nerfmlp_tpu.config import RenderConfig, TrainConfig
+    from nerfmlp_tpu.train.loop import Trainer
+
+    if args.dataset_type == "llff":
+        from nerfmlp_tpu.data.llff import LLFFDataset as DS
+    else:
+        from nerfmlp_tpu.data.blender import BlenderDataset as DS
+
+    dataset = DS(args.datadir, split=args.split, img_wh=tuple(args.img_wh),
+                 white_bkgd=not args.no_white_bkgd)
+    val_ds = DS(args.datadir, split="val", img_wh=tuple(args.img_wh),
+                white_bkgd=not args.no_white_bkgd)
+    quick_val_ds = DS(args.datadir, split="val", img_wh=tuple(args.quick_val_res),
+                      white_bkgd=not args.no_white_bkgd)
+
+    near, far = dataset.dynamic_near_far()
+    if args.near is not None:
+        near = args.near
+    if args.far is not None:
+        far = args.far
+    print(f"Dynamic near: {near}, far: {far}")
+
+    ndc = args.dataset_type == "llff" and getattr(dataset, "use_ndc", False)
+    rc = RenderConfig(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        near=near, far=far, white_bkgd=not args.no_white_bkgd,
+        perturb=True, raw_noise_std=args.raw_noise_std,
+        lindisp=args.lindisp, ndc=ndc, separate_fine=args.separate_fine,
+        compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+    )
+    tc = TrainConfig(
+        batch_size=args.batch_size, iters=args.iters, lr=args.lr,
+        coarse_loss=args.coarse_loss, seed=args.seed,
+        quick_val_interval=args.quick_val_interval,
+        full_val_interval=args.full_val_interval,
+        quick_val_subset=args.quick_val_subset,
+    )
+
+    mesh = None
+    n_dev = args.n_devices or len(jax.devices())
+    if n_dev > 1:
+        from nerfmlp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=n_dev)
+        print(f"Data-parallel mesh over {n_dev} devices")
+
+    trainer = Trainer(rc, tc, dataset, val_ds, quick_val_ds,
+                      save_dir=args.save_dir, mesh=mesh)
+    if args.resume:
+        trainer.resume(args.resume)
+
+    metrics = trainer.train()
+
+    # End-of-run report figures (reference: train.py:587-707).
+    try:
+        from scripts.plot_training_progress import create_progress_plot
+
+        create_progress_plot(
+            os.path.join(args.save_dir, "metrics_latest.json"),
+            out_path=os.path.join(args.save_dir, "training_report.png"),
+        )
+    except Exception as e:  # plotting is best-effort
+        print(f"(plotting skipped: {e})")
+    print(f"✅ done — final PSNR {metrics.get('final_val', {}).get('psnr')}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

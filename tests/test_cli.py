@@ -1,0 +1,146 @@
+"""CLI scripts driven through their argv entry points on a tiny scene."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+@pytest.fixture(scope="module")
+def cli_scene(tmp_path_factory):
+    from scripts.make_synthetic_scene import main as make_main
+
+    d = str(tmp_path_factory.mktemp("cliscene"))
+    make_main(["--outdir", d, "--img_wh", "32", "32",
+               "--n_train", "4", "--n_val", "2", "--n_test", "2"])
+    return d
+
+
+@pytest.fixture(scope="module")
+def trained(cli_scene, tmp_path_factory):
+    from scripts.train import main as train_main
+
+    out = str(tmp_path_factory.mktemp("cliout"))
+    train_main([
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--batch_size", "256", "--iters", "60", "--save_dir", out,
+        "--N_samples", "8", "--N_importance", "8",
+        "--quick_val_interval", "30", "--full_val_interval", "0",
+        "--quick_val_res", "32", "32", "--quick_val_subset", "1",
+        "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
+    ])
+    return out
+
+
+def test_train_cli_outputs(trained):
+    assert os.path.exists(os.path.join(trained, "model_final.ckpt"))
+    assert os.path.exists(os.path.join(trained, "metrics_latest.json"))
+    assert os.path.exists(os.path.join(trained, "training_report.png"))
+
+
+def test_train_cli_resume(cli_scene, trained):
+    from scripts.train import main as train_main
+
+    m = train_main([
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--batch_size", "256", "--iters", "90", "--save_dir", trained,
+        "--N_samples", "8", "--N_importance", "8",
+        "--quick_val_interval", "30", "--full_val_interval", "0",
+        "--quick_val_res", "32", "32", "--quick_val_subset", "1",
+        "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
+        "--resume", os.path.join(trained, "metrics_latest.ckpt"),
+    ])
+    assert m["step"] == 90
+
+
+def test_render_example_cli(cli_scene, trained, tmp_path):
+    from scripts.render_example import main as render_main
+
+    out = str(tmp_path / "renders")
+    render_main([
+        "--datadir", cli_scene, "--split", "val", "--img_wh", "32", "32",
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--out_dir", out, "--num_views", "1", "--dynamic_bounds",
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+        "--tile", "256",
+    ])
+    from PIL import Image
+
+    img = Image.open(os.path.join(out, "render_val_0.png"))
+    assert img.size == (32, 32)
+
+
+def test_compare_and_side_by_side_cli(cli_scene, trained, tmp_path):
+    from scripts.compare_single_view import main as cmp_main
+    from scripts.side_by_side_compare import main as sbs_main
+
+    out = str(tmp_path / "cmp.png")
+    cmp_main([
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--view_idx", "0", "--out", out,
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+    ])
+    from PIL import Image
+
+    assert Image.open(out).size == (64, 32)  # render | gt
+
+    out2 = str(tmp_path / "sbs.png")
+    sbs_main(["--rendered", out.replace("cmp.png", "cmp.png"),
+              "--datadir", cli_scene, "--index", "0", "--out", out2])
+    assert os.path.exists(out2)
+
+
+def test_view_progress_and_plot_cli(trained, capsys, tmp_path):
+    from scripts.plot_training_progress import main as plot_main
+    from scripts.view_progress import main as view_main
+
+    rc = view_main(["--metrics", os.path.join(trained, "metrics_latest.json")])
+    assert rc == 0
+    cap = capsys.readouterr().out
+    assert "TRAINING STATUS" in cap and "best quick-val PSNR" in cap
+
+    out = str(tmp_path / "plot.png")
+    plot_main(["--metrics", os.path.join(trained, "metrics_latest.json"),
+               "--out", out])
+    assert os.path.exists(out)
+
+    rc2 = view_main(["--metrics", str(tmp_path / "missing.json")])
+    assert rc2 == 1
+
+
+def test_train_only_cli(cli_scene, tmp_path):
+    from scripts.train_only import main as to_main
+
+    out = str(tmp_path / "to")
+    losses, psnrs = to_main([
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--batch_size", "128", "--iters", "200", "--save_dir", out,
+        "--N_samples", "8", "--N_importance", "8",
+        "--compute_dtype", "float32", "--no_pallas",
+    ])
+    assert losses[-1] < losses[0]  # it learns
+    assert os.path.exists(os.path.join(out, "model_final.ckpt"))
+    assert os.path.exists(os.path.join(out, "final_metrics.json"))
+
+
+def test_zoom_cli(cli_scene, trained, tmp_path, monkeypatch):
+    import zoom_example
+
+    out = str(tmp_path / "zoom")
+    monkeypatch.setattr(
+        zoom_example, "SCENARIOS", [("normal", (3.0, -3.0, 2.0), 1.0)]
+    )
+    zoom_example.main([
+        "--datadir", cli_scene,
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--out_dir", out, "--size", "32",
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+    ])
+    assert os.path.exists(os.path.join(out, "zoom_normal.png"))

@@ -1,0 +1,82 @@
+"""LLFF loader + NDC against a synthetic poses_bounds.npy fixture."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nerfmlp_tpu.data.llff import LLFFDataset
+
+
+@pytest.fixture(scope="module")
+def llff_scene(tmp_path_factory):
+    """Fake forward-facing capture: 8 cameras near z=+4 looking down -z."""
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("llff")
+    img_dir = d / "images"
+    img_dir.mkdir()
+    n, h, w, f = 8, 30, 40, 50.0
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [0.1 * i, 0.05 * i, 4.0 + 0.02 * i]
+        # LLFF stores [down, right, back]: invert the loader's correction.
+        m = np.concatenate(
+            [-c2w[:3, 1:2], c2w[:3, 0:1], c2w[:3, 2:3], c2w[:3, 3:4]], axis=1
+        )
+        hwf = np.array([[h], [w], [f]], dtype=np.float32)
+        rows.append(np.concatenate([np.concatenate([m, hwf], 1).ravel(), [2.0, 8.0]]))
+        img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(img_dir / f"img_{i:03d}.png")
+    np.save(d / "poses_bounds.npy", np.stack(rows).astype(np.float64))
+    return str(d)
+
+
+def test_llff_loads_and_splits(llff_scene):
+    train = LLFFDataset(llff_scene, "train", img_wh=(40, 30), llffhold=4)
+    val = LLFFDataset(llff_scene, "val", img_wh=(40, 30), llffhold=4)
+    assert train.n_images == 6 and val.n_images == 2  # 8 with hold-4
+    assert train.all_rays_o.shape == (6 * 30 * 40, 3)
+    o, d, rgb = train.image_rays(0)
+    assert rgb.shape == (30, 40, 3)
+
+
+def test_llff_ndc_bounds(llff_scene):
+    ds = LLFFDataset(llff_scene, "train", img_wh=(40, 30), use_ndc=True)
+    assert ds.dynamic_near_far() == (0.0, 1.0)
+    # NDC rays terminate within the canonical cube along z.
+    end = ds.all_rays_o + ds.all_rays_d
+    assert np.isfinite(ds.all_rays_o).all()
+    assert (end[:, 2] <= 1.0 + 1e-4).all()
+
+
+def test_llff_metric_bounds(llff_scene):
+    ds = LLFFDataset(llff_scene, "train", img_wh=(40, 30), use_ndc=False)
+    near, far = ds.dynamic_near_far()
+    assert abs(near - 1.8) < 1e-6 and abs(far - 8.0) < 1e-6  # 2*0.9, 8*1.0
+
+
+def test_llff_focal_rescaled(llff_scene):
+    ds = LLFFDataset(llff_scene, "train", img_wh=(80, 60))
+    assert abs(ds.focal - 100.0) < 1e-4  # 50 * 80/40
+
+
+def test_llff_trains_a_step(llff_scene):
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import RenderConfig, TrainConfig
+    from nerfmlp_tpu.data.pipeline import RayBatchLoader
+    from nerfmlp_tpu.parallel.train_step import create_train_state, make_train_step
+
+    ds = LLFFDataset(llff_scene, "train", img_wh=(40, 30), use_ndc=True)
+    near, far = ds.dynamic_near_far()
+    rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far,
+                      perturb=True, ndc=True, lindisp=False)
+    tc = TrainConfig(batch_size=128)
+    state = create_train_state(rc, tc)
+    step = make_train_step(rc, tc)
+    loader = RayBatchLoader.from_dataset(ds, 128)
+    state, m = step(state, jnp.asarray(loader.next_batch()))
+    assert np.isfinite(float(m["loss"]))

@@ -77,8 +77,10 @@ def test_grads_match_xla():
 
 
 def test_full_render_with_pallas_matches_reference_path():
+    # The fused path only engages for bf16 (fp32 falls back to XLA), so
+    # compare bf16-pallas against fp32-XLA with a bf16-sized tolerance.
     cfg, params, _, _ = _setup()
-    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    cfg_p = dataclasses.replace(cfg, use_pallas=True, compute_dtype="bfloat16")
     rng = np.random.default_rng(1)
     o = jnp.asarray(np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (16, 1)))
     d = rng.normal(size=(16, 3)).astype(np.float32)

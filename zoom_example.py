@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Novel-view synthesis with custom look-at cameras and focal zoom —
+reference zoom_example.py: 4 zoom scenarios varying camera distance and
+focal multiplier, per-scenario near/far = distance -/+ 1.5.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+SCENARIOS = [
+    # (name, eye, focal multiplier)  — reference zoom_example.py:74-123
+    ("wide", (4.0, -4.0, 2.5), 0.8),
+    ("normal", (3.0, -3.0, 2.0), 1.0),
+    ("zoom_2x", (2.5, -2.5, 1.5), 2.0),
+    ("zoom_close", (1.8, -1.8, 1.2), 1.5),
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Zoom / custom-camera rendering")
+    p.add_argument("--datadir", type=str, required=True,
+                   help="dataset dir (for focal / camera_angle_x)")
+    p.add_argument("--ckpt", type=str, required=True, help=".ckpt or .npy")
+    p.add_argument("--out_dir", type=str, default="outputs/zoom")
+    p.add_argument("--size", type=int, default=400)
+    p.add_argument("--N_samples", type=int, default=64)
+    p.add_argument("--N_importance", type=int, default=64)
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.data.blender import BlenderDataset
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.rays import get_rays_np, look_at_matrix
+    from nerfmlp_tpu.ops.render import render_image
+    from nerfmlp_tpu.train.checkpoint import load_params_any
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    ds = BlenderDataset(args.datadir, "train", img_wh=(args.size, args.size))
+    base_focal = ds.focal
+
+    rc0 = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
+                       perturb=False, use_pallas=args.use_pallas)
+    template = init_model(jax.random.PRNGKey(0), rc0.model_config())
+    params = load_params_any(args.ckpt, template, rc0.model_config())
+
+    for name, eye, fmul in SCENARIOS:
+        eye = np.asarray(eye, dtype=np.float32)
+        dist = float(np.linalg.norm(eye))
+        near, far = max(0.1, dist - 1.5), dist + 1.5
+        pose = look_at_matrix(eye, np.zeros(3))
+        o, d = get_rays_np(args.size, args.size, base_focal * fmul, pose)
+        rc = dataclasses.replace(rc0, near=near, far=far)
+        img = np.asarray(render_image(
+            params,
+            jnp.asarray(o.reshape(-1, 3).copy()),
+            jnp.asarray(d.reshape(-1, 3)),
+            args.size, args.size, rc,
+        ))
+        out = os.path.join(args.out_dir, f"zoom_{name}.png")
+        Image.fromarray((np.clip(img, 0, 1) * 255).round().astype(np.uint8)).save(out)
+        print(f"{name}: dist {dist:.2f}, focal x{fmul}, near/far "
+              f"{near:.2f}/{far:.2f} -> {out}")
+
+
+if __name__ == "__main__":
+    main()
