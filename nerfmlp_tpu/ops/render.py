@@ -21,6 +21,7 @@ reference runs ONE shared network for both passes (renderer.py:76,103);
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -182,10 +183,15 @@ def render_image(
     """Whole-image inference: (H*W, 3) rays -> (H, W, 3) rgb.
 
     Deterministic (perturb/noise forced off, as in render_example.py:
-    227-236). Rays are padded to a multiple of ``tile`` and scanned with
-    ``lax.map`` so memory is O(tile * total_samples) — the TPU analog of
-    the reference's 8k-ray chunk loop (renderer.py:36-43) with a single
-    compiled tile program instead of 625 python-dispatched chunks.
+    227-236). Rays are padded to a multiple of ``tile`` and a SINGLE
+    jit-compiled tile program is dispatched per tile from the host — the
+    TPU analog of the reference's 8k-ray chunk loop (renderer.py:36-43).
+
+    Why a host loop and not ``lax.map``: scanning over a body that
+    contains the Pallas kernel serializes pathologically on this backend
+    (~10x slower than back-to-back dispatches of the same program) and
+    multiplies compile time; 100-odd async dispatches of one compiled
+    program cost ~1 ms each and pipeline fine.
     """
     import dataclasses
 
@@ -199,12 +205,30 @@ def render_image(
         [rays_d, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (pad, 3))], axis=0
     )
 
-    def tile_fn(args):
-        o, d = args
+    tile_fn = _tile_render_fn(cfg)
+    near_arg = near if near is not None else cfg.near
+    far_arg = far if far is not None else cfg.far
+    outs = [
+        tile_fn(
+            params,
+            jax.lax.dynamic_slice_in_dim(rays_o, i * tile, tile),
+            jax.lax.dynamic_slice_in_dim(rays_d, i * tile, tile),
+            near_arg,
+            far_arg,
+        )
+        for i in range(n_tiles)
+    ]
+    rgb = jnp.concatenate(outs, axis=0)
+    return rgb[:n_rays].reshape(H, W, 3)
+
+
+@functools.lru_cache(maxsize=32)
+def _tile_render_fn(cfg: RenderConfig):
+    """One compiled deterministic tile renderer per config (cfg is a frozen
+    dataclass, so it is a valid cache key)."""
+
+    @jax.jit
+    def tile_fn(params, o, d, near, far):
         return render_rays(params, o, d, None, cfg, near=near, far=far)["rgb_map"]
 
-    rgb = jax.lax.map(
-        tile_fn,
-        (rays_o.reshape(n_tiles, tile, 3), rays_d.reshape(n_tiles, tile, 3)),
-    )
-    return rgb.reshape(n_tiles * tile, 3)[:n_rays].reshape(H, W, 3)
+    return tile_fn
