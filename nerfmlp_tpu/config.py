@@ -107,3 +107,8 @@ class TrainConfig:
     log_interval: int = 100
     ckpt_interval: int = 10_000
     grad_clip: float = 0.0       # 0 = off
+    # Oracle-superset training options (example/run_nerf.py):
+    precrop_iters: int = 0       # central-crop sampling for the first N iters
+    precrop_frac: float = 0.5    # crop fraction (run_nerf.py:776-792)
+    no_batching: bool = False    # sample each batch from ONE random image
+    profile_dir: str = ""        # jax.profiler trace of steps 10-30

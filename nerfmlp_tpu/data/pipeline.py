@@ -47,6 +47,13 @@ class RayBatchLoader:
 
     Yields numpy (batch, 9) arrays laid out [rays_o | rays_d | rgb]; the
     train step slices them back apart on device.
+
+    Two sampling modes mirroring the oracle's ``--no_batching`` switch
+    (example/run_nerf.py:716-744, 762-803):
+      * global (default): pre-shuffled batches over ALL images' rays,
+      * per-image (``image_mode=True``): each batch comes from one random
+        image — required for precrop, which restricts early training to
+        the central crop of that image (``--precrop_iters/frac``).
     """
 
     def __init__(
@@ -57,6 +64,8 @@ class RayBatchLoader:
         batch_size: int,
         seed: int = 0,
         drop_last: bool = True,
+        image_shape=None,           # (n_images, H, W) — needed for precrop/image mode
+        image_mode: bool = False,
     ):
         assert rays_o.shape == rays_d.shape == rgbs.shape
         self.pool = np.concatenate(
@@ -70,31 +79,56 @@ class RayBatchLoader:
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.image_shape = image_shape
+        self.image_mode = image_mode
+        self.precrop_frac: float = 1.0
         self._perm = None
         self._cursor = 0
         self.epoch = 0
 
     @classmethod
-    def from_dataset(cls, dataset, batch_size: int, seed: int = 0):
+    def from_dataset(cls, dataset, batch_size: int, seed: int = 0,
+                     image_mode: bool = False):
+        shape = (dataset.n_images, dataset.H, dataset.W)
         return cls(
             dataset.all_rays_o, dataset.all_rays_d, dataset.all_rgbs,
-            batch_size, seed=seed,
+            batch_size, seed=seed, image_shape=shape, image_mode=image_mode,
         )
 
     def __len__(self) -> int:
         return self.pool.shape[0]
 
-    def _reshuffle(self) -> None:
-        self._perm = self.rng.permutation(self.pool.shape[0])
-        self._cursor = 0
-        self.epoch += 1
+    def set_precrop(self, frac: float) -> None:
+        """Restrict sampling to the central ``frac`` of each image (the
+        oracle's --precrop_frac, run_nerf.py:776-792). frac=1.0 disables."""
+        if self.image_shape is None:
+            raise ValueError("precrop requires image_shape (use from_dataset)")
+        self.precrop_frac = float(frac)
+
+    def _crop_indices(self, img_idx: int) -> np.ndarray:
+        n_imgs, H, W = self.image_shape
+        if self.precrop_frac >= 1.0:
+            return img_idx * H * W + self.rng.integers(0, H * W, self.batch_size)
+        dh = int(H // 2 * self.precrop_frac)
+        dw = int(W // 2 * self.precrop_frac)
+        rows = self.rng.integers(H // 2 - dh, H // 2 + dh, self.batch_size)
+        cols = self.rng.integers(W // 2 - dw, W // 2 + dw, self.batch_size)
+        return img_idx * H * W + rows * W + cols
 
     def next_batch(self) -> np.ndarray:
+        if self.image_mode or self.precrop_frac < 1.0:
+            img_idx = int(self.rng.integers(0, self.image_shape[0]))
+            return self.pool[self._crop_indices(img_idx)]
         if self._perm is None or self._cursor + self.batch_size > len(self._perm):
             self._reshuffle()
         idx = self._perm[self._cursor : self._cursor + self.batch_size]
         self._cursor += self.batch_size
         return self.pool[idx]
+
+    def _reshuffle(self) -> None:
+        self._perm = self.rng.permutation(self.pool.shape[0])
+        self._cursor = 0
+        self.epoch += 1
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:

@@ -74,7 +74,9 @@ class Trainer:
 
             self.state = jax.device_put(self.state, replicated_sharding(mesh))
         self.step_fn = make_train_step(rc, tc, mesh=mesh)
-        self.loader = RayBatchLoader.from_dataset(train_ds, tc.batch_size, seed=tc.seed)
+        self.loader = RayBatchLoader.from_dataset(
+            train_ds, tc.batch_size, seed=tc.seed, image_mode=tc.no_batching
+        )
         self._batch_sharding = None
         if mesh is not None:
             from nerfmlp_tpu.parallel.mesh import batch_sharding
@@ -194,8 +196,24 @@ class Trainer:
             f"pallas={rc.use_pallas} dtype={rc.compute_dtype}"
         )
 
+        if tc.precrop_iters > 0 and start_step < tc.precrop_iters:
+            self.loader.set_precrop(tc.precrop_frac)
+            self._log(
+                f"🎯 precrop: central {tc.precrop_frac:.0%} crop for the "
+                f"first {tc.precrop_iters:,} iters"
+            )
+
         t_prev = time.time()
         for step in range(start_step + 1, iters + 1):
+            if tc.precrop_iters > 0 and step == tc.precrop_iters + 1:
+                self.loader.set_precrop(1.0)
+                self._log(f"🎯 precrop off at iter {step:,}")
+            if tc.profile_dir:
+                if step == 10:
+                    jax.profiler.start_trace(tc.profile_dir)
+                elif step == 30:
+                    jax.profiler.stop_trace()
+                    self._log(f"🧪 profiler trace (steps 10-30) -> {tc.profile_dir}")
             batch = self._put(self.loader.next_batch())
             self.state, metrics = self.step_fn(self.state, batch)
             pending = (metrics, step)

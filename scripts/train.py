@@ -15,7 +15,40 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _expand_config_files(argv):
+    """``--config FILE`` support (the oracle uses configargparse,
+    example/run_nerf.py:461-465): FILE holds ``key = value`` lines that are
+    expanded into flags, with explicit CLI flags taking precedence."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    out = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--config":
+            path = argv[i + 1]
+            i += 2
+            with open(path) as f:
+                for line in f:
+                    line = line.split("#")[0].strip()
+                    if not line:
+                        continue
+                    key, _, val = line.partition("=")
+                    key, val = key.strip(), val.strip()
+                    flag = [f"--{key}"]
+                    if val.lower() in ("true", "1", "yes"):
+                        pass  # store_true flag
+                    elif val.lower() in ("false", "0", "no"):
+                        continue
+                    else:
+                        flag += val.split()
+                    out = flag + out  # prepend: CLI flags override
+        else:
+            out.append(argv[i])
+            i += 1
+    return out
+
+
 def parse_args(argv=None):
+    argv = _expand_config_files(argv)
     p = argparse.ArgumentParser(description="Train NeRF (TPU-native)")
     # Reference flags (train.py:180-192).
     p.add_argument("--datadir", type=str, required=True)
@@ -52,6 +85,16 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dataset_type", type=str, default="blender",
                    choices=["blender", "llff"])
+    # Oracle-superset options (example/run_nerf.py).
+    p.add_argument("--precrop_iters", type=int, default=0,
+                   help="central-crop ray sampling for the first N iters")
+    p.add_argument("--precrop_frac", type=float, default=0.5)
+    p.add_argument("--no_batching", action="store_true",
+                   help="sample each batch from one random image")
+    p.add_argument("--check_numerics", action="store_true",
+                   help="jax_debug_nans (TF oracle: check_numerics)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of steps 10-30 here")
     return p.parse_args(argv)
 
 
@@ -62,6 +105,9 @@ def main(argv=None):
         print("⚠️  High resolution training: consider batch_size>=512, lr<=2e-4")
 
     import jax
+
+    if args.check_numerics:
+        jax.config.update("jax_debug_nans", True)
 
     from nerfmlp_tpu.config import RenderConfig, TrainConfig
     from nerfmlp_tpu.train.loop import Trainer
@@ -99,6 +145,8 @@ def main(argv=None):
         quick_val_interval=args.quick_val_interval,
         full_val_interval=args.full_val_interval,
         quick_val_subset=args.quick_val_subset,
+        precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
+        no_batching=args.no_batching, profile_dir=args.profile_dir,
     )
 
     mesh = None

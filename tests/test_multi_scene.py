@@ -1,0 +1,78 @@
+"""Multi-scene batched training: 8 scenes, one per fake device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerfmlp_tpu.config import RenderConfig, TrainConfig
+from nerfmlp_tpu.parallel.mesh import make_mesh
+from nerfmlp_tpu.parallel.multi_scene import (
+    create_multi_scene_state,
+    make_multi_scene_step,
+    scene_sharding,
+)
+
+
+def _batches(n_scenes, b, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n_scenes, b, 9)).astype(np.float32)
+    x[..., 5] = -1.0
+    x[..., 6:9] = np.abs(x[..., 6:9]) % 1.0
+    return x
+
+
+def test_multi_scene_step_runs():
+    rc = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0, perturb=True)
+    tc = TrainConfig(batch_size=64)
+    mesh = make_mesh(n_devices=8)
+    state = jax.device_put(
+        create_multi_scene_state(8, rc, tc), scene_sharding(mesh)
+    )
+    step = make_multi_scene_step(rc, tc, mesh)
+    batch = jax.device_put(jnp.asarray(_batches(8, 64)), scene_sharding(mesh))
+    state, metrics = step(state, batch)
+    losses = np.asarray(metrics["loss"])
+    assert losses.shape == (8,)
+    assert np.isfinite(losses).all()
+    assert (np.asarray(state.step) == 1).all()
+
+
+def test_scenes_are_independent():
+    """Each scene's params evolve from ITS data only: scene 0's params must
+    equal a single-scene run on the same data."""
+    from nerfmlp_tpu.parallel.train_step import create_train_state, make_train_step
+
+    rc = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0, perturb=True)
+    tc = TrainConfig(batch_size=32, seed=0)
+    mesh = make_mesh(n_devices=8)
+    batches = _batches(8, 32, seed=5)
+
+    ms_state = jax.device_put(
+        create_multi_scene_state(8, rc, tc), scene_sharding(mesh)
+    )
+    ms_step = make_multi_scene_step(rc, tc, mesh)
+    ms_state, _ = ms_step(
+        ms_state, jax.device_put(jnp.asarray(batches), scene_sharding(mesh))
+    )
+
+    # Single-scene run with the same seed/key derivation as scene 0.
+    solo = create_train_state(rc, tc, rng=jax.random.PRNGKey(tc.seed))
+    solo_step = make_train_step(rc, tc)
+    solo, _ = solo_step(solo, jnp.asarray(batches[0]))
+
+    a = np.asarray(jax.tree.leaves(ms_state.params)[0])[0]  # scene 0 slice
+    b = np.asarray(jax.tree.leaves(solo.params)[0])
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_multi_scene_sharded_layout():
+    rc = RenderConfig(N_samples=8, N_importance=0, near=2.0, far=6.0, perturb=False)
+    tc = TrainConfig(batch_size=16)
+    mesh = make_mesh(n_devices=8)
+    state = jax.device_put(
+        create_multi_scene_state(8, rc, tc), scene_sharding(mesh)
+    )
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.shape[0] == 8
+    assert len(leaf.addressable_shards) == 8
+    assert leaf.addressable_shards[0].data.shape[0] == 1  # one scene/device
