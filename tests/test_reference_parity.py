@@ -1,0 +1,176 @@
+"""Golden parity against the ACTUAL reference implementation.
+
+Loads the PyTorch reference package from /root/reference (read-only, CPU)
+and checks that — given identical weights — our model and renderer
+reproduce its outputs numerically. This is the strongest form of the
+reference's own verification strategy ("identical results when using same
+weights", NOTES.md:20-24) and is skipped automatically when the reference
+tree is not present.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "nerfmlp")),
+    reason="reference tree not available",
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.path.insert(0, REFERENCE)
+    import torch  # noqa: F401
+
+    import nerfmlp as ref_pkg
+
+    return ref_pkg
+
+
+@pytest.fixture(scope="module")
+def shared_weights():
+    """One random official-order weight list shared by both frameworks."""
+    from nerfmlp_tpu.models.import_tf import expected_shapes
+
+    rng = np.random.default_rng(42)
+    return [rng.normal(scale=0.1, size=s).astype(np.float32) for s in expected_shapes()]
+
+
+def test_model_forward_parity(ref, shared_weights):
+    import torch
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.models.import_tf import params_from_numpy
+    from nerfmlp_tpu.models.mlp import apply_model
+
+    ref_model = ref.NeRFMLP()
+    ref_model.load_from_numpy(shared_weights)
+    ref_model.eval()
+
+    params = params_from_numpy(shared_weights)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 63)).astype(np.float32)
+    v = rng.normal(size=(64, 27)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x), torch.from_numpy(v)).numpy()
+    got = np.asarray(apply_model(params, jnp.asarray(x), jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_encoding_parity(ref):
+    import torch
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.ops.encoding import positional_encoding
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(40, 3)).astype(np.float32)
+    for L in (4, 10):
+        enc_ref = ref.model.PositionalEncoding(L)
+        with torch.no_grad():
+            want = enc_ref(torch.from_numpy(x)).numpy()
+        got = np.asarray(positional_encoding(jnp.asarray(x), L))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"L={L}")
+
+
+def test_full_render_parity(ref, shared_weights):
+    """Deterministic coarse+fine render of the same rays through BOTH
+    frameworks with the same weights — rgb/depth/acc maps must agree."""
+    import torch
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.models.import_tf import params_from_numpy
+    from nerfmlp_tpu.ops.render import render_rays
+
+    ref_model = ref.NeRFMLP()
+    ref_model.load_from_numpy(shared_weights)
+    ref_model.eval()
+    ref_renderer = ref.NeRFRenderer(
+        ref_model, torch.device("cpu"),
+        N_samples=32, N_importance=16, near=2.0, far=6.0,
+        white_bkgd=True, perturb=0.0, raw_noise_std=0.0,
+    )
+
+    rng = np.random.default_rng(2)
+    o = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (24, 1))
+    d = rng.normal(size=(24, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+
+    with torch.no_grad():
+        want = ref_renderer._render_rays(torch.from_numpy(o), torch.from_numpy(d))
+
+    cfg = RenderConfig(N_samples=32, N_importance=16, near=2.0, far=6.0,
+                       white_bkgd=True, perturb=False, raw_noise_std=0.0)
+    got = render_rays(
+        {"coarse": params_from_numpy(shared_weights)},
+        jnp.asarray(o), jnp.asarray(d), None, cfg,
+    )
+
+    # The coarse map has no error amplification: tight tolerance.
+    np.testing.assert_allclose(
+        np.asarray(got["rgb_map_coarse"]), want["rgb_map_coarse"].numpy(), atol=5e-4
+    )
+    # Fine-pass z-locations depend continuously on coarse weights, so
+    # framework-level fp32 op-order differences (~2e-4 at the MLP output)
+    # shift importance samples slightly and amplify: allow 3e-3 (~0.3% of
+    # dynamic range; PSNR-equivalent error > 50 dB).
+    np.testing.assert_allclose(
+        np.asarray(got["rgb_map"]), want["rgb_map"].numpy(), atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["depth_map"]), want["depth_map"].numpy(), atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["acc_map"]), want["acc_map"].numpy(), atol=3e-3
+    )
+
+
+def test_coord_scale_parity(ref, shared_weights):
+    import torch
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.models.import_tf import params_from_numpy
+    from nerfmlp_tpu.ops.render import render_rays
+
+    ref_model = ref.NeRFMLP()
+    ref_model.load_from_numpy(shared_weights)
+    ref_model.eval()
+    ref_renderer = ref.NeRFRenderer(
+        ref_model, torch.device("cpu"), N_samples=16, N_importance=0,
+        near=2.0, far=6.0, perturb=0.0, raw_noise_std=0.0, coord_scale=0.5,
+    )
+    rng = np.random.default_rng(3)
+    o = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (8, 1))
+    d = rng.normal(size=(8, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    with torch.no_grad():
+        want = ref_renderer._render_rays(torch.from_numpy(o), torch.from_numpy(d))
+    cfg = RenderConfig(N_samples=16, N_importance=0, near=2.0, far=6.0,
+                       perturb=False, coord_scale=0.5)
+    got = render_rays({"coarse": params_from_numpy(shared_weights)},
+                      jnp.asarray(o), jnp.asarray(d), None, cfg)
+    np.testing.assert_allclose(
+        np.asarray(got["rgb_map"]), want["rgb_map"].numpy(), atol=5e-4
+    )
+
+
+def test_dataset_preprocessing_parity(ref, synthetic_scene):
+    """Same scene through both data pipelines: images, focal, rays match."""
+    from nerfmlp_tpu.data.blender import BlenderDataset
+
+    ref_ds = ref.NeRFDataset(synthetic_scene, split="train", img_wh=(40, 40))
+    ours = BlenderDataset(synthetic_scene, split="train", img_wh=(40, 40))
+
+    np.testing.assert_allclose(ours.images, ref_ds.images, atol=1e-6)
+    assert abs(ours.focal - ref_ds.focal) < 1e-6
+    np.testing.assert_allclose(ours.all_rays_o, ref_ds.all_rays_o, atol=1e-6)
+    np.testing.assert_allclose(ours.all_rays_d, ref_ds.all_rays_d, atol=1e-5)
+    np.testing.assert_allclose(ours.all_rgbs, ref_ds.all_rgbs, atol=1e-6)
