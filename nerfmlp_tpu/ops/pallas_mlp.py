@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nerfmlp_tpu.config import RenderConfig
-from nerfmlp_tpu.ops.encoding import positional_encoding
+
 
 # Fixed layer order for flattened weight lists fed to the kernels.
 _TRUNK = [f"pts_{i}" for i in range(8)]
@@ -73,6 +73,45 @@ def _flatten_params(params: Dict, skip_dim: int, dtype) -> Tuple[list, list]:
     return ks, bs
 
 
+@functools.lru_cache(maxsize=None)
+def _encode_consts(n_freqs: int):
+    """Constants for in-kernel positional encoding.
+
+    gamma(x) (reference layout: [x, sin(f0 x), cos(f0 x), ...]) is computed
+    as one (3, 3+6L) matmul followed by a masked sin/cos — a single MXU call
+    plus VPU transcendentals, instead of a separate XLA pass whose output
+    round-trips HBM into the kernel.
+    """
+    from nerfmlp_tpu.ops.encoding import frequency_bands
+
+    bands = frequency_bands(n_freqs)
+    dim = 3 + 6 * n_freqs
+    m = np.zeros((3, dim), np.float32)
+    kind = np.zeros((1, dim), np.int32)  # 0 = identity, 1 = sin, 2 = cos
+    m[:, :3] = np.eye(3)
+    for l, f in enumerate(bands):
+        c0 = 3 + 6 * l
+        m[:, c0 : c0 + 3] = np.eye(3) * f
+        kind[0, c0 : c0 + 3] = 1
+        m[:, c0 + 3 : c0 + 6] = np.eye(3) * f
+        kind[0, c0 + 3 : c0 + 6] = 2
+    return m, kind
+
+
+def _encode_tile(pts, enc_m, enc_kind, dt):
+    """(T, 3) points -> (T, 3+6L) encoded features, in VMEM.
+
+    ``enc_m``/``enc_kind`` come in as kernel inputs (Pallas kernels cannot
+    capture array constants)."""
+    a = jnp.dot(
+        pts.astype(jnp.float32), enc_m, preferred_element_type=jnp.float32
+    )
+    enc = jnp.where(
+        enc_kind == 0, a, jnp.where(enc_kind == 1, jnp.sin(a), jnp.cos(a))
+    )
+    return enc.astype(dt)
+
+
 def _mlp_tile_math(x, dirs, ks, bs, dt):
     """The full network on one (T, enc) tile; shared by fwd and bwd kernels.
 
@@ -105,18 +144,20 @@ def _mlp_tile_math(x, dirs, ks, bs, dt):
     return out, (hs, bott, v)
 
 
-def _fwd_kernel(n_weights, dt, x_ref, d_ref, *refs):
+def _fwd_kernel(n_weights, dt, pts_ref, d_ref, em_ref, ek_ref, *refs):
     ks = [refs[i][:] for i in range(n_weights)]
     bs = [refs[n_weights + i][:] for i in range(12)]
     out_ref = refs[n_weights + 12]
-    out, _ = _mlp_tile_math(x_ref[:], d_ref[:], ks, bs, dt)
+    x = _encode_tile(pts_ref[:], em_ref[:], ek_ref[:], dt)
+    out, _ = _mlp_tile_math(x, d_ref[:], ks, bs, dt)
     out_ref[:] = out.astype(jnp.float32)
 
 
 def _pallas_forward(
-    enc: jnp.ndarray, dirs: jnp.ndarray, ks: list, bs: list, dt, tile: int
+    pts: jnp.ndarray, dirs: jnp.ndarray, ks: list, bs: list,
+    n_freqs: int, dt, tile: int
 ) -> jnp.ndarray:
-    n = enc.shape[0]
+    n = pts.shape[0]
     grid = (n // tile,)
     n_w = len(ks)
 
@@ -124,22 +165,26 @@ def _pallas_forward(
     w_specs = [pl.BlockSpec(k.shape, lambda i: (0, 0)) for k in ks]
     b_specs = [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in bs]
 
+    em, ek = _encode_consts(n_freqs)
+    em, ek = jnp.asarray(em), jnp.asarray(ek)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, n_w, dt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, enc.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((tile, pts.shape[1]), lambda i: (i, 0)),
             pl.BlockSpec((tile, dirs.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec(em.shape, lambda i: (0, 0)),
+            pl.BlockSpec(ek.shape, lambda i: (0, 0)),
             *w_specs,
             *b_specs,
         ],
         out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
         interpret=_interpret(),
-    )(enc, dirs, *ks, *bs)
+    )(pts, dirs, em, ek, *ks, *bs)
 
 
-def _bwd_kernel(n_weights, dt, x_ref, d_ref, *refs):
+def _bwd_kernel(n_weights, dt, pts_ref, d_ref, em_ref, ek_ref, *refs):
     """Recompute-forward backward: accumulates dW/db across grid steps.
 
     refs = [*ks, *bs, g_ref, *dk_refs, *db_refs]; all dk/db blocks map to
@@ -156,7 +201,7 @@ def _bwd_kernel(n_weights, dt, x_ref, d_ref, *refs):
         for r in (*dk_refs, *db_refs):
             r[:] = jnp.zeros(r.shape, r.dtype)
 
-    x = x_ref[:]
+    x = _encode_tile(pts_ref[:], em_ref[:], ek_ref[:], dt)
     dirs = d_ref[:]
     _, (hs, bott, v) = _mlp_tile_math(x, dirs, ks, bs, dt)
 
@@ -229,15 +274,16 @@ def _bwd_kernel(n_weights, dt, x_ref, d_ref, *refs):
 
 
 def _pallas_backward(
-    enc: jnp.ndarray,
+    pts: jnp.ndarray,
     dirs: jnp.ndarray,
     ks: list,
     bs: list,
     g: jnp.ndarray,
+    n_freqs: int,
     dt,
     tile: int,
 ):
-    n = enc.shape[0]
+    n = pts.shape[0]
     grid = (n // tile,)
     n_w = len(ks)
 
@@ -246,12 +292,16 @@ def _pallas_backward(
     dk_specs = [pl.BlockSpec(k.shape, lambda i: (0, 0)) for k in ks]
     db_specs = [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in bs]
 
+    em, ek = _encode_consts(n_freqs)
+    em, ek = jnp.asarray(em), jnp.asarray(ek)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, n_w, dt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, enc.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((tile, pts.shape[1]), lambda i: (i, 0)),
             pl.BlockSpec((tile, dirs.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec(em.shape, lambda i: (0, 0)),
+            pl.BlockSpec(ek.shape, lambda i: (0, 0)),
             *w_specs,
             *b_specs,
             pl.BlockSpec((tile, 4), lambda i: (i, 0)),
@@ -262,7 +312,7 @@ def _pallas_backward(
             *[jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs],
         ],
         interpret=_interpret(),
-    )(enc, dirs, *ks, *bs, g)
+    )(pts, dirs, em, ek, *ks, *bs, g)
 
 
 def _grads_to_pytree(dks: list, dbs: list, params: Dict, skip_dim: int) -> Dict:
@@ -288,28 +338,30 @@ def _grads_to_pytree(dks: list, dbs: list, params: Dict, skip_dim: int) -> Dict:
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_apply(params, enc, dirs, dt_name: str, tile: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_apply(params, pts, dirs, n_freqs: int, dt_name: str, tile: int):
     dt = jnp.dtype(dt_name)
-    ks, bs = _flatten_params(params, enc.shape[1], dt)
-    return _pallas_forward(enc.astype(dt), dirs.astype(dt), ks, bs, dt, tile)
+    enc_dim = 3 + 6 * n_freqs
+    ks, bs = _flatten_params(params, enc_dim, dt)
+    return _pallas_forward(pts, dirs.astype(dt), ks, bs, n_freqs, dt, tile)
 
 
-def _fused_fwd(params, enc, dirs, dt_name, tile):
-    out = _fused_apply(params, enc, dirs, dt_name, tile)
-    return out, (params, enc, dirs)
+def _fused_fwd(params, pts, dirs, n_freqs, dt_name, tile):
+    out = _fused_apply(params, pts, dirs, n_freqs, dt_name, tile)
+    return out, (params, pts, dirs)
 
 
-def _fused_bwd(dt_name, tile, res, g):
-    params, enc, dirs = res
+def _fused_bwd(n_freqs, dt_name, tile, res, g):
+    params, pts, dirs = res
     dt = jnp.dtype(dt_name)
-    ks, bs = _flatten_params(params, enc.shape[1], dt)
+    enc_dim = 3 + 6 * n_freqs
+    ks, bs = _flatten_params(params, enc_dim, dt)
     outs = _pallas_backward(
-        enc.astype(dt), dirs.astype(dt), ks, bs, g.astype(jnp.float32), dt, tile
+        pts, dirs.astype(dt), ks, bs, g.astype(jnp.float32), n_freqs, dt, tile
     )
     dks, dbs = outs[: len(ks)], outs[len(ks) :]
-    dparams = _grads_to_pytree(dks, dbs, params, enc.shape[1])
-    return dparams, jnp.zeros_like(enc), jnp.zeros_like(dirs)
+    dparams = _grads_to_pytree(dks, dbs, params, enc_dim)
+    return dparams, jnp.zeros_like(pts), jnp.zeros_like(dirs)
 
 
 _fused_apply.defvjp(_fused_fwd, _fused_bwd)
@@ -334,15 +386,14 @@ def fused_nerf_mlp(
             "set use_pallas=False for the no-viewdirs architecture"
         )
     n = pts_flat.shape[0]
-    enc = positional_encoding(pts_flat, cfg.pos_enc_L)
-
     tile = min(tile, max(256, 1 << (n - 1).bit_length()))
     pad = (-n) % tile
     if pad:
-        enc = jnp.pad(enc, ((0, pad), (0, 0)))
+        pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
         dirs_enc_flat = jnp.pad(dirs_enc_flat, ((0, pad), (0, 0)))
 
     out = _fused_apply(
-        params, enc, dirs_enc_flat, str(jnp.dtype(cfg.compute_dtype)), tile
+        params, pts_flat, dirs_enc_flat, cfg.pos_enc_L,
+        str(jnp.dtype(cfg.compute_dtype)), tile,
     )
     return out[:n]
