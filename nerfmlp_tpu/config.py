@@ -65,6 +65,9 @@ class RenderConfig:
                                  # separate fine net (example/run_nerf.py:397-403)
     use_pallas: bool = False     # fused Pallas TPU kernel for the MLP hot path
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+    remat: bool = False          # jax.checkpoint the MLP query (XLA path):
+                                 # trades recompute FLOPs for activation HBM,
+                                 # enabling much larger ray batches
 
     @property
     def input_ch(self) -> int:

@@ -64,19 +64,24 @@ def _query_mlp(
             ).reshape(n_rays * n_samples, -1)
         raw = fused_nerf_mlp(params, flat, dirs, cfg)
     else:
-        enc = positional_encoding(flat, cfg.pos_enc_L)
         dirs = None
         if viewdirs_enc is not None:
             dirs = jnp.broadcast_to(
                 viewdirs_enc[:, None, :], (n_rays, n_samples, viewdirs_enc.shape[-1])
             ).reshape(n_rays * n_samples, -1)
-        raw = apply_model(
-            params,
-            enc,
-            dirs,
-            cfg.model_config(),
-            compute_dtype=jnp.dtype(cfg.compute_dtype),
-        )
+
+        def query(p, f, d):
+            enc = positional_encoding(f, cfg.pos_enc_L)
+            return apply_model(
+                p, enc, d, cfg.model_config(),
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+            )
+
+        if cfg.remat:
+            # Don't store per-layer activations for backward; recompute.
+            # (The Pallas path does this intrinsically.)
+            query = jax.checkpoint(query)
+        raw = query(params, flat, dirs)
     return raw.astype(jnp.float32).reshape(n_rays, n_samples, 4)
 
 

@@ -21,6 +21,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize JAX's multi-host runtime (call before :func:`make_mesh`
+    on a multi-host slice; on GCE TPU pods the args auto-detect).
+
+    Returns the global device count. Safe to call on single-host setups —
+    initialization errors degrade to single-process mode with a warning.
+    """
+    try:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs = dict(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # pragma: no cover - depends on environment
+        print(f"(jax.distributed.initialize skipped: {e})")
+    return len(jax.devices())
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,

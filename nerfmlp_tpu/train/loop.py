@@ -57,6 +57,7 @@ class Trainer:
         save_dir: str = "outputs/checkpoints",
         mesh=None,
         verbose: bool = True,
+        tensorboard_dir: Optional[str] = None,
     ):
         self.rc = rc
         self.tc = tc
@@ -67,6 +68,18 @@ class Trainer:
         self.mesh = mesh
         self.verbose = verbose
         os.makedirs(save_dir, exist_ok=True)
+
+        # Optional TensorBoard scalars (the TF oracle logs loss/psnr/images
+        # via tf.summary, example/run_nerf.py:874-922; torch's writer is the
+        # dependency-free equivalent here). Best-effort.
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tensorboard_dir)
+            except Exception as e:
+                print(f"(tensorboard disabled: {e})")
 
         self.state = create_train_state(rc, tc)
         if mesh is not None:
@@ -228,6 +241,11 @@ class Trainer:
             if step % tc.log_interval == 0:
                 m = jax.device_get(pending[0])
                 med_t = float(np.median(self.history["iteration_times"][-200:]))
+                if self._tb is not None:
+                    self._tb.add_scalar("train/loss", float(m["loss"]), step)
+                    self._tb.add_scalar("train/psnr", float(m["psnr"]), step)
+                    self._tb.add_scalar("train/grad_norm", float(m["grad_norm"]), step)
+                    self._tb.add_scalar("train/lr", self._lr_at(step), step)
                 self._log(
                     f"{datetime.now().strftime('%Y-%m-%d %H:%M:%S')} | "
                     f"Iter {step:,} | Loss: {float(m['loss']):.6f} | "
@@ -303,6 +321,10 @@ class Trainer:
         h["quick_val_psnrs"].append(qm["psnr"])
         h["quick_val_ssims"].append(qm["ssim"])
         h["val_steps"].append(step)
+        if self._tb is not None:
+            self._tb.add_scalar("val/loss", qm["loss"], step)
+            self._tb.add_scalar("val/psnr", qm["psnr"], step)
+            self._tb.add_scalar("val/ssim", qm["ssim"], step)
 
         conv = ""
         if len(h["quick_val_losses"]) > 5:

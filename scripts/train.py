@@ -95,6 +95,10 @@ def parse_args(argv=None):
                    help="jax_debug_nans (TF oracle: check_numerics)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of steps 10-30 here")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="log scalars to <save_dir>/tb")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize MLP activations (XLA path): bigger batches")
     return p.parse_args(argv)
 
 
@@ -138,6 +142,7 @@ def main(argv=None):
         perturb=True, raw_noise_std=args.raw_noise_std,
         lindisp=args.lindisp, ndc=ndc, separate_fine=args.separate_fine,
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+        remat=args.remat,
     )
     tc = TrainConfig(
         batch_size=args.batch_size, iters=args.iters, lr=args.lr,
@@ -157,8 +162,11 @@ def main(argv=None):
         mesh = make_mesh(n_devices=n_dev)
         print(f"Data-parallel mesh over {n_dev} devices")
 
-    trainer = Trainer(rc, tc, dataset, val_ds, quick_val_ds,
-                      save_dir=args.save_dir, mesh=mesh)
+    trainer = Trainer(
+        rc, tc, dataset, val_ds, quick_val_ds,
+        save_dir=args.save_dir, mesh=mesh,
+        tensorboard_dir=os.path.join(args.save_dir, "tb") if args.tensorboard else None,
+    )
     if args.resume:
         trainer.resume(args.resume)
 
