@@ -10,7 +10,7 @@ surprises; CLI layers construct them from reference-compatible flags.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +68,11 @@ class RenderConfig:
     remat: bool = False          # jax.checkpoint the MLP query (XLA path):
                                  # trades recompute FLOPs for activation HBM,
                                  # enabling much larger ray batches
+    aabb: Optional[Tuple[float, float, float, float, float, float]] = None
+                                 # (xmin,ymin,zmin,xmax,ymax,zmax): tighten
+                                 # per-ray near/far to the scene box (an
+                                 # improvement over the reference's single
+                                 # global [near, far])
 
     @property
     def input_ch(self) -> int:

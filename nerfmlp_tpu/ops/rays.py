@@ -83,6 +83,37 @@ def ndc_rays(
     return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
 
 
+def intersect_aabb(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    box_min,
+    box_max,
+    near: float,
+    far: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray [near, far] tightened to the scene's axis-aligned box.
+
+    Slab test; rays that miss the box keep the global bounds (their samples
+    see empty space and integrate to background). The reference uses one
+    global [near, far] for every ray (renderer.py:52-53), wasting samples
+    on empty space — this is an opt-in sample-efficiency improvement
+    (``RenderConfig.aabb``), exact for the same rendering equations.
+    """
+    box_min = jnp.asarray(box_min, dtype=rays_o.dtype)
+    box_max = jnp.asarray(box_max, dtype=rays_o.dtype)
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-10, 1e-10, rays_d)
+    t0 = (box_min - rays_o) * inv_d
+    t1 = (box_max - rays_o) * inv_d
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = t_far > jnp.maximum(t_near, 0.0)
+    ray_near = jnp.where(hit, jnp.clip(t_near, near, far), near)
+    ray_far = jnp.where(hit, jnp.clip(t_far, near, far), far)
+    # Guard degenerate intervals (grazing hits).
+    ray_far = jnp.maximum(ray_far, ray_near + 1e-3)
+    return ray_near, ray_far
+
+
 def look_at_matrix(
     eye: np.ndarray, target: np.ndarray, up: np.ndarray = None
 ) -> np.ndarray:

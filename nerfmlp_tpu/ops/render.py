@@ -104,6 +104,12 @@ def render_rays(
     n_rays = rays_o.shape[0]
     near = cfg.near if near is None else near
     far = cfg.far if far is None else far
+    if cfg.aabb is not None:
+        from nerfmlp_tpu.ops.rays import intersect_aabb
+
+        near, far = intersect_aabb(
+            rays_o, rays_d, cfg.aabb[:3], cfg.aabb[3:], cfg.near, cfg.far
+        )
 
     if rng is None:
         k_strat = k_noise_c = k_pdf = k_noise_f = None

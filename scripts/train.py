@@ -99,6 +99,9 @@ def parse_args(argv=None):
                    help="log scalars to <save_dir>/tb")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize MLP activations (XLA path): bigger batches")
+    p.add_argument("--aabb", type=float, nargs=6, default=None,
+                   metavar=("XMIN", "YMIN", "ZMIN", "XMAX", "YMAX", "ZMAX"),
+                   help="scene box: tighten per-ray near/far (sample efficiency)")
     return p.parse_args(argv)
 
 
@@ -143,6 +146,7 @@ def main(argv=None):
         lindisp=args.lindisp, ndc=ndc, separate_fine=args.separate_fine,
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
         remat=args.remat,
+        aabb=tuple(args.aabb) if args.aabb else None,
     )
     tc = TrainConfig(
         batch_size=args.batch_size, iters=args.iters, lr=args.lr,

@@ -1,0 +1,77 @@
+"""Per-ray AABB bounds tightening."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerfmlp_tpu.config import RenderConfig
+from nerfmlp_tpu.models.mlp import init_model
+from nerfmlp_tpu.ops.rays import intersect_aabb
+from nerfmlp_tpu.ops.render import render_rays
+
+
+def test_hit_and_miss():
+    o = jnp.asarray(np.array([[0.0, 0.0, 4.0], [10.0, 10.0, 4.0]], np.float32))
+    d = jnp.asarray(np.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]], np.float32))
+    near, far = intersect_aabb(o, d, [-1, -1, -1], [1, 1, 1], 2.0, 6.0)
+    # Ray 0 passes through the box: enters at z=1 (t=3), exits at z=-1 (t=5).
+    assert abs(float(near[0]) - 3.0) < 1e-5
+    assert abs(float(far[0]) - 5.0) < 1e-5
+    # Ray 1 misses: keeps global bounds.
+    assert float(near[1]) == 2.0 and float(far[1]) == 6.0
+
+
+def test_bounds_clamped_to_global():
+    o = jnp.asarray(np.array([[0.0, 0.0, 0.5]], np.float32))  # inside the box
+    d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+    near, far = intersect_aabb(o, d, [-1, -1, -1], [1, 1, 1], 2.0, 6.0)
+    assert float(near[0]) >= 2.0  # clamped up to the global near
+
+
+def test_render_with_aabb_concentrates_samples():
+    cfg = RenderConfig(N_samples=16, N_importance=0, near=2.0, far=6.0,
+                       perturb=False, aabb=(-1, -1, -1, 1, 1, 1))
+    params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
+    o = jnp.asarray(np.array([[0.0, 0.0, 4.0]], np.float32))
+    d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+    out = render_rays(params, o, d, None, cfg)
+    # All samples inside [3, 5] along the ray -> depth within those bounds
+    # (up to the background; acc controls) — main check: finite + depth in box.
+    assert np.isfinite(np.asarray(out["rgb_map"])).all()
+    depth = float(out["depth_map"][0])
+    acc = float(out["acc_map"][0])
+    if acc > 0.1:
+        assert 3.0 - 1e-3 <= depth / max(acc, 1e-6)
+
+
+def test_aabb_improves_or_matches_quality():
+    """On a scene inside the box, AABB sampling can only concentrate
+    samples; a few training steps reach a lower loss than without it."""
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import TrainConfig
+    from nerfmlp_tpu.parallel.train_step import create_train_state, make_train_step
+    from nerfmlp_tpu.data.synthetic import render_analytic
+    from nerfmlp_tpu.ops.rays import get_rays_np, look_at_matrix
+
+    pose = look_at_matrix([3.0, 0.0, 1.5], [0, 0, 0])
+    H = W = 24
+    img = render_analytic(pose, H, W, 30.0, near=1.5, far=5.5)
+    o, d = get_rays_np(H, W, 30.0, pose)
+    batch = np.concatenate(
+        [o.reshape(-1, 3), d.reshape(-1, 3), img.reshape(-1, 3)], -1
+    ).astype(np.float32)
+
+    def run(aabb):
+        rc = RenderConfig(N_samples=16, N_importance=16, near=1.5, far=5.5,
+                          perturb=True, aabb=aabb)
+        tc = TrainConfig(batch_size=batch.shape[0])
+        state = create_train_state(rc, tc)
+        step = make_train_step(rc, tc)
+        for _ in range(30):
+            state, m = step(state, jnp.asarray(batch))
+        return float(m["loss"])
+
+    loss_plain = run(None)
+    loss_aabb = run((-1.3, -1.3, -1.0, 1.3, 1.3, 1.3))
+    assert loss_aabb < loss_plain * 1.5  # not worse; usually better
