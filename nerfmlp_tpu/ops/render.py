@@ -53,7 +53,13 @@ def _query_mlp(
     # The fused kernel is a bf16 fast path: Mosaic decomposes fp32 matmuls
     # into multi-pass MXU programs whose compile time explodes (observed
     # ~8 min vs ~1 min for bf16); fp32 (the parity path) stays on XLA.
-    use_pallas = cfg.use_pallas and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+    # The no-viewdirs architecture also falls back (not worth a kernel
+    # variant for the reference's non-default mode).
+    use_pallas = (
+        cfg.use_pallas
+        and cfg.use_viewdirs
+        and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+    )
     if use_pallas:
         from nerfmlp_tpu.ops.pallas_mlp import fused_nerf_mlp
 
