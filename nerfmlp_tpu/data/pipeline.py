@@ -15,7 +15,7 @@ version keeps the precomputed host pool but:
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from typing import Iterator
 
 import numpy as np
 

@@ -15,8 +15,8 @@ fake-CPU-device test mesh.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
+
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,8 @@ Design (vs the reference hot loop, scripts/train.py:365-406):
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
+
+
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from nerfmlp_tpu.config import ModelConfig, RenderConfig, TrainConfig
+from nerfmlp_tpu.config import RenderConfig, TrainConfig
 from nerfmlp_tpu.models.mlp import init_model
 from nerfmlp_tpu.ops.render import render_rays
 
