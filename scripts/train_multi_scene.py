@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Multi-scene batched training: N scenes, one NeRF per scene, scenes
+sharded one-per-device over the mesh (BASELINE config 5).
+
+Example (8 scenes across a v5e-8 slice, or 8 fake CPU devices):
+  python scripts/train_multi_scene.py --datadirs /data/lego /data/chair ... \\
+      --img_wh 128 128 --iters 20000 --save_dir outputs/multi
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train one NeRF per scene, sharded")
+    p.add_argument("--datadirs", type=str, nargs="+", required=True)
+    p.add_argument("--img_wh", type=int, nargs=2, default=[128, 128])
+    p.add_argument("--batch_size", type=int, default=1024,
+                   help="rays per scene per step")
+    p.add_argument("--iters", type=int, default=20000)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--save_dir", type=str, default="outputs/multi_scene")
+    p.add_argument("--N_samples", type=int, default=64)
+    p.add_argument("--N_importance", type=int, default=128)
+    p.add_argument("--log_interval", type=int, default=100)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import RenderConfig, TrainConfig
+    from nerfmlp_tpu.data.blender import BlenderDataset
+    from nerfmlp_tpu.data.pipeline import RayBatchLoader
+    from nerfmlp_tpu.parallel.mesh import make_mesh
+    from nerfmlp_tpu.parallel.multi_scene import (
+        create_multi_scene_state,
+        make_multi_scene_step,
+        scene_sharding,
+    )
+    from nerfmlp_tpu.train.checkpoint import save_checkpoint
+
+    n_scenes = len(args.datadirs)
+    n_dev = len(jax.devices())
+    if n_scenes % n_dev != 0:
+        p.error(f"{n_scenes} scenes not divisible by {n_dev} devices")
+
+    datasets = [
+        BlenderDataset(d, "train", img_wh=tuple(args.img_wh))
+        for d in args.datadirs
+    ]
+    loaders = [
+        RayBatchLoader.from_dataset(ds, args.batch_size, seed=i)
+        for i, ds in enumerate(datasets)
+    ]
+    # One shared [near, far] envelope (per-scene bounds via cfg.aabb could
+    # refine this; scenes here share the Blender-synthetic convention).
+    bounds = [ds.dynamic_near_far() for ds in datasets]
+    near = min(b[0] for b in bounds)
+    far = max(b[1] for b in bounds)
+    print(f"{n_scenes} scenes on {n_dev} devices | near/far {near:.2f}/{far:.2f}")
+
+    rc = RenderConfig(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        near=near, far=far, perturb=True,
+        compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+    )
+    tc = TrainConfig(batch_size=args.batch_size, iters=args.iters, lr=args.lr)
+
+    mesh = make_mesh()
+    shard = scene_sharding(mesh)
+    state = jax.device_put(create_multi_scene_state(n_scenes, rc, tc), shard)
+    step = make_multi_scene_step(rc, tc, mesh)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    for it in range(1, args.iters + 1):
+        batch = np.stack([ld.next_batch() for ld in loaders], axis=0)
+        state, metrics = step(state, jax.device_put(jnp.asarray(batch), shard))
+        if it % args.log_interval == 0:
+            losses = np.asarray(metrics["loss"])
+            psnrs = np.asarray(metrics["psnr"])
+            per = " ".join(f"s{i}:{p:.1f}" for i, p in enumerate(psnrs))
+            print(f"iter {it:6d} | mean loss {losses.mean():.6f} | PSNR {per}",
+                  flush=True)
+
+    # Per-scene final checkpoints (unstack the scene axis).
+    host_state = jax.device_get(state)
+    for i, d in enumerate(args.datadirs):
+        scene_params = jax.tree.map(lambda x: x[i], host_state.params)
+        name = os.path.basename(os.path.normpath(d)) or f"scene_{i}"
+        save_checkpoint(
+            os.path.join(args.save_dir, f"model_{name}_final.ckpt"), scene_params
+        )
+    print(f"saved {n_scenes} per-scene checkpoints to {args.save_dir}")
+
+
+if __name__ == "__main__":
+    main()
