@@ -337,12 +337,21 @@ def _grads_to_pytree(dks: list, dbs: list, params: Dict, skip_dim: int) -> Dict:
     return out
 
 
+def _fwd_tile(n: int, tile: int) -> int:
+    """Forward-only grid steps are cheaper at 2x the tile (fewer fixed
+    per-step costs; measured 4.17 -> 3.88 ms at N=262k). The backward
+    kernel stays at ``tile`` — its stored activations OOM VMEM beyond 1024."""
+    return 2 * tile if n % (2 * tile) == 0 and 2 * tile <= 2048 else tile
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _fused_apply(params, pts, dirs, n_freqs: int, dt_name: str, tile: int):
     dt = jnp.dtype(dt_name)
     enc_dim = 3 + 6 * n_freqs
     ks, bs = _flatten_params(params, enc_dim, dt)
-    return _pallas_forward(pts, dirs.astype(dt), ks, bs, n_freqs, dt, tile)
+    return _pallas_forward(
+        pts, dirs.astype(dt), ks, bs, n_freqs, dt, _fwd_tile(pts.shape[0], tile)
+    )
 
 
 def _fused_fwd(params, pts, dirs, n_freqs, dt_name, tile):
