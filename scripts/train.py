@@ -75,6 +75,15 @@ def parse_args(argv=None):
                    help="official two-net scheme instead of the shared net")
     p.add_argument("--coarse_loss", action="store_true",
                    help="add the coarse rgb loss term (official behavior)")
+    p.add_argument("--pos_enc_L", type=int, default=10,
+                   help="positional-encoding frequencies (oracle --multires); "
+                        "0 = identity embedding (oracle --i_embed 0)")
+    p.add_argument("--dir_enc_L", type=int, default=4,
+                   help="view-direction frequencies (oracle --multires_views)")
+    p.add_argument("--no_viewdirs", dest="use_viewdirs", action="store_false",
+                   default=True)
+    p.add_argument("--testskip", type=int, default=1,
+                   help="load every Nth val/test frame (oracle --testskip)")
     # TPU-native knobs.
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
@@ -127,9 +136,16 @@ def main(argv=None):
     dataset = DS(args.datadir, split=args.split, img_wh=tuple(args.img_wh),
                  white_bkgd=not args.no_white_bkgd)
     val_ds = DS(args.datadir, split="val", img_wh=tuple(args.img_wh),
-                white_bkgd=not args.no_white_bkgd)
+                white_bkgd=not args.no_white_bkgd, testskip=args.testskip)
     quick_val_ds = DS(args.datadir, split="val", img_wh=tuple(args.quick_val_res),
-                      white_bkgd=not args.no_white_bkgd)
+                      white_bkgd=not args.no_white_bkgd, testskip=args.testskip)
+
+    # Snapshot the invocation for reproducibility (oracle writes args.txt,
+    # example/run_nerf.py:659-668).
+    os.makedirs(args.save_dir, exist_ok=True)
+    with open(os.path.join(args.save_dir, "args.txt"), "w") as f:
+        for k, v in sorted(vars(args).items()):
+            f.write(f"{k} = {v}\n")
 
     near, far = dataset.dynamic_near_far()
     if args.near is not None:
@@ -140,6 +156,8 @@ def main(argv=None):
 
     ndc = args.dataset_type == "llff" and getattr(dataset, "use_ndc", False)
     rc = RenderConfig(
+        pos_enc_L=args.pos_enc_L, dir_enc_L=args.dir_enc_L,
+        use_viewdirs=args.use_viewdirs,
         N_samples=args.N_samples, N_importance=args.N_importance,
         near=near, far=far, white_bkgd=not args.no_white_bkgd,
         perturb=True, raw_noise_std=args.raw_noise_std,
