@@ -12,8 +12,10 @@ This kernel runs the ENTIRE network for a tile of points in one
   * all weights (~600k params) are resident in VMEM (~1.2 MB bf16) for
     every grid step — they are re-fetched per tile by the pipeline but
     never leave on-chip memory between layers,
-  * trunk activations live and die in VMEM/registers; HBM sees only the
-    encoded inputs (63+27 floats/point) and the 4-float output,
+  * the positional encoding is computed in-kernel (one (3, 63) matmul +
+    masked sin/cos), so HBM sees only raw points (3 floats) + encoded
+    viewdirs (27, per-ray, broadcast) in and the 4-float output out;
+    trunk activations live and die in VMEM/registers,
   * the skip concat (cat([x, h]) @ W5, model.py:62-64) is decomposed into
     ``x @ W5[:63] + h @ W5[63:]`` — two MXU calls, no concat,
   * likewise the view head's cat([bottleneck, dirs]) @ Wv,
@@ -314,7 +316,7 @@ def _pallas_backward(
     )(pts, dirs, em, ek, *ks, *bs, g)
 
 
-def _grads_to_pytree(dks: list, dbs: list, params: Dict, skip_dim: int) -> Dict:
+def _grads_to_pytree(dks: list, dbs: list, params: Dict) -> Dict:
     """Reassemble flattened kernel/bias grads into the param pytree."""
     out = {}
     ki = 0
@@ -368,7 +370,7 @@ def _fused_bwd(n_freqs, dt_name, tile, res, g):
         pts, dirs.astype(dt), ks, bs, g.astype(jnp.float32), n_freqs, dt, tile
     )
     dks, dbs = outs[: len(ks)], outs[len(ks) :]
-    dparams = _grads_to_pytree(dks, dbs, params, enc_dim)
+    dparams = _grads_to_pytree(dks, dbs, params)
     return dparams, jnp.zeros_like(pts), jnp.zeros_like(dirs)
 
 
@@ -382,7 +384,10 @@ def fused_nerf_mlp(
     cfg: RenderConfig,
     tile: int = DEFAULT_TILE,
 ) -> jnp.ndarray:
-    """Encode points (XLA) + fused Pallas MLP. pts: (N, 3) -> raw (N, 4).
+    """Fused encode->MLP->(rgb, sigma) Pallas kernel. pts: (N, 3) -> raw (N, 4).
+
+    Supports the reference architecture (8x256 trunk, skip at 5, 256-wide
+    bottleneck) — other shapes take the XLA path via use_pallas=False.
 
     Differentiable w.r.t. ``params`` (positions/dirs get zero cotangents —
     fine for NeRF training where ray geometry is data, renderer.py:88
