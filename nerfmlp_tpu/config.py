@@ -73,6 +73,13 @@ class RenderConfig:
                                  # per-ray near/far to the scene box (an
                                  # improvement over the reference's single
                                  # global [near, far])
+    # Occupancy-grid sampling (ops/occupancy.py): replaces the coarse MLP
+    # pass with a cached density-grid lookup. Requires ``aabb``.
+    use_occupancy: bool = False
+    occ_dense_samples: int = 128  # grid-scored depths per ray (no MLP)
+    occ_grid_size: int = 64       # G^3 density grid resolution
+    occ_update_every: int = 16    # training steps between grid refreshes
+    occ_threshold: float = 1e-2   # density -> occupied cutoff
 
     @property
     def input_ch(self) -> int:

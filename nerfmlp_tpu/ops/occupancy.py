@@ -1,0 +1,136 @@
+"""Occupancy-grid accelerated sampling (NerfAcc-style, arXiv:2305.04966).
+
+The reference spends 64 coarse MLP evaluations per ray purely to find WHERE
+density lives (renderer.py:52-79). This subsystem replaces that coarse
+network pass with a cached density grid:
+
+  1. a G^3 grid of EMA'd densities over the scene AABB, refreshed every k
+     training steps by evaluating the current model at jittered cell
+     centers (one extra forward "batch" per refresh),
+  2. at render time, M dense stratified depths are scored by a cheap grid
+     GATHER (no MLP), the inverse-CDF sampler places all
+     ``N_samples + N_importance`` real samples into occupied space, and the
+     MLP runs ONCE on those.
+
+Per-ray MLP evals drop from 64 + (N_samples + N_importance) to just
+(N_samples + N_importance) — 25% fewer at reference settings, and the
+budget can be cut much further because every sample lands near surfaces.
+Everything is static-shape: the "skipping" is a reweighting, not a dynamic
+compaction, so XLA compiles one fixed program (the TPU-idiomatic version
+of NerfAcc's CUDA ray packing).
+
+Opt-in: ``RenderConfig.use_occupancy`` + ``aabb`` (grid bounds) and an
+``OccupancyGrid`` threaded through the train step (it is model state, not
+a parameter — no gradients flow through it).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from nerfmlp_tpu.config import RenderConfig
+
+
+@struct.dataclass
+class OccupancyGrid:
+    """EMA density field over the AABB. A pytree (device array inside)."""
+
+    density: jnp.ndarray  # (G, G, G) float32, EMA of relu(sigma)
+
+    @property
+    def resolution(self) -> int:
+        return self.density.shape[0]
+
+
+def create_grid(resolution: int = 64) -> OccupancyGrid:
+    """Start fully occupied (density +inf-ish) so early training samples
+    everywhere; the EMA collapses empty cells within a few refreshes."""
+    return OccupancyGrid(density=jnp.full((resolution,) * 3, 1e4, jnp.float32))
+
+
+def _cell_centers(resolution: int, aabb, rng: Optional[jax.Array]) -> jnp.ndarray:
+    """(G^3, 3) cell-center points, jittered within cells when rng given."""
+    box_min = jnp.asarray(aabb[:3], jnp.float32)
+    box_max = jnp.asarray(aabb[3:], jnp.float32)
+    g = resolution
+    idx = jnp.arange(g, dtype=jnp.float32)
+    ii, jj, kk = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    cells = jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3)
+    offset = 0.5
+    if rng is not None:
+        offset = jax.random.uniform(rng, cells.shape)
+    pts01 = (cells + offset) / g
+    return box_min + pts01 * (box_max - box_min)
+
+
+def update_grid(
+    grid: OccupancyGrid,
+    params,
+    cfg: RenderConfig,
+    rng: jax.Array,
+    decay: float = 0.95,
+) -> OccupancyGrid:
+    """One EMA refresh: density <- max(density * decay, relu(sigma(x)))
+    at jittered cell centers (NerfAcc's update rule). Jit-safe."""
+    from nerfmlp_tpu.ops.render import _query_mlp
+
+    # ``params`` is the renderer-level dict; density comes from the net
+    # that renders the final image (fine when separate, else the shared).
+    if "coarse" in params:
+        params = params.get("fine") or params["coarse"]
+
+    g = grid.resolution
+    k_jit, _ = jax.random.split(rng)
+    pts = _cell_centers(g, cfg.aabb, k_jit)
+
+    # Query sigma only; viewdirs don't affect density — feed a constant dir.
+    dirs_enc = None
+    if cfg.use_viewdirs:
+        from nerfmlp_tpu.ops.encoding import positional_encoding
+
+        const_dir = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, -1.0], jnp.float32), (pts.shape[0], 3)
+        )
+        dirs_enc = positional_encoding(const_dir, cfg.dir_enc_L)
+        # _query_mlp broadcasts per-ray dirs over samples: give it
+        # (N_rays=G^3, S=1) shaped points.
+    raw = _query_mlp(params, pts[:, None, :], dirs_enc, cfg)
+    sigma = jax.nn.relu(raw[:, 0, 3]).reshape(g, g, g)
+    return OccupancyGrid(density=jnp.maximum(grid.density * decay, sigma))
+
+
+def lookup(grid: OccupancyGrid, pts: jnp.ndarray, aabb) -> jnp.ndarray:
+    """Nearest-cell density at (..., 3) points; 0 outside the box."""
+    box_min = jnp.asarray(aabb[:3], jnp.float32)
+    box_max = jnp.asarray(aabb[3:], jnp.float32)
+    g = grid.resolution
+    pts01 = (pts - box_min) / (box_max - box_min)
+    inside = jnp.all((pts01 >= 0.0) & (pts01 < 1.0), axis=-1)
+    cells = jnp.clip((pts01 * g).astype(jnp.int32), 0, g - 1)
+    flat = (cells[..., 0] * g + cells[..., 1]) * g + cells[..., 2]
+    dens = jnp.take(grid.density.reshape(-1), flat.reshape(-1), axis=0)
+    return jnp.where(inside, dens.reshape(flat.shape), 0.0)
+
+
+def occupancy_weights(
+    grid: OccupancyGrid,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    cfg: RenderConfig,
+    occ_threshold: float = 1e-2,
+) -> jnp.ndarray:
+    """Sampling prior over dense depths: 1 for occupied cells, eps empty.
+
+    Rays that cross NO occupied cell fall back to uniform weights (else the
+    inverse CDF would concentrate all samples into numerical noise).
+    """
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    dens = lookup(grid, pts, cfg.aabb)
+    occ = (dens > occ_threshold).astype(jnp.float32)
+    any_hit = jnp.any(occ > 0, axis=-1, keepdims=True)
+    return jnp.where(any_hit, occ + 1e-3, jnp.ones_like(occ))

@@ -99,6 +99,7 @@ def render_rays(
     cfg: RenderConfig,
     near=None,
     far=None,
+    occ_grid=None,
 ) -> Dict[str, jnp.ndarray]:
     """Differentiable coarse(+fine) render of (N, 3) ray batches.
 
@@ -122,20 +123,54 @@ def render_rays(
     else:
         k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(rng, 4)
 
+    viewdirs_enc_pre = None
+    if cfg.use_viewdirs:
+        viewdirs = rays_d / (
+            jnp.linalg.norm(rays_d, axis=-1, keepdims=True) + 1e-8
+        )
+        viewdirs_enc_pre = positional_encoding(viewdirs, cfg.dir_enc_L)
+
+    # --- Occupancy-grid sampling path (ops/occupancy.py) -----------------
+    # The coarse MLP pass is replaced by a density-grid lookup over dense
+    # stratified depths; all real samples go into occupied space and the
+    # network runs once.
+    if cfg.use_occupancy and occ_grid is not None:
+        from nerfmlp_tpu.ops.occupancy import occupancy_weights
+
+        z_dense = stratified_sample(
+            k_strat, n_rays, cfg.occ_dense_samples, near, far,
+            perturb=cfg.perturb, lindisp=cfg.lindisp,
+        )
+        w = occupancy_weights(
+            occ_grid, rays_o, rays_d, z_dense, cfg, cfg.occ_threshold
+        )
+        z_mids = 0.5 * (z_dense[..., 1:] + z_dense[..., :-1])
+        n_total = cfg.N_samples + cfg.N_importance
+        z_vals = sample_pdf(
+            k_pdf, z_mids, w[..., 1:-1], n_total, det=not cfg.perturb
+        )
+        z_vals = jnp.sort(jax.lax.stop_gradient(z_vals), axis=-1)
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        raw = _query_mlp(params["coarse"], pts, viewdirs_enc_pre, cfg)
+        out = composite_rays(
+            raw, z_vals, rays_d,
+            rng=k_noise_f, raw_noise_std=cfg.raw_noise_std,
+            white_bkgd=cfg.white_bkgd,
+        )
+        return {
+            "rgb_map": out["rgb_map"],
+            "depth_map": out["depth_map"],
+            "disp_map": out["disp_map"],
+            "acc_map": out["acc_map"],
+        }
+
     # --- Coarse pass -----------------------------------------------------
     z_vals = stratified_sample(
         k_strat, n_rays, cfg.N_samples, near, far,
         perturb=cfg.perturb, lindisp=cfg.lindisp,
     )
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-
-    viewdirs_enc = None
-    if cfg.use_viewdirs:
-        viewdirs = rays_d / (
-            jnp.linalg.norm(rays_d, axis=-1, keepdims=True) + 1e-8
-        )
-        viewdirs_enc = positional_encoding(viewdirs, cfg.dir_enc_L)
-
+    viewdirs_enc = viewdirs_enc_pre
     raw = _query_mlp(params["coarse"], pts, viewdirs_enc, cfg)
     coarse = composite_rays(
         raw, z_vals, rays_d,
@@ -196,6 +231,7 @@ def render_image(
     tile: int = 4096,
     near=None,
     far=None,
+    occ_grid=None,
 ) -> jnp.ndarray:
     """Whole-image inference: (H*W, 3) rays -> (H, W, 3) rgb.
 
@@ -232,6 +268,7 @@ def render_image(
             jax.lax.dynamic_slice_in_dim(rays_d, i * tile, tile),
             near_arg,
             far_arg,
+            occ_grid,
         )
         for i in range(n_tiles)
     ]
@@ -245,7 +282,9 @@ def _tile_render_fn(cfg: RenderConfig):
     dataclass, so it is a valid cache key)."""
 
     @jax.jit
-    def tile_fn(params, o, d, near, far):
-        return render_rays(params, o, d, None, cfg, near=near, far=far)["rgb_map"]
+    def tile_fn(params, o, d, near, far, occ_grid):
+        return render_rays(
+            params, o, d, None, cfg, near=near, far=far, occ_grid=occ_grid
+        )["rgb_map"]
 
     return tile_fn

@@ -79,10 +79,11 @@ def loss_and_metrics(
     rng: jax.Array,
     rc: RenderConfig,
     tc: TrainConfig,
+    occ_grid=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """batch: (B, 9) = [rays_o | rays_d | rgb_target]."""
     rays_o, rays_d, target = batch[:, 0:3], batch[:, 3:6], batch[:, 6:9]
-    out = render_rays(params, rays_o, rays_d, rng, rc)
+    out = render_rays(params, rays_o, rays_d, rng, rc, occ_grid=occ_grid)
     loss_fine = jnp.mean((out["rgb_map"] - target) ** 2)
     loss = loss_fine
     if tc.coarse_loss and "rgb_map_coarse" in out:
@@ -96,12 +97,12 @@ def make_train_step(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "d
     and state is replicated; XLA handles the cross-chip grad reduction."""
     optimizer = make_optimizer(tc)
 
-    def step_fn(state: TrainState, batch: jnp.ndarray):
+    def step_fn(state: TrainState, batch: jnp.ndarray, occ_grid=None):
         rng, rng_step = jax.random.split(state.rng)
         rng_step = jax.random.fold_in(rng_step, state.step)
         (loss, metrics), grads = jax.value_and_grad(
             loss_and_metrics, has_aux=True
-        )(state.params, batch, rng_step, rc, tc)
+        )(state.params, batch, rng_step, rc, tc, occ_grid)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
@@ -111,16 +112,27 @@ def make_train_step(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "d
         )
         return new_state, metrics
 
+    # With occupancy sampling the step takes (state, batch, occ_grid);
+    # otherwise the 2-arg signature is preserved.
+    if rc.use_occupancy:
+        occ_step = step_fn
+    else:
+        def occ_step(state, batch):  # noqa: E306
+            return step_fn(state, batch, None)
+
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(occ_step, donate_argnums=(0,))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
     batch_shard = NamedSharding(mesh, P(axis))
+    in_shardings = (replicated, batch_shard) + (
+        (replicated,) if rc.use_occupancy else ()
+    )
     return jax.jit(
-        step_fn,
-        in_shardings=(replicated, batch_shard),
+        occ_step,
+        in_shardings=in_shardings,
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
     )

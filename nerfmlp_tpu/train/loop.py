@@ -90,6 +90,19 @@ class Trainer:
         self.loader = RayBatchLoader.from_dataset(
             train_ds, tc.batch_size, seed=tc.seed, image_mode=tc.no_batching
         )
+
+        # Occupancy-grid sampling state (ops/occupancy.py).
+        self.occ_grid = None
+        self._occ_update = None
+        if rc.use_occupancy:
+            if rc.aabb is None:
+                raise ValueError("use_occupancy requires RenderConfig.aabb")
+            from nerfmlp_tpu.ops.occupancy import create_grid, update_grid
+
+            self.occ_grid = create_grid(rc.occ_grid_size)
+            self._occ_update = jax.jit(
+                lambda grid, params, rng: update_grid(grid, params, rc, rng)
+            )
         self._batch_sharding = None
         if mesh is not None:
             from nerfmlp_tpu.parallel.mesh import batch_sharding
@@ -141,7 +154,7 @@ class Trainer:
             img = np.asarray(
                 render_image(
                     params, jnp.asarray(o), jnp.asarray(d),
-                    dataset.H, dataset.W, cfg,
+                    dataset.H, dataset.W, cfg, occ_grid=self.occ_grid,
                 )
             )
             mse = float(np.mean((img - gt) ** 2))
@@ -176,6 +189,12 @@ class Trainer:
         hist_path = path.rsplit(".", 1)[0] + ".history.json"
         if os.path.exists(hist_path):
             self.history.update(ckpt.load_metrics_json(hist_path))
+        if self.occ_grid is not None:
+            # Rebuild the density grid from the restored model right away
+            # (it is derived state; cheaper to refresh than to checkpoint).
+            self.occ_grid = self._occ_update(
+                self.occ_grid, self.state.params, jax.random.PRNGKey(17)
+            )
         self._log(
             f"🔄 resumed from {path} at step {int(self.history['step']):,} "
             f"(best quick-val PSNR {self.history['best_val_psnr']:.2f})"
@@ -228,7 +247,15 @@ class Trainer:
                     jax.profiler.stop_trace()
                     self._log(f"🧪 profiler trace (steps 10-30) -> {tc.profile_dir}")
             batch = self._put(self.loader.next_batch())
-            self.state, metrics = self.step_fn(self.state, batch)
+            if self.occ_grid is not None:
+                if (step - 1) % self.rc.occ_update_every == 0:
+                    self.occ_grid = self._occ_update(
+                        self.occ_grid, self.state.params,
+                        jax.random.fold_in(jax.random.PRNGKey(17), step),
+                    )
+                self.state, metrics = self.step_fn(self.state, batch, self.occ_grid)
+            else:
+                self.state, metrics = self.step_fn(self.state, batch)
             pending = (metrics, step)
             run_loss = run_loss + metrics["loss"]
             run_psnr = run_psnr + metrics["psnr"]

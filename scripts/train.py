@@ -111,6 +111,11 @@ def parse_args(argv=None):
     p.add_argument("--aabb", type=float, nargs=6, default=None,
                    metavar=("XMIN", "YMIN", "ZMIN", "XMAX", "YMAX", "ZMAX"),
                    help="scene box: tighten per-ray near/far (sample efficiency)")
+    p.add_argument("--use_occupancy", action="store_true",
+                   help="occupancy-grid sampling: replaces the coarse MLP "
+                        "pass with a cached density grid (requires --aabb)")
+    p.add_argument("--occ_grid_size", type=int, default=64)
+    p.add_argument("--occ_update_every", type=int, default=16)
     return p.parse_args(argv)
 
 
@@ -165,6 +170,9 @@ def main(argv=None):
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
         remat=args.remat,
         aabb=tuple(args.aabb) if args.aabb else None,
+        use_occupancy=args.use_occupancy,
+        occ_grid_size=args.occ_grid_size,
+        occ_update_every=args.occ_update_every,
     )
     tc = TrainConfig(
         batch_size=args.batch_size, iters=args.iters, lr=args.lr,
