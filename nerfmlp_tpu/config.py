@@ -117,8 +117,9 @@ class TrainConfig:
     seed: int = 0
     quick_val_interval: int = 1000
     full_val_interval: int = 50_000
-    quick_val_res: int = 256
-    quick_val_subset: int = 10
+    quick_val_subset: int = 10   # quick-val resolution is a property of the
+                                 # quick_val dataset the CLI constructs
+                                 # (--quick_val_res), not of this config
     log_interval: int = 100
     ckpt_interval: int = 10_000
     grad_clip: float = 0.0       # 0 = off

@@ -18,6 +18,35 @@ from typing import Tuple
 import numpy as np
 
 
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / (np.linalg.norm(v) + 1e-12)
+
+
+def _viewmatrix(z: np.ndarray, up: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Camera-to-world (3, 4) from a forward (+z back) axis, up hint, pos."""
+    vec2 = _normalize(z)
+    vec0 = _normalize(np.cross(up, vec2))
+    vec1 = _normalize(np.cross(vec2, vec0))
+    return np.stack([vec0, vec1, vec2, pos], axis=1)
+
+
+def recenter_poses(poses: np.ndarray) -> np.ndarray:
+    """Rigidly transform all (N, 4, 4) c2w poses so their AVERAGE pose is
+    the identity (cameras centered at the origin, mean view along -z).
+
+    COLMAP world frames are arbitrary; the NDC projection (and the [0,1]
+    depth convention) assumes the forward-facing rig looks down -z, so this
+    recentering is a correctness prerequisite, not cosmetics (behavioral
+    parity with the original load_llff recentering).
+    """
+    center = poses[:, :3, 3].mean(axis=0)
+    vec2 = _normalize(poses[:, :3, 2].sum(axis=0))
+    up = poses[:, :3, 1].sum(axis=0)
+    avg = np.eye(4, dtype=np.float32)
+    avg[:3, :4] = _viewmatrix(vec2, up, center)
+    return (np.linalg.inv(avg)[None] @ poses).astype(np.float32)
+
+
 class LLFFDataset:
     """Forward-facing scene; same surface as BlenderDataset
     (all_rays_*, image_rays, n_images, H/W, focal, dynamic_near_far)."""
@@ -31,6 +60,8 @@ class LLFFDataset:
         llffhold: int = 8,          # every Nth image is val/test (run_nerf.py:600)
         use_ndc: bool = True,
         apply_srgb_to_linear: bool = False,
+        bd_factor: float = 0.75,    # depth-bound rescale (load_llff semantics)
+        recenter: bool = True,
         **_,
     ):
         self.datadir = datadir
@@ -55,6 +86,16 @@ class LLFFDataset:
 
         c2w = np.tile(np.eye(4, dtype=np.float32), (poses.shape[0], 1, 1))
         c2w[:, :3, :4] = poses[:, :, :4]
+
+        # Rescale so the nearest depth bound sits at 1/bd_factor, then
+        # recenter the rig so the average pose is identity — both are
+        # prerequisites for the NDC projection's -z/[0,1] conventions.
+        if bd_factor:
+            sc = 1.0 / (float(self.bounds.min()) * bd_factor)
+            c2w[:, :3, 3] *= sc
+            self.bounds = self.bounds * sc
+        if recenter:
+            c2w = recenter_poses(c2w)
         self.poses = c2w.astype(np.float32)
 
         img_dir = None

@@ -46,10 +46,16 @@ class OccupancyGrid:
         return self.density.shape[0]
 
 
-def create_grid(resolution: int = 64) -> OccupancyGrid:
-    """Start fully occupied (density +inf-ish) so early training samples
-    everywhere; the EMA collapses empty cells within a few refreshes."""
-    return OccupancyGrid(density=jnp.full((resolution,) * 3, 1e4, jnp.float32))
+def create_grid(
+    resolution: int = 64, init_density: float = 0.02
+) -> OccupancyGrid:
+    """Start just above the default occupancy threshold (1e-2) so early
+    training samples everywhere, but empty cells decay below threshold
+    within ~14 refreshes (0.95^14 * 0.02 < 1e-2) — a large init would keep
+    sampling uniform for thousands of steps."""
+    return OccupancyGrid(
+        density=jnp.full((resolution,) * 3, init_density, jnp.float32)
+    )
 
 
 def _cell_centers(resolution: int, aabb, rng: Optional[jax.Array]) -> jnp.ndarray:
@@ -78,10 +84,13 @@ def update_grid(
     at jittered cell centers (NerfAcc's update rule). Jit-safe."""
     from nerfmlp_tpu.ops.render import _query_mlp
 
-    # ``params`` is the renderer-level dict; density comes from the net
-    # that renders the final image (fine when separate, else the shared).
+    # ``params`` is the renderer-level dict; density must come from the
+    # SAME net the occupancy render path queries (render.py: fine when
+    # separate_fine, else the shared net), or the grid would track a
+    # network that never trains.
     if "coarse" in params:
-        params = params.get("fine") or params["coarse"]
+        net = params.get("fine") if cfg.separate_fine else None
+        params = net or params["coarse"]
 
     g = grid.resolution
     k_jit, _ = jax.random.split(rng)

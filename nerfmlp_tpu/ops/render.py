@@ -60,22 +60,17 @@ def _query_mlp(
         and cfg.use_viewdirs
         and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
     )
+    dirs = None
+    if viewdirs_enc is not None:
+        dirs = jnp.broadcast_to(
+            viewdirs_enc[:, None, :], (n_rays, n_samples, viewdirs_enc.shape[-1])
+        ).reshape(n_rays * n_samples, -1)
+
     if use_pallas:
         from nerfmlp_tpu.ops.pallas_mlp import fused_nerf_mlp
 
-        dirs = None
-        if viewdirs_enc is not None:
-            dirs = jnp.broadcast_to(
-                viewdirs_enc[:, None, :], (n_rays, n_samples, viewdirs_enc.shape[-1])
-            ).reshape(n_rays * n_samples, -1)
         raw = fused_nerf_mlp(params, flat, dirs, cfg)
     else:
-        dirs = None
-        if viewdirs_enc is not None:
-            dirs = jnp.broadcast_to(
-                viewdirs_enc[:, None, :], (n_rays, n_samples, viewdirs_enc.shape[-1])
-            ).reshape(n_rays * n_samples, -1)
-
         def query(p, f, d):
             enc = positional_encoding(f, cfg.pos_enc_L)
             return apply_model(
@@ -114,8 +109,10 @@ def render_rays(
     if cfg.aabb is not None:
         from nerfmlp_tpu.ops.rays import intersect_aabb
 
+        # Tighten within the RESOLVED bounds so explicit near/far overrides
+        # (zoom/look-at tooling) are respected, not cfg's globals.
         near, far = intersect_aabb(
-            rays_o, rays_d, cfg.aabb[:3], cfg.aabb[3:], cfg.near, cfg.far
+            rays_o, rays_d, cfg.aabb[:3], cfg.aabb[3:], near, far
         )
 
     if rng is None:
@@ -151,7 +148,12 @@ def render_rays(
         )
         z_vals = jnp.sort(jax.lax.stop_gradient(z_vals), axis=-1)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        raw = _query_mlp(params["coarse"], pts, viewdirs_enc_pre, cfg)
+        # Occupancy mode runs ONE network. With separate_fine that is the
+        # fine net (it renders the final image and is also the grid's
+        # density source, ops/occupancy.py::update_grid); the coarse net is
+        # unused — its whole job was sample placement, now the grid's.
+        net = params.get("fine") if cfg.separate_fine else None
+        raw = _query_mlp(net or params["coarse"], pts, viewdirs_enc_pre, cfg)
         out = composite_rays(
             raw, z_vals, rays_d,
             rng=k_noise_f, raw_noise_std=cfg.raw_noise_std,
@@ -261,13 +263,23 @@ def render_image(
     tile_fn = _tile_render_fn(cfg)
     near_arg = near if near is not None else cfg.near
     far_arg = far if far is not None else cfg.far
+
+    def _bound_slice(b, i, fill):
+        """Per-ray near/far arrays are padded and sliced like the rays
+        (padded lanes get a valid dummy interval); scalars pass through."""
+        b = jnp.asarray(b)
+        if b.ndim == 0:
+            return b
+        b = jnp.pad(b, (0, pad), constant_values=fill)
+        return jax.lax.dynamic_slice_in_dim(b, i * tile, tile)
+
     outs = [
         tile_fn(
             params,
             jax.lax.dynamic_slice_in_dim(rays_o, i * tile, tile),
             jax.lax.dynamic_slice_in_dim(rays_d, i * tile, tile),
-            near_arg,
-            far_arg,
+            _bound_slice(near_arg, i, 1.0),
+            _bound_slice(far_arg, i, 2.0),
             occ_grid,
         )
         for i in range(n_tiles)

@@ -101,7 +101,9 @@ class Trainer:
 
             self.occ_grid = create_grid(rc.occ_grid_size)
             self._occ_update = jax.jit(
-                lambda grid, params, rng: update_grid(grid, params, rc, rng)
+                lambda grid, params, rng, decay: update_grid(
+                    grid, params, rc, rng, decay=decay
+                )
             )
         self._batch_sharding = None
         if mesh is not None:
@@ -189,11 +191,20 @@ class Trainer:
         hist_path = path.rsplit(".", 1)[0] + ".history.json"
         if os.path.exists(hist_path):
             self.history.update(ckpt.load_metrics_json(hist_path))
+        else:
+            self._log(f"⚠️  no history sidecar at {hist_path} — metric "
+                      f"histories start empty (step comes from the state)")
+        # The restored TrainState's step is authoritative; the sidecar may
+        # be missing or stale — never silently restart at 0.
+        self.history["step"] = max(
+            int(self.history.get("step", 0)), int(self.state.step)
+        )
         if self.occ_grid is not None:
-            # Rebuild the density grid from the restored model right away
-            # (it is derived state; cheaper to refresh than to checkpoint).
+            # Rebuild the density grid from the restored model (derived
+            # state; cheaper to refresh than checkpoint). decay=0 makes one
+            # call sufficient — an EMA refresh of the fresh grid would not.
             self.occ_grid = self._occ_update(
-                self.occ_grid, self.state.params, jax.random.PRNGKey(17)
+                self.occ_grid, self.state.params, jax.random.PRNGKey(17), 0.0
             )
         self._log(
             f"🔄 resumed from {path} at step {int(self.history['step']):,} "
@@ -252,6 +263,7 @@ class Trainer:
                     self.occ_grid = self._occ_update(
                         self.occ_grid, self.state.params,
                         jax.random.fold_in(jax.random.PRNGKey(17), step),
+                        0.95,
                     )
                 self.state, metrics = self.step_fn(self.state, batch, self.occ_grid)
             else:

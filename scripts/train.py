@@ -135,6 +135,12 @@ def main(argv=None):
 
     if args.dataset_type == "llff":
         from nerfmlp_tpu.data.llff import LLFFDataset as DS
+
+        # Real forward-facing photos have no alpha: white-background
+        # compositing is a blender-synthetic behavior (the oracle enables
+        # white_bkgd only for blender data, run_nerf.py:623-628).
+        if not args.no_white_bkgd:
+            args.no_white_bkgd = True
     else:
         from nerfmlp_tpu.data.blender import BlenderDataset as DS
 

@@ -75,3 +75,36 @@ def test_aabb_improves_or_matches_quality():
     loss_plain = run(None)
     loss_aabb = run((-1.3, -1.3, -1.0, 1.3, 1.3, 1.3))
     assert loss_aabb < loss_plain * 1.5  # not worse; usually better
+
+
+def test_aabb_respects_explicit_near_far():
+    """Explicit near/far overrides must bound the slab test, not cfg's."""
+    cfg = RenderConfig(N_samples=8, N_importance=0, near=2.0, far=6.0,
+                       perturb=False, aabb=(-1, -1, -1, 1, 1, 1))
+    params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
+    o = jnp.asarray(np.array([[10.0, 10.0, 4.0]], np.float32))  # misses box
+    d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+    out = render_rays(params, o, d, None, cfg, near=3.5, far=4.5)
+    # Miss -> falls back to the EXPLICIT bounds: depth stays in [3.5, 4.5]
+    # wherever there is any accumulation, and samples never use cfg's 2/6.
+    depth = float(out["depth_map"][0])
+    acc = float(out["acc_map"][0])
+    if acc > 1e-3:
+        assert 3.5 - 1e-3 <= depth / acc <= 4.5 + 1e-3
+
+
+def test_render_image_per_ray_bounds():
+    """render_image must slice per-ray near/far arrays per tile (was a
+    broadcast crash)."""
+    from nerfmlp_tpu.ops.render import render_image
+
+    cfg = RenderConfig(N_samples=8, N_importance=0, perturb=False)
+    params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
+    H = W = 5  # 25 rays, tile 16 -> pad to 32
+    o = jnp.zeros((H * W, 3)).at[:, 2].set(4.0)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (H * W, 1))
+    near = jnp.full((H * W,), 2.0)
+    far = jnp.full((H * W,), 6.0)
+    img = render_image(params, o, d, H, W, cfg, tile=16, near=near, far=far)
+    assert img.shape == (H, W, 3)
+    assert np.isfinite(np.asarray(img)).all()

@@ -55,7 +55,30 @@ def test_llff_ndc_bounds(llff_scene):
 def test_llff_metric_bounds(llff_scene):
     ds = LLFFDataset(llff_scene, "train", img_wh=(40, 30), use_ndc=False)
     near, far = ds.dynamic_near_far()
-    assert abs(near - 1.8) < 1e-6 and abs(far - 8.0) < 1e-6  # 2*0.9, 8*1.0
+    # Bounds [2, 8] scaled by 1/(2*0.75): near = (2*sc)*0.9, far = 8*sc.
+    sc = 1.0 / (2.0 * 0.75)
+    assert abs(near - 2.0 * sc * 0.9) < 1e-5
+    assert abs(far - 8.0 * sc) < 1e-5
+
+
+def test_llff_recentering_normalizes_rig(llff_scene):
+    """After preprocessing the AVERAGE camera sits at the origin looking
+    down -z — the frame NDC assumes."""
+    # llffhold=0 keeps all poses in train (recentering is computed over
+    # the FULL rig before the split, so only the full set averages to 0).
+    ds = LLFFDataset(llff_scene, "train", img_wh=(40, 30), llffhold=0)
+    center = ds.poses[:, :3, 3].mean(axis=0)
+    np.testing.assert_allclose(center, 0.0, atol=1e-5)
+    mean_back = ds.poses[:, :3, 2].mean(axis=0)
+    mean_back /= np.linalg.norm(mean_back)
+    np.testing.assert_allclose(mean_back, [0.0, 0.0, 1.0], atol=1e-4)
+
+
+def test_llff_raw_frame_opt_out(llff_scene):
+    ds = LLFFDataset(llff_scene, "train", img_wh=(40, 30),
+                     bd_factor=0.0, recenter=False, use_ndc=False)
+    near, far = ds.dynamic_near_far()
+    assert abs(near - 1.8) < 1e-6 and abs(far - 8.0) < 1e-6  # unscaled
 
 
 def test_llff_focal_rescaled(llff_scene):

@@ -27,10 +27,13 @@ def _cfg(**kw):
     return RenderConfig(**base)
 
 
-def test_create_grid_fully_occupied():
+def test_create_grid_starts_occupied_but_decays_fast():
     g = create_grid(8)
     assert g.density.shape == (8, 8, 8)
-    assert float(g.density.min()) > 1.0
+    # Above the default threshold (everything sampled initially)...
+    assert float(g.density.min()) > 1e-2
+    # ...but low enough that ~14 EMA refreshes clear an empty cell.
+    assert float(g.density.max()) * 0.95**14 < 1e-2
 
 
 def test_lookup_inside_outside():
