@@ -14,6 +14,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main(argv=None):
     p = argparse.ArgumentParser(description="Render-vs-GT side-by-side")
     p.add_argument("--datadir", type=str, required=True)
+    p.add_argument("--dataset_type", type=str, default="blender",
+                   choices=["blender", "llff"])
     p.add_argument("--split", type=str, default="train")
     p.add_argument("--img_wh", type=int, nargs=2, default=[400, 400])
     p.add_argument("--ckpt", type=str, required=True)
@@ -31,12 +33,14 @@ def main(argv=None):
 
     from nerfmlp_tpu.config import RenderConfig
     from nerfmlp_tpu.data.blender import BlenderDataset
+    from nerfmlp_tpu.data.llff import LLFFDataset
     from nerfmlp_tpu.models.mlp import init_model
     from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
     from nerfmlp_tpu.train.metrics import psnr_images, ssim
 
-    ds = BlenderDataset(args.datadir, args.split, img_wh=tuple(args.img_wh))
+    DS = LLFFDataset if args.dataset_type == "llff" else BlenderDataset
+    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh))
     near, far = ds.dynamic_near_far()
     rc = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
                       near=near, far=far, perturb=False,

@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main(argv=None):
     p = argparse.ArgumentParser(description="Render NeRF views (TPU-native)")
     p.add_argument("--datadir", type=str, required=True)
+    p.add_argument("--dataset_type", type=str, default="blender",
+                   choices=["blender", "llff"])
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
     p.add_argument("--ckpt", type=str, required=True,
@@ -48,12 +50,14 @@ def main(argv=None):
 
     from nerfmlp_tpu.config import RenderConfig
     from nerfmlp_tpu.data.blender import BlenderDataset, linear_to_srgb
+    from nerfmlp_tpu.data.llff import LLFFDataset
     from nerfmlp_tpu.models.mlp import init_model
     from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
 
     os.makedirs(args.out_dir, exist_ok=True)
-    ds = BlenderDataset(args.datadir, args.split, img_wh=tuple(args.img_wh))
+    DS = LLFFDataset if args.dataset_type == "llff" else BlenderDataset
+    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh))
 
     is_npy = args.ckpt.endswith(".npy")
     n_importance = args.N_importance
