@@ -42,11 +42,15 @@ def load_checkpoint(path: str, target: Any) -> Any:
 
 
 def save_metrics_json(path: str, metrics_state: Dict) -> None:
+    """Atomic write (tmp + rename): live monitors poll this file while
+    training writes it (scripts/plot_training_progress.py --live)."""
     from nerfmlp_tpu.train.metrics import convert_for_json
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(convert_for_json(metrics_state), f, indent=2)
+    os.replace(tmp, path)
 
 
 def load_metrics_json(path: str) -> Dict:

@@ -44,7 +44,8 @@ def main(argv=None):
     near, far = ds.dynamic_near_far()
     rc = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
                       near=near, far=far, perturb=False,
-                      use_pallas=args.use_pallas)
+                      use_pallas=args.use_pallas,
+                      white_bkgd=args.dataset_type != "llff")
     template = init_model(jax.random.PRNGKey(0), rc.model_config())
     params = load_params_any(args.ckpt, template, rc.model_config())
 

@@ -112,6 +112,8 @@ def animate_progress(metrics_path, interval_s=5.0):
                 create_progress_plot(metrics_path)
         except FileNotFoundError:
             print(f"waiting for {metrics_path} ...")
+        except json.JSONDecodeError:
+            pass  # caught mid-write; the next poll sees the complete file
         except KeyboardInterrupt:
             return
         time.sleep(interval_s)

@@ -67,7 +67,9 @@ def main(argv=None):
         n_importance = 64 if is_npy else 128
 
     near, far = (args.near, args.far)
-    if args.dynamic_bounds:
+    if args.dynamic_bounds or args.dataset_type == "llff":
+        # LLFF rays are in NDC: depth lives in [0, 1], never the blender
+        # 2/6 defaults — always take the dataset's bounds there.
         near, far = ds.dynamic_near_far()
     print(f"bounds: near={near:.3f} far={far:.3f} | "
           f"samples {args.N_samples}+{n_importance}")
@@ -77,6 +79,8 @@ def main(argv=None):
         near=near, far=far, perturb=False, raw_noise_std=0.0,
         coord_scale=args.coord_scale, compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
+        # Match training's compositing: white bkgd is blender-only.
+        white_bkgd=args.dataset_type != "llff",
     )
     template = init_model(jax.random.PRNGKey(0), rc.model_config())
     params = load_params_any(args.ckpt, template, rc.model_config())

@@ -34,9 +34,11 @@ def _expand_config_files(argv):
                     key, _, val = line.partition("=")
                     key, val = key.strip(), val.strip()
                     flag = [f"--{key}"]
-                    if val.lower() in ("true", "1", "yes"):
+                    # Only words spell booleans — numeric "0"/"1" are VALUES
+                    # (testskip = 1 must not become a bare flag).
+                    if val.lower() in ("true", "yes"):
                         pass  # store_true flag
-                    elif val.lower() in ("false", "0", "no"):
+                    elif val.lower() in ("false", "no"):
                         continue
                     else:
                         flag += val.split()
@@ -139,8 +141,7 @@ def main(argv=None):
         # Real forward-facing photos have no alpha: white-background
         # compositing is a blender-synthetic behavior (the oracle enables
         # white_bkgd only for blender data, run_nerf.py:623-628).
-        if not args.no_white_bkgd:
-            args.no_white_bkgd = True
+        args.no_white_bkgd = True
     else:
         from nerfmlp_tpu.data.blender import BlenderDataset as DS
 

@@ -90,9 +90,18 @@ def main(argv=None):
 
     # Per-scene final checkpoints (unstack the scene axis).
     host_state = jax.device_get(state)
-    for i, d in enumerate(args.datadirs):
-        scene_params = jax.tree.map(lambda x: x[i], host_state.params)
-        name = os.path.basename(os.path.normpath(d)) or f"scene_{i}"
+    names = [os.path.basename(os.path.normpath(d)) or f"scene_{i}"
+             for i, d in enumerate(args.datadirs)]
+    # Disambiguate duplicate basenames (e.g. /v1/lego and /v2/lego) so no
+    # scene's checkpoint silently clobbers another's.
+    seen = {}
+    for i, name in enumerate(names):
+        if names.count(name) > 1:
+            seen[name] = seen.get(name, 0)
+            names[i] = f"{name}_{seen[name]}"
+            seen[name] += 1
+    for i, name in enumerate(names):
+        scene_params = jax.tree.map(lambda x, i=i: x[i], host_state.params)
         save_checkpoint(
             os.path.join(args.save_dir, f"model_{name}_final.ckpt"), scene_params
         )

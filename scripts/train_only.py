@@ -90,7 +90,10 @@ def main(argv=None):
         print(f"saved {args.save_dir}/training_curve.png")
     except Exception as e:
         print(f"(plot skipped: {e})")
-    print(f"final loss {losses[-1]:.6f}, PSNR {psnrs[-1]:.2f}")
+    if losses:
+        print(f"final loss {losses[-1]:.6f}, PSNR {psnrs[-1]:.2f}")
+    else:  # runs shorter than one 100-step log interval
+        print(f"done ({args.iters} iters; below the 100-step metric interval)")
     return losses, psnrs
 
 

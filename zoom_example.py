@@ -12,11 +12,12 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 
 SCENARIOS = [
-    # (name, eye, focal multiplier)  — reference zoom_example.py:74-123
-    ("wide", (4.0, -4.0, 2.5), 0.8),
-    ("normal", (3.0, -3.0, 2.0), 1.0),
-    ("zoom_2x", (2.5, -2.5, 1.5), 2.0),
-    ("zoom_close", (1.8, -1.8, 1.2), 1.5),
+    # (name, eye, focal multiplier) — the reference's four scenarios
+    # (zoom_example.py:75-100): camera position + telephoto factor.
+    ("normal_distance", (2.0, 2.0, 2.0), 1.0),
+    ("telephoto_zoom", (3.0, 3.0, 3.0), 2.5),
+    ("extreme_closeup", (1.2, 1.2, 1.2), 1.5),
+    ("detail_shot", (0.8, 1.5, 0.8), 3.0),
 ]
 
 
@@ -40,15 +41,19 @@ def main(argv=None):
     from PIL import Image
 
     from nerfmlp_tpu.config import RenderConfig
-    from nerfmlp_tpu.data.blender import BlenderDataset
     from nerfmlp_tpu.models.mlp import init_model
     from nerfmlp_tpu.ops.rays import get_rays_np, look_at_matrix
     from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
 
     os.makedirs(args.out_dir, exist_ok=True)
-    ds = BlenderDataset(args.datadir, "train", img_wh=(args.size, args.size))
-    base_focal = ds.focal
+    # Only the focal is needed — read camera_angle_x directly instead of
+    # decoding every training image + precomputing all rays.
+    import json
+
+    with open(os.path.join(args.datadir, "transforms_train.json")) as f:
+        cam_angle_x = json.load(f)["camera_angle_x"]
+    base_focal = 0.5 * args.size / np.tan(0.5 * cam_angle_x)
 
     rc0 = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
                        perturb=False, use_pallas=args.use_pallas)
