@@ -80,7 +80,17 @@ def main(argv=None):
         imageio.mimwrite(mp4, frames, fps=args.fps, quality=8)
         print(f"wrote {mp4}")
     except Exception as e:
-        print(f"(mp4 skipped: {e}; PNG frames are in {args.out_dir})")
+        # No ffmpeg backend in this environment: fall back to an animated
+        # GIF via PIL (always available) so a video artifact still ships.
+        from PIL import Image
+
+        gif = os.path.join(args.out_dir, "orbit.gif")
+        pil_frames = [Image.fromarray(f) for f in frames]
+        pil_frames[0].save(
+            gif, save_all=True, append_images=pil_frames[1:],
+            duration=max(1000 // args.fps, 20), loop=0,
+        )
+        print(f"(mp4 unavailable: {e}); wrote {gif}")
 
 
 if __name__ == "__main__":
