@@ -100,6 +100,38 @@ def create_progress_plot(metrics_path, out_path=None, show=False):
     return out_path
 
 
+def create_convergence_plot(metrics_path, out_path=None):
+    """Focused 2-panel loss/PSNR convergence figure (the reference's
+    end-of-training companion to the comprehensive report,
+    scripts/train.py:697-707)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(metrics_path) as f:
+        m = json.load(f)
+    steps = m.get("val_steps", [])
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
+    if m.get("train_losses"):
+        a1.semilogy(steps[: len(m["train_losses"])], m["train_losses"], label="train")
+    if m.get("quick_val_losses"):
+        a1.semilogy(steps[: len(m["quick_val_losses"])], m["quick_val_losses"],
+                    label="val")
+    a1.set_title("Convergence: loss"); a1.set_xlabel("iter"); a1.legend()
+    if m.get("train_psnrs"):
+        a2.plot(steps[: len(m["train_psnrs"])], m["train_psnrs"], label="train")
+    if m.get("quick_val_psnrs"):
+        a2.plot(steps[: len(m["quick_val_psnrs"])], m["quick_val_psnrs"], label="val")
+    a2.set_title("Convergence: PSNR (dB)"); a2.set_xlabel("iter"); a2.legend()
+    fig.tight_layout()
+    out_path = out_path or metrics_path.replace(".json", "_convergence.png")
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    print(f"wrote {out_path}")
+    return out_path
+
+
 def animate_progress(metrics_path, interval_s=5.0):
     """Live mode: re-render the figure whenever the JSON changes
     (reference's FuncAnimation loop, :158-207; headless-safe here)."""

@@ -209,13 +209,22 @@ def main(argv=None):
 
     metrics = trainer.train()
 
-    # End-of-run report figures (reference: train.py:587-707).
+    # End-of-run report figures (reference: train.py:587-707 produces a
+    # comprehensive grid + a focused 2-panel convergence figure).
     try:
-        from scripts.plot_training_progress import create_progress_plot
+        from scripts.plot_training_progress import (
+            create_convergence_plot,
+            create_progress_plot,
+        )
 
+        metrics_json = os.path.join(args.save_dir, "metrics_latest.json")
         create_progress_plot(
-            os.path.join(args.save_dir, "metrics_latest.json"),
+            metrics_json,
             out_path=os.path.join(args.save_dir, "training_report.png"),
+        )
+        create_convergence_plot(
+            metrics_json,
+            out_path=os.path.join(args.save_dir, "convergence.png"),
         )
     except Exception as e:  # plotting is best-effort
         print(f"(plotting skipped: {e})")
