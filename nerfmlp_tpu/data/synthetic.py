@@ -27,14 +27,20 @@ def _scene_density_color(pts: np.ndarray):
 
     Three soft spheres and one box, all inside |x| < 1.2.
     """
+    f32 = np.float32
     blobs = [
-        # (center, radius, color, peak density)
-        (np.array([0.0, 0.0, 0.0]), 0.45, np.array([0.9, 0.25, 0.2]), 18.0),
-        (np.array([0.55, 0.3, 0.2]), 0.3, np.array([0.2, 0.8, 0.3]), 15.0),
-        (np.array([-0.45, -0.35, 0.3]), 0.25, np.array([0.25, 0.35, 0.95]), 15.0),
+        # (center, radius, color, peak density) — float32 end to end, or
+        # numpy promotes every temporary to float64 (2x memory, ~2x time).
+        (np.array([0.0, 0.0, 0.0], f32), f32(0.45),
+         np.array([0.9, 0.25, 0.2], f32), f32(18.0)),
+        (np.array([0.55, 0.3, 0.2], f32), f32(0.3),
+         np.array([0.2, 0.8, 0.3], f32), f32(15.0)),
+        (np.array([-0.45, -0.35, 0.3], f32), f32(0.25),
+         np.array([0.25, 0.35, 0.95], f32), f32(15.0)),
     ]
-    sigma = np.zeros(pts.shape[0], dtype=np.float32)
-    color_acc = np.zeros((pts.shape[0], 3), dtype=np.float32)
+    pts = pts.astype(f32)
+    sigma = np.zeros(pts.shape[0], dtype=f32)
+    color_acc = np.zeros((pts.shape[0], 3), dtype=f32)
     for center, radius, color, peak in blobs:
         d2 = np.sum((pts - center) ** 2, axis=-1)
         s = peak * np.exp(-d2 / (2.0 * (radius / 2.0) ** 2))
@@ -58,32 +64,43 @@ def _scene_density_color(pts: np.ndarray):
 
 def render_analytic(
     pose: np.ndarray, H: int, W: int, focal: float, n_samples: int = 192,
-    near: float = 2.0, far: float = 6.0,
+    near: float = 2.0, far: float = 6.0, chunk: int = 16384,
 ) -> np.ndarray:
-    """Ground-truth render of the analytic field (linear RGB + white bkgd)."""
-    rays_o, rays_d = get_rays_np(H, W, focal, pose)
-    rays_o = rays_o.reshape(-1, 3)
-    rays_d = rays_d.reshape(-1, 3)
-    t = np.linspace(near, far, n_samples, dtype=np.float32)
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * t[None, :, None]
-    sigma, albedo = _scene_density_color(pts.reshape(-1, 3))
-    sigma = sigma.reshape(-1, n_samples)
-    albedo = albedo.reshape(-1, n_samples, 3)
+    """Ground-truth render of the analytic field (linear RGB + white bkgd).
 
-    dists = np.diff(t, append=1e10).astype(np.float32)
-    dists = dists[None, :] * np.linalg.norm(rays_d, axis=-1, keepdims=True)
-    alpha = 1.0 - np.exp(-sigma * dists)
-    trans = np.cumprod(
-        np.concatenate(
-            [np.ones_like(alpha[:, :1]), 1.0 - alpha[:, :-1] + 1e-10], axis=-1
-        ),
-        axis=-1,
-    )
-    weights = alpha * trans
-    rgb = np.sum(weights[..., None] * albedo, axis=1)
-    acc = np.sum(weights, axis=-1, keepdims=True)
-    rgb = rgb + (1.0 - acc)  # white background
-    return np.clip(rgb, 0.0, 1.0).reshape(H, W, 3)
+    Rays are processed in chunks: the naive all-at-once version allocates
+    H*W x n_samples x 3 float64 temporaries (~1.4 GB at 400^2) and thrashes
+    host memory — chunking keeps the working set cache-resident.
+    """
+    rays_o, rays_d = get_rays_np(H, W, focal, pose)
+    rays_o = rays_o.reshape(-1, 3).astype(np.float32)
+    rays_d = rays_d.reshape(-1, 3).astype(np.float32)
+    t = np.linspace(near, far, n_samples, dtype=np.float32)
+    dists_t = np.diff(t, append=np.float32(1e10)).astype(np.float32)
+
+    out = np.empty((rays_o.shape[0], 3), dtype=np.float32)
+    for s in range(0, rays_o.shape[0], chunk):
+        o = rays_o[s : s + chunk]
+        d = rays_d[s : s + chunk]
+        pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
+        sigma, albedo = _scene_density_color(pts.reshape(-1, 3))
+        sigma = sigma.reshape(-1, n_samples)
+        albedo = albedo.reshape(-1, n_samples, 3)
+
+        dists = dists_t[None, :] * np.linalg.norm(d, axis=-1, keepdims=True)
+        alpha = 1.0 - np.exp(-sigma * dists)
+        trans = np.cumprod(
+            np.concatenate(
+                [np.ones_like(alpha[:, :1]), 1.0 - alpha[:, :-1] + 1e-10],
+                axis=-1,
+            ),
+            axis=-1,
+        )
+        weights = alpha * trans
+        rgb = np.sum(weights[..., None] * albedo, axis=1)
+        acc = np.sum(weights, axis=-1, keepdims=True)
+        out[s : s + chunk] = rgb + (1.0 - acc)  # white background
+    return np.clip(out, 0.0, 1.0).reshape(H, W, 3)
 
 
 def make_synthetic_scene(
