@@ -24,12 +24,7 @@ import numpy as np
 from nerfmlp_tpu.config import RenderConfig, TrainConfig
 from nerfmlp_tpu.data.pipeline import RayBatchLoader
 from nerfmlp_tpu.ops.render import render_image
-from nerfmlp_tpu.parallel.train_step import (
-    TrainState,
-    create_train_state,
-    make_train_step,
-    make_optimizer,
-)
+from nerfmlp_tpu.parallel.train_step import create_train_state, make_train_step
 from nerfmlp_tpu.train import checkpoint as ckpt
 from nerfmlp_tpu.train.metrics import (
     calculate_etc,
