@@ -164,6 +164,28 @@ class Trainer:
             "ssim": float(np.nanmean(ssims)),
         }
 
+    def _save_val_image(self, step: int) -> None:
+        """Dump one held-out render for visual monitoring (the oracle's
+        i_img holdout dumps, example/run_nerf.py:874-922). Best-effort."""
+        if self.val_ds is None:
+            return
+        try:
+            import dataclasses as _dc
+
+            from nerfmlp_tpu.utils.image import save_png
+
+            cfg = _dc.replace(self.rc, perturb=False, raw_noise_std=0.0)
+            o, d, _ = self.val_ds.image_rays(0)
+            img = np.asarray(
+                render_image(
+                    self.state.params, jnp.asarray(o), jnp.asarray(d),
+                    self.val_ds.H, self.val_ds.W, cfg, occ_grid=self.occ_grid,
+                )
+            )
+            save_png(os.path.join(self.save_dir, f"val_{step:06d}.png"), img)
+        except Exception as e:
+            self._log(f"(val image dump skipped: {e})")
+
     def quick_validate(self) -> Dict[str, float]:
         return self._validate(self.quick_val_ds, self.tc.quick_val_subset)
 
@@ -247,11 +269,18 @@ class Trainer:
                 self.loader.set_precrop(1.0)
                 self._log(f"🎯 precrop off at iter {step:,}")
             if tc.profile_dir:
-                if step == 10:
-                    jax.profiler.start_trace(tc.profile_dir)
-                elif step == 30:
-                    jax.profiler.stop_trace()
-                    self._log(f"🧪 profiler trace (steps 10-30) -> {tc.profile_dir}")
+                # Best-effort: remote-device plugins may not support traces.
+                try:
+                    if step == 10:
+                        jax.profiler.start_trace(tc.profile_dir)
+                    elif step == 30:
+                        jax.profiler.stop_trace()
+                        self._log(
+                            f"🧪 profiler trace (steps 10-30) -> {tc.profile_dir}"
+                        )
+                except Exception as e:
+                    self._log(f"(profiler unavailable: {e})")
+                    tc = dataclasses.replace(tc, profile_dir="")
             batch = self._put(self.loader.next_batch())
             if self.occ_grid is not None:
                 if (step - 1) % self.rc.occ_update_every == 0:
@@ -314,6 +343,7 @@ class Trainer:
                     f"📋 FULL VAL @ {step:,}: loss {fv['loss']:.6f} | "
                     f"PSNR {fv['psnr']:.2f} | SSIM {fv['ssim']:.4f}"
                 )
+                self._save_val_image(step)
                 t_prev = time.time()
 
             if step % tc.ckpt_interval == 0:
