@@ -143,10 +143,12 @@ def render_rays(
         )
         z_mids = 0.5 * (z_dense[..., 1:] + z_dense[..., :-1])
         n_total = cfg.N_samples + cfg.N_importance
+        # stratified=True yields monotone samples -> no per-ray sort.
         z_vals = sample_pdf(
-            k_pdf, z_mids, w[..., 1:-1], n_total, det=not cfg.perturb
+            k_pdf, z_mids, w[..., 1:-1], n_total,
+            det=not cfg.perturb, stratified=True,
         )
-        z_vals = jnp.sort(jax.lax.stop_gradient(z_vals), axis=-1)
+        z_vals = jax.lax.stop_gradient(z_vals)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         # Occupancy mode runs ONE network. With separate_fine that is the
         # fine net (it renders the final image and is also the grid's

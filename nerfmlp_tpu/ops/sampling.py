@@ -62,6 +62,7 @@ def sample_pdf(
     weights: jnp.ndarray,
     n_samples: int,
     det: bool = False,
+    stratified: bool = False,
 ) -> jnp.ndarray:
     """Inverse-CDF sampling of ``n_samples`` new z-values per ray.
 
@@ -85,6 +86,14 @@ def sample_pdf(
         if rng is None:
             raise ValueError("sample_pdf(det=False) needs an rng key")
         u = jax.random.uniform(rng, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
+        if stratified:
+            # Jitter within CDF strata: u is SORTED by construction, so
+            # the returned samples are monotone and the caller can skip
+            # its per-ray depth sort (a win the iid draw — the reference's
+            # choice, renderer.py:182 — cannot offer). Statistically this
+            # is plain stratified sampling of the inverse CDF.
+            base = jnp.arange(n_samples, dtype=cdf.dtype) / n_samples
+            u = base + u / n_samples
 
     # Invert the CDF. searchsorted(side="right") = #{j : cdf_j <= u}.
     # A vmapped binary search is ~25x slower on TPU than this broadcast

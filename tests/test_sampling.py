@@ -84,3 +84,22 @@ def test_sample_pdf_range():
     weights = jax.random.uniform(jax.random.PRNGKey(2), (16, 62))
     s = np.asarray(sample_pdf(jax.random.PRNGKey(3), bins, weights, 128))
     assert (s >= 2.0 - 1e-5).all() and (s <= 6.0 + 1e-5).all()
+
+
+def test_sample_pdf_stratified_is_sorted_and_in_range():
+    bins = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 33), (64, 33))
+    weights = jax.random.uniform(jax.random.PRNGKey(5), (64, 32))
+    s = np.asarray(
+        sample_pdf(jax.random.PRNGKey(6), bins, weights, 48, stratified=True)
+    )
+    assert (np.diff(s, axis=-1) >= -1e-6).all()  # monotone per ray
+    assert (s >= 2.0 - 1e-5).all() and (s <= 6.0 + 1e-5).all()
+
+
+def test_sample_pdf_stratified_concentrates_mass():
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 11), (4, 11))
+    weights = jnp.zeros((4, 10)).at[:, 5].set(1.0)
+    s = np.asarray(
+        sample_pdf(jax.random.PRNGKey(7), bins, weights, 100, stratified=True)
+    )
+    assert ((s >= 0.5) & (s <= 0.6)).mean() > 0.95
