@@ -119,3 +119,51 @@ def test_occupancy_requires_aabb(synthetic_scene):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "aabb" in str(e)
+
+
+def test_occupancy_resume_rebuilds_grid(synthetic_scene, tmp_path):
+    """Resume rebuilds the density grid from the restored model in one
+    decay=0 refresh (not the fresh fully-occupied grid)."""
+    from nerfmlp_tpu.data.blender import BlenderDataset
+    from nerfmlp_tpu.train.loop import Trainer
+
+    ds = BlenderDataset(synthetic_scene, "train", img_wh=(40, 40))
+    near, far = ds.dynamic_near_far()
+    rc = RenderConfig(
+        N_samples=8, N_importance=8, near=near, far=far, perturb=True,
+        aabb=(-1.5, -1.5, -1.2, 1.5, 1.5, 1.5),
+        use_occupancy=True, occ_grid_size=16, occ_dense_samples=32,
+        occ_update_every=10,
+    )
+    tc = TrainConfig(batch_size=256, iters=30, quick_val_interval=30,
+                     full_val_interval=0, quick_val_subset=1, log_interval=30)
+    out = str(tmp_path / "occ")
+    t1 = Trainer(rc, tc, ds, ds, ds, save_dir=out, verbose=False)
+    t1.train()
+
+    t2 = Trainer(rc, tc, ds, ds, ds, save_dir=out, verbose=False)
+    fresh = np.asarray(t2.occ_grid.density).copy()
+    assert t2.resume(out + "/metrics_latest.ckpt")
+    rebuilt = np.asarray(t2.occ_grid.density)
+    # decay=0 rebuild == relu(sigma) of the restored model: not the
+    # constant fresh init.
+    assert not np.allclose(rebuilt, fresh)
+    assert int(t2.history["step"]) == 30
+
+
+def test_occupancy_cli_flag(synthetic_scene, tmp_path):
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.train import main as train_main
+
+    out = str(tmp_path / "occcli")
+    m = train_main([
+        "--datadir", synthetic_scene, "--img_wh", "40", "40",
+        "--batch_size", "256", "--iters", "30", "--save_dir", out,
+        "--N_samples", "8", "--N_importance", "8",
+        "--quick_val_interval", "30", "--full_val_interval", "0",
+        "--quick_val_res", "40", "40", "--quick_val_subset", "1",
+        "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
+        "--use_occupancy", "--aabb", "-1.5", "-1.5", "-1.2", "1.5", "1.5", "1.5",
+    ])
+    assert m["step"] == 30
