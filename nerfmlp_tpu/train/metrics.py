@@ -31,17 +31,22 @@ def psnr_images(pred: np.ndarray, target: np.ndarray) -> float:
     return psnr(float(np.mean((np.asarray(pred) - np.asarray(target)) ** 2)))
 
 
+def _box_valid(x: np.ndarray, size: int, axis: int) -> np.ndarray:
+    """Valid-mode box mean along one axis via cumulative sums (O(HW);
+    the naive per-row convolve is ~1000x more Python overhead at 400^2)."""
+    c = np.cumsum(x, axis=axis, dtype=np.float64)
+    zero_shape = list(x.shape)
+    zero_shape[axis] = 1
+    c = np.concatenate([np.zeros(zero_shape), c], axis=axis)
+    hi = np.take(c, range(size, c.shape[axis]), axis=axis)
+    lo = np.take(c, range(0, c.shape[axis] - size), axis=axis)
+    return (hi - lo) / size
+
+
 def _uniform_filter(img: np.ndarray, size: int) -> np.ndarray:
-    """Separable box filter with 'valid'-like crop, matching skimage's
-    uniform_filter + crop-to-valid behavior closely enough for monitoring."""
-    kernel = np.ones(size) / size
-    out = img
-    for axis in (0, 1):
-        out = np.apply_along_axis(
-            lambda m: np.convolve(m, kernel, mode="same"), axis, out
-        )
-    pad = size // 2
-    return out[pad:-pad or None, pad:-pad or None]
+    """Separable valid-window box means — the interior values skimage's
+    uniform_filter keeps after its crop-to-valid."""
+    return _box_valid(_box_valid(img, size, 0), size, 1)
 
 
 def ssim(
