@@ -174,3 +174,55 @@ def test_dataset_preprocessing_parity(ref, synthetic_scene):
     np.testing.assert_allclose(ours.all_rays_o, ref_ds.all_rays_o, atol=1e-6)
     np.testing.assert_allclose(ours.all_rays_d, ref_ds.all_rays_d, atol=1e-5)
     np.testing.assert_allclose(ours.all_rgbs, ref_ds.all_rgbs, atol=1e-6)
+
+
+def test_export_roundtrip_through_reference(ref, tmp_path):
+    """Ultimate interop closure: OUR params -> official .npy -> loaded by
+    the REFERENCE implementation -> its render matches ours."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.render import render_rays
+    from nerfmlp_tpu.train.checkpoint import save_params_npy, load_params_any
+
+    cfg = RenderConfig(N_samples=16, N_importance=8, near=2.0, far=6.0,
+                       perturb=False, raw_noise_std=0.0)
+    params = init_model(jax.random.PRNGKey(3), cfg.model_config())
+
+    npy = str(tmp_path / "export.npy")
+    save_params_npy(npy, params)
+
+    # Reference loads our export.
+    ref_model = ref.NeRFMLP()
+    import numpy as _np
+
+    arrays = [_np.asarray(a) for a in _np.load(npy, allow_pickle=True)]
+    ref_model.load_from_numpy(arrays)
+    ref_model.eval()
+    ref_renderer = ref.NeRFRenderer(
+        ref_model, torch.device("cpu"), N_samples=16, N_importance=8,
+        near=2.0, far=6.0, perturb=0.0, raw_noise_std=0.0,
+    )
+
+    rng = np.random.default_rng(4)
+    o = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (12, 1))
+    d = rng.normal(size=(12, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+
+    with torch.no_grad():
+        theirs = ref_renderer._render_rays(torch.from_numpy(o), torch.from_numpy(d))
+    ours = render_rays({"coarse": params}, jnp.asarray(o), jnp.asarray(d), None, cfg)
+    np.testing.assert_allclose(
+        np.asarray(ours["rgb_map"]), theirs["rgb_map"].numpy(), atol=3e-3
+    )
+
+    # And our own loader round-trips the same file.
+    back = load_params_any(npy)
+    for name in params:
+        np.testing.assert_array_equal(
+            np.asarray(back["coarse"][name]["kernel"]),
+            np.asarray(params[name]["kernel"]),
+        )
