@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Standalone test-set evaluation: render every view of a split and report
+per-view + mean PSNR/SSIM (the benchmark protocol behind BASELINE config 3;
+the reference only evaluates inside training, scripts/train.py:563-585).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a checkpoint on a split")
+    p.add_argument("--datadir", type=str, required=True)
+    p.add_argument("--dataset_type", type=str, default="blender",
+                   choices=["blender", "llff"])
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
+    p.add_argument("--ckpt", type=str, required=True, help=".ckpt or .npy")
+    p.add_argument("--out", type=str, default=None,
+                   help="write a JSON report here (default: <ckpt>.eval.json)")
+    p.add_argument("--save_renders", type=str, default=None,
+                   help="optional dir for the rendered PNGs")
+    p.add_argument("--N_samples", type=int, default=64)
+    p.add_argument("--N_importance", type=int, default=128)
+    p.add_argument("--near", type=float, default=None)
+    p.add_argument("--far", type=float, default=None)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false",
+                   default=True)
+    p.add_argument("--tile", type=int, default=4096)
+    args = p.parse_args(argv)
+
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.data.blender import BlenderDataset
+    from nerfmlp_tpu.data.llff import LLFFDataset
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.render import render_image
+    from nerfmlp_tpu.train.checkpoint import load_params_any
+    from nerfmlp_tpu.train.metrics import psnr_images, ssim
+    from nerfmlp_tpu.utils.image import save_png
+
+    DS = LLFFDataset if args.dataset_type == "llff" else BlenderDataset
+    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh))
+    near, far = ds.dynamic_near_far()
+    if args.near is not None:
+        near = args.near
+    if args.far is not None:
+        far = args.far
+
+    rc = RenderConfig(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        near=near, far=far, perturb=False, raw_noise_std=0.0,
+        compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+        white_bkgd=args.dataset_type != "llff",
+    )
+    template = init_model(jax.random.PRNGKey(0), rc.model_config())
+    params = load_params_any(args.ckpt, template, rc.model_config())
+
+    if args.save_renders:
+        os.makedirs(args.save_renders, exist_ok=True)
+
+    per_view = []
+    t0 = time.time()
+    for i in range(ds.n_images):
+        o, d, gt = ds.image_rays(i)
+        img = np.asarray(
+            render_image(params, jnp.asarray(o), jnp.asarray(d),
+                         ds.H, ds.W, rc, tile=args.tile)
+        )
+        view = {"view": i, "psnr": psnr_images(img, gt), "ssim": ssim(img, gt)}
+        per_view.append(view)
+        print(f"view {i:3d}: PSNR {view['psnr']:6.2f} dB | SSIM {view['ssim']:.4f}")
+        if args.save_renders:
+            save_png(os.path.join(args.save_renders, f"eval_{args.split}_{i}.png"), img)
+    dt = time.time() - t0
+
+    report = {
+        "split": args.split,
+        "n_views": ds.n_images,
+        "resolution": list(args.img_wh),
+        "mean_psnr": float(np.mean([v["psnr"] for v in per_view])),
+        "mean_ssim": float(np.nanmean([v["ssim"] for v in per_view])),
+        "sec_per_frame": dt / max(ds.n_images, 1),
+        "per_view": per_view,
+        "config": {"N_samples": args.N_samples, "N_importance": args.N_importance,
+                   "near": near, "far": far, "ckpt": args.ckpt},
+    }
+    out = args.out or (args.ckpt + ".eval.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"\nmean PSNR {report['mean_psnr']:.2f} dB | "
+          f"mean SSIM {report['mean_ssim']:.4f} | "
+          f"{report['sec_per_frame']:.2f} s/frame -> {out}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -144,3 +144,19 @@ def test_zoom_cli(cli_scene, trained, tmp_path, monkeypatch):
         "--N_samples", "8", "--N_importance", "8", "--no_pallas",
     ])
     assert os.path.exists(os.path.join(out, "zoom_normal.png"))
+
+
+def test_eval_cli(cli_scene, trained, tmp_path):
+    from scripts.eval import main as eval_main
+
+    report = eval_main([
+        "--datadir", cli_scene, "--split", "test", "--img_wh", "32", "32",
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--out", str(tmp_path / "eval.json"),
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+        "--compute_dtype", "float32", "--tile", "256",
+    ])
+    assert report["n_views"] == 2
+    assert np.isfinite(report["mean_psnr"])
+    assert len(report["per_view"]) == 2
+    assert os.path.exists(str(tmp_path / "eval.json"))
