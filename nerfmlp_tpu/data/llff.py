@@ -97,15 +97,18 @@ class LLFFDataset:
         if recenter:
             c2w = recenter_poses(c2w)
         self.poses = c2w.astype(np.float32)
+        # Metric near/far must come from the FULL capture's bounds, before
+        # the train/val holdout split — the oracle derives them from all
+        # bds (run_nerf.py:608-610), so train and test agree.
+        self._full_bounds = self.bounds.copy()
 
-        img_dir = None
-        for cand in ("images", "images_4", "images_8"):
-            d = os.path.join(datadir, cand)
-            if os.path.isdir(d):
-                img_dir = d
-                break
+        # Pick the smallest pre-downsampled image set that still covers the
+        # requested resolution (LLFF scenes ship images/ at ~12MP alongside
+        # images_2/4/8 — decoding full-res to downsample to 504px wastes
+        # 10-60x the IO).
+        img_dir = self._pick_image_dir(datadir, W)
         if img_dir is None:
-            raise FileNotFoundError(f"no images/ directory under {datadir}")
+            raise FileNotFoundError(f"no images*/ directory under {datadir}")
         files = sorted(
             f for f in os.listdir(img_dir)
             if f.lower().endswith((".png", ".jpg", ".jpeg"))
@@ -138,10 +141,33 @@ class LLFFDataset:
 
         self._generate_rays()
 
+    @staticmethod
+    def _pick_image_dir(datadir: str, want_w: int):
+        """Smallest images*/ directory whose width covers ``want_w``;
+        falls back to the largest available."""
+        from PIL import Image
+
+        cands = []
+        for name in sorted(os.listdir(datadir)):
+            if name == "images" or name.startswith("images_"):
+                d = os.path.join(datadir, name)
+                if not os.path.isdir(d):
+                    continue
+                files = [f for f in os.listdir(d)
+                         if f.lower().endswith((".png", ".jpg", ".jpeg"))]
+                if not files:
+                    continue
+                with Image.open(os.path.join(d, sorted(files)[0])) as im:
+                    cands.append((im.size[0], d))
+        if not cands:
+            return None
+        big_enough = [c for c in cands if c[0] >= want_w]
+        return min(big_enough)[1] if big_enough else max(cands)[1]
+
     def _generate_rays(self) -> None:
         from nerfmlp_tpu.ops.rays import get_rays_np, ndc_rays
 
-        ro, rd, rgb = [], [], []
+        ro, rd, rgb, vds = [], [], [], []
         for k in range(self.poses.shape[0]):
             o, d = get_rays_np(self.H, self.W, self.focal, self.poses[k])
             o = o.reshape(-1, 3).astype(np.float32)
@@ -149,6 +175,14 @@ class LLFFDataset:
             if self.use_ndc:
                 import jax.numpy as jnp
 
+                # View directions must be the WORLD-space directions,
+                # captured BEFORE the NDC reparameterization — the oracle
+                # computes viewdirs first (example/run_nerf.py:297-312).
+                vds.append(
+                    (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(
+                        np.float32
+                    )
+                )
                 o_n, d_n = ndc_rays(
                     self.H, self.W, self.focal, 1.0,
                     jnp.asarray(o.copy()), jnp.asarray(d),
@@ -160,6 +194,8 @@ class LLFFDataset:
         self.all_rays_o = np.concatenate(ro, axis=0)
         self.all_rays_d = np.concatenate(rd, axis=0)
         self.all_rgbs = np.concatenate(rgb, axis=0)
+        # World-space view directions (None when rays are already metric).
+        self.all_viewdirs = np.concatenate(vds, axis=0) if vds else None
 
     def __len__(self) -> int:
         return self.all_rays_o.shape[0]
@@ -177,8 +213,19 @@ class LLFFDataset:
             self.all_rgbs[sl].reshape(self.H, self.W, 3),
         )
 
+    def image_viewdirs(self, idx: int):
+        """World-space view directions for one image (None for metric rays)."""
+        if self.all_viewdirs is None:
+            return None
+        n = self.H * self.W
+        return self.all_viewdirs[idx * n : (idx + 1) * n]
+
     def dynamic_near_far(self) -> Tuple[float, float]:
-        """NDC: [0, 1] (run_nerf.py:606-608); else bounds * 0.9 / 1.0."""
+        """NDC: [0, 1] (run_nerf.py:606-608); else FULL-capture bounds
+        * 0.9 / 1.0 (identical for every split)."""
         if self.use_ndc:
             return 0.0, 1.0
-        return float(self.bounds.min() * 0.9), float(self.bounds.max() * 1.0)
+        return (
+            float(self._full_bounds.min() * 0.9),
+            float(self._full_bounds.max() * 1.0),
+        )

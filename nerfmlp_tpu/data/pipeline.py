@@ -66,16 +66,19 @@ class RayBatchLoader:
         drop_last: bool = True,
         image_shape=None,           # (n_images, H, W) — needed for precrop/image mode
         image_mode: bool = False,
+        viewdirs=None,              # world-space dirs (NDC datasets): (N, 3)
     ):
         assert rays_o.shape == rays_d.shape == rgbs.shape
-        self.pool = np.concatenate(
-            [
-                rays_o.astype(np.float32),
-                rays_d.astype(np.float32),
-                rgbs.astype(np.float32),
-            ],
-            axis=-1,
-        )  # (N, 9), contiguous
+        cols = [
+            rays_o.astype(np.float32),
+            rays_d.astype(np.float32),
+        ]
+        if viewdirs is not None:
+            # NDC rays: rows become [o | d_ndc | viewdir_world | rgb] (B, 12);
+            # the train step detects the width and slices accordingly.
+            cols.append(viewdirs.astype(np.float32))
+        cols.append(rgbs.astype(np.float32))
+        self.pool = np.concatenate(cols, axis=-1)  # (N, 9) or (N, 12)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
@@ -93,6 +96,7 @@ class RayBatchLoader:
         return cls(
             dataset.all_rays_o, dataset.all_rays_d, dataset.all_rgbs,
             batch_size, seed=seed, image_shape=shape, image_mode=image_mode,
+            viewdirs=getattr(dataset, "all_viewdirs", None),
         )
 
     def __len__(self) -> int:

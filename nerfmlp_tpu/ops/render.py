@@ -95,6 +95,7 @@ def render_rays(
     near=None,
     far=None,
     occ_grid=None,
+    viewdirs=None,
 ) -> Dict[str, jnp.ndarray]:
     """Differentiable coarse(+fine) render of (N, 3) ray batches.
 
@@ -102,6 +103,11 @@ def render_rays(
     ``*_coarse`` companions when hierarchical sampling is on
     (renderer.py:109-110). ``near``/``far`` default to the config but can
     be per-ray arrays (used by the zoom/look-at tooling).
+
+    ``viewdirs``: optional (N, 3) WORLD-space view directions. Needed for
+    NDC rays, whose ``rays_d`` live in NDC space — the oracle conditions
+    the view branch on world directions computed BEFORE the NDC transform
+    (example/run_nerf.py:297-312). Defaults to normalize(rays_d).
     """
     n_rays = rays_o.shape[0]
     near = cfg.near if near is None else near
@@ -122,10 +128,9 @@ def render_rays(
 
     viewdirs_enc_pre = None
     if cfg.use_viewdirs:
-        viewdirs = rays_d / (
-            jnp.linalg.norm(rays_d, axis=-1, keepdims=True) + 1e-8
-        )
-        viewdirs_enc_pre = positional_encoding(viewdirs, cfg.dir_enc_L)
+        vd = rays_d if viewdirs is None else viewdirs
+        vd = vd / (jnp.linalg.norm(vd, axis=-1, keepdims=True) + 1e-8)
+        viewdirs_enc_pre = positional_encoding(vd, cfg.dir_enc_L)
 
     # --- Occupancy-grid sampling path (ops/occupancy.py) -----------------
     # The coarse MLP pass is replaced by a density-grid lookup over dense
@@ -141,11 +146,15 @@ def render_rays(
         w = occupancy_weights(
             occ_grid, rays_o, rays_d, z_dense, cfg, cfg.occ_threshold
         )
-        z_mids = 0.5 * (z_dense[..., 1:] + z_dense[..., :-1])
+        # Interval mass between consecutive dense depths (M-1 weights over
+        # M bin edges) — endpoint occupancy is NOT discarded (the coarse
+        # path's w[1:-1] convention would drop surfaces at the interval
+        # boundaries, exactly the rays an aabb-tightened near/far creates).
+        w_int = 0.5 * (w[..., 1:] + w[..., :-1])
         n_total = cfg.N_samples + cfg.N_importance
         # stratified=True yields monotone samples -> no per-ray sort.
         z_vals = sample_pdf(
-            k_pdf, z_mids, w[..., 1:-1], n_total,
+            k_pdf, z_dense, w_int, n_total,
             det=not cfg.perturb, stratified=True,
         )
         z_vals = jax.lax.stop_gradient(z_vals)
@@ -236,6 +245,7 @@ def render_image(
     near=None,
     far=None,
     occ_grid=None,
+    viewdirs=None,
 ) -> jnp.ndarray:
     """Whole-image inference: (H*W, 3) rays -> (H, W, 3) rgb.
 
@@ -258,9 +268,10 @@ def render_image(
     pad = n_tiles * tile - n_rays
     rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
     # Pad with a valid direction to avoid 0-norm viewdirs on padded lanes.
-    rays_d = jnp.concatenate(
-        [rays_d, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (pad, 3))], axis=0
-    )
+    _down = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (pad, 3))
+    rays_d = jnp.concatenate([rays_d, _down], axis=0)
+    if viewdirs is not None:
+        viewdirs = jnp.concatenate([jnp.asarray(viewdirs), _down], axis=0)
 
     tile_fn = _tile_render_fn(cfg)
     near_arg = near if near is not None else cfg.near
@@ -283,6 +294,8 @@ def render_image(
             _bound_slice(near_arg, i, 1.0),
             _bound_slice(far_arg, i, 2.0),
             occ_grid,
+            None if viewdirs is None
+            else jax.lax.dynamic_slice_in_dim(viewdirs, i * tile, tile),
         )
         for i in range(n_tiles)
     ]
@@ -296,9 +309,10 @@ def _tile_render_fn(cfg: RenderConfig):
     dataclass, so it is a valid cache key)."""
 
     @jax.jit
-    def tile_fn(params, o, d, near, far, occ_grid):
+    def tile_fn(params, o, d, near, far, occ_grid, viewdirs):
         return render_rays(
-            params, o, d, None, cfg, near=near, far=far, occ_grid=occ_grid
+            params, o, d, None, cfg, near=near, far=far,
+            occ_grid=occ_grid, viewdirs=viewdirs,
         )["rgb_map"]
 
     return tile_fn

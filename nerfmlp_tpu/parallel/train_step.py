@@ -81,9 +81,14 @@ def loss_and_metrics(
     tc: TrainConfig,
     occ_grid=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """batch: (B, 9) = [rays_o | rays_d | rgb_target]."""
-    rays_o, rays_d, target = batch[:, 0:3], batch[:, 3:6], batch[:, 6:9]
-    out = render_rays(params, rays_o, rays_d, rng, rc, occ_grid=occ_grid)
+    """batch: (B, 9) = [rays_o | rays_d | rgb] — or (B, 12) with an extra
+    world-viewdirs column for NDC datasets ([o | d_ndc | viewdir | rgb])."""
+    rays_o, rays_d = batch[:, 0:3], batch[:, 3:6]
+    viewdirs = batch[:, 6:9] if batch.shape[1] == 12 else None
+    target = batch[:, -3:]
+    out = render_rays(
+        params, rays_o, rays_d, rng, rc, occ_grid=occ_grid, viewdirs=viewdirs
+    )
     loss_fine = jnp.mean((out["rgb_map"] - target) ** 2)
     loss = loss_fine
     if tc.coarse_loss and "rgb_map_coarse" in out:

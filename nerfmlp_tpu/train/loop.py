@@ -148,10 +148,12 @@ class Trainer:
         params = self.state.params
         for i in range(n):
             o, d, gt = dataset.image_rays(i)
+            vd = getattr(dataset, "image_viewdirs", lambda _i: None)(i)
             img = np.asarray(
                 render_image(
                     params, jnp.asarray(o), jnp.asarray(d),
                     dataset.H, dataset.W, cfg, occ_grid=self.occ_grid,
+                    viewdirs=vd,
                 )
             )
             mse = float(np.mean((img - gt) ** 2))
@@ -202,9 +204,15 @@ class Trainer:
         if not os.path.exists(path):
             self._log(f"⚠️  resume checkpoint not found: {path} — starting fresh")
             return False
-        self.state = jax.device_put(
-            ckpt.load_checkpoint(path, jax.device_get(self.state))
-        )
+        restored = ckpt.load_checkpoint(path, jax.device_get(self.state))
+        if self.mesh is not None:
+            # Re-apply the replicated layout __init__ used — a plain put
+            # commits to one device, breaking donation (and multi-host).
+            from nerfmlp_tpu.parallel.mesh import replicated_sharding
+
+            self.state = jax.device_put(restored, replicated_sharding(self.mesh))
+        else:
+            self.state = jax.device_put(restored)
         hist_path = path.rsplit(".", 1)[0] + ".history.json"
         if os.path.exists(hist_path):
             self.history.update(ckpt.load_metrics_json(hist_path))

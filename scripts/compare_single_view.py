@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=128)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
+    p.add_argument("--separate_fine", action="store_true",
+                   help="checkpoint holds separate coarse/fine nets")
     args = p.parse_args(argv)
 
     import jax
@@ -44,14 +46,15 @@ def main(argv=None):
     near, far = ds.dynamic_near_far()
     rc = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
                       near=near, far=far, perturb=False,
-                      use_pallas=args.use_pallas,
+                      use_pallas=args.use_pallas, separate_fine=args.separate_fine,
                       white_bkgd=args.dataset_type != "llff")
     template = init_model(jax.random.PRNGKey(0), rc.model_config())
     params = load_params_any(args.ckpt, template, rc.model_config())
 
     o, d, gt = ds.image_rays(args.view_idx)
+    vd = getattr(ds, "image_viewdirs", lambda _i: None)(args.view_idx)
     img = np.asarray(render_image(params, jnp.asarray(o), jnp.asarray(d),
-                                  ds.H, ds.W, rc))
+                                  ds.H, ds.W, rc, viewdirs=vd))
     print(f"view {args.view_idx}: PSNR {psnr_images(img, gt):.2f} dB | "
           f"SSIM {ssim(img, gt):.4f}")
 

@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false",
                    default=True)
+    p.add_argument("--separate_fine", action="store_true",
+                   help="checkpoint holds separate coarse/fine nets")
     p.add_argument("--tile", type=int, default=4096)
     args = p.parse_args(argv)
 
@@ -60,7 +62,7 @@ def main(argv=None):
     rc = RenderConfig(
         N_samples=args.N_samples, N_importance=args.N_importance,
         near=near, far=far, perturb=False, raw_noise_std=0.0,
-        compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+        compute_dtype=args.compute_dtype, use_pallas=args.use_pallas, separate_fine=args.separate_fine,
         white_bkgd=args.dataset_type != "llff",
     )
     template = init_model(jax.random.PRNGKey(0), rc.model_config())
@@ -73,9 +75,10 @@ def main(argv=None):
     t0 = time.time()
     for i in range(ds.n_images):
         o, d, gt = ds.image_rays(i)
+        vd = getattr(ds, "image_viewdirs", lambda _i: None)(i)
         img = np.asarray(
             render_image(params, jnp.asarray(o), jnp.asarray(d),
-                         ds.H, ds.W, rc, tile=args.tile)
+                         ds.H, ds.W, rc, tile=args.tile, viewdirs=vd)
         )
         view = {"view": i, "psnr": psnr_images(img, gt), "ssim": ssim(img, gt)}
         per_view.append(view)

@@ -40,6 +40,8 @@ def main(argv=None):
     p.add_argument("--compute_dtype", type=str, default="float32",
                    help="float32 (parity) or bfloat16 (speed)")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
+    p.add_argument("--separate_fine", action="store_true",
+                   help="checkpoint holds separate coarse/fine nets")
     p.add_argument("--tile", type=int, default=4096)
     args = p.parse_args(argv)
 
@@ -78,7 +80,7 @@ def main(argv=None):
         N_samples=args.N_samples, N_importance=n_importance,
         near=near, far=far, perturb=False, raw_noise_std=0.0,
         coord_scale=args.coord_scale, compute_dtype=args.compute_dtype,
-        use_pallas=args.use_pallas,
+        use_pallas=args.use_pallas, separate_fine=args.separate_fine,
         # Match training's compositing: white bkgd is blender-only.
         white_bkgd=args.dataset_type != "llff",
     )
@@ -88,9 +90,10 @@ def main(argv=None):
     idxs = [args.view_idx] if args.view_idx is not None else list(range(args.num_views))
     for i in idxs:
         o, d, _ = ds.image_rays(i)
+        vd = getattr(ds, "image_viewdirs", lambda _i: None)(i)
         img = np.asarray(
             render_image(params, jnp.asarray(o), jnp.asarray(d),
-                         ds.H, ds.W, rc, tile=args.tile)
+                         ds.H, ds.W, rc, tile=args.tile, viewdirs=vd)
         )
         img = np.clip(img * args.brightness_boost, 0.0, 1.0)
         if args.apply_gamma:

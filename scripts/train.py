@@ -166,6 +166,15 @@ def main(argv=None):
         far = args.far
     print(f"Dynamic near: {near}, far: {far}")
 
+    if args.separate_fine and not args.coarse_loss:
+        # With two nets the coarse one ONLY learns through its own loss
+        # term (importance depths are stop-gradiented); without it the
+        # coarse net stays at random init and sample placement collapses.
+        # The official NeRF always adds img_loss0 (run_nerf.py:822-824).
+        print("⚠️  --separate_fine requires the coarse loss term; enabling "
+              "--coarse_loss")
+        args.coarse_loss = True
+
     ndc = args.dataset_type == "llff" and getattr(dataset, "use_ndc", False)
     rc = RenderConfig(
         pos_enc_L=args.pos_enc_L, dir_enc_L=args.dir_enc_L,

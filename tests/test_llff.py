@@ -103,3 +103,42 @@ def test_llff_trains_a_step(llff_scene):
     loader = RayBatchLoader.from_dataset(ds, 128)
     state, m = step(state, jnp.asarray(loader.next_batch()))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_llff_world_viewdirs_stored(llff_scene):
+    """NDC datasets carry WORLD-space view directions separately (the
+    oracle computes viewdirs before ndc_rays, run_nerf.py:297-312)."""
+    ds = LLFFDataset(llff_scene, "train", img_wh=(40, 30), use_ndc=True)
+    assert ds.all_viewdirs is not None
+    assert ds.all_viewdirs.shape == ds.all_rays_d.shape
+    # Unit norm, and NOT equal to the NDC directions.
+    norms = np.linalg.norm(ds.all_viewdirs, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    assert np.abs(ds.all_viewdirs - ds.all_rays_d).max() > 0.1
+    vd = ds.image_viewdirs(0)
+    assert vd.shape == (30 * 40, 3)
+    # Metric mode has no separate viewdirs.
+    ds2 = LLFFDataset(llff_scene, "train", img_wh=(40, 30), use_ndc=False)
+    assert ds2.all_viewdirs is None and ds2.image_viewdirs(0) is None
+
+
+def test_llff_batches_carry_viewdirs(llff_scene):
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import RenderConfig, TrainConfig
+    from nerfmlp_tpu.data.pipeline import RayBatchLoader
+    from nerfmlp_tpu.parallel.train_step import create_train_state, make_train_step
+
+    ds = LLFFDataset(llff_scene, "train", img_wh=(40, 30), use_ndc=True)
+    loader = RayBatchLoader.from_dataset(ds, 64)
+    b = loader.next_batch()
+    assert b.shape == (64, 12)  # [o | d_ndc | viewdir | rgb]
+    np.testing.assert_allclose(np.linalg.norm(b[:, 6:9], axis=-1), 1.0, atol=1e-5)
+
+    rc = RenderConfig(N_samples=8, N_importance=8, near=0.0, far=1.0,
+                      perturb=True, ndc=True)
+    tc = TrainConfig(batch_size=64)
+    state = create_train_state(rc, tc)
+    step = make_train_step(rc, tc)
+    state, m = step(state, jnp.asarray(b))
+    assert np.isfinite(float(m["loss"]))
