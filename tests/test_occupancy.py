@@ -85,7 +85,7 @@ def test_render_with_occupancy_shapes():
     assert np.isfinite(np.asarray(out["rgb_map"])).all()
 
 
-def test_occupancy_training_end_to_end(synthetic_scene):
+def test_occupancy_training_end_to_end(synthetic_scene, tmp_path):
     """Trainer with use_occupancy reaches reasonable PSNR on the scene."""
     from nerfmlp_tpu.data.blender import BlenderDataset
     from nerfmlp_tpu.train.loop import Trainer
@@ -101,7 +101,7 @@ def test_occupancy_training_end_to_end(synthetic_scene):
     )
     tc = TrainConfig(batch_size=256, iters=80, quick_val_interval=40,
                      full_val_interval=0, quick_val_subset=1, log_interval=40)
-    t = Trainer(rc, tc, ds, val, val, save_dir=None or "/tmp/occtest", verbose=False)
+    t = Trainer(rc, tc, ds, val, val, save_dir=str(tmp_path / "occtest"), verbose=False)
     metrics = t.train()
     assert metrics["final_val"]["psnr"] > 8.0
     assert np.isfinite(metrics["train_losses"][-1])
@@ -114,8 +114,8 @@ def test_occupancy_requires_aabb(synthetic_scene):
     ds = BlenderDataset(synthetic_scene, "train", img_wh=(40, 40))
     rc = RenderConfig(use_occupancy=True, aabb=None)
     try:
-        Trainer(rc, TrainConfig(batch_size=64), ds, save_dir="/tmp/occx",
-                verbose=False)
+        Trainer(rc, TrainConfig(batch_size=64), ds,
+                save_dir=str(synthetic_scene) + "/occx", verbose=False)
         assert False, "expected ValueError"
     except ValueError as e:
         assert "aabb" in str(e)
