@@ -398,8 +398,24 @@ def fused_nerf_mlp(
             "fused kernel currently requires use_viewdirs=True; "
             "set use_pallas=False for the no-viewdirs architecture"
         )
+    # The kernels hardcode the reference architecture; fail actionably on
+    # anything else instead of deep inside Mosaic shape errors.
+    mc = cfg.model_config()
+    if (
+        mc.depth != 8 or mc.skips != (5,) or mc.width != 256
+        or mc.bottleneck_ch != 256 or mc.view_width != 128
+        or "pts_7" not in params
+    ):
+        raise NotImplementedError(
+            "fused kernel supports only the reference architecture "
+            "(8x256 trunk, skip at 5, 256-wide bottleneck); "
+            "set use_pallas=False for custom shapes"
+        )
     n = pts_flat.shape[0]
     tile = min(tile, max(256, 1 << (n - 1).bit_length()))
+    # The backward kernel's stored activations OOM VMEM beyond tile 1024
+    # (the forward pass doubles the tile itself when shapes allow).
+    tile = min(tile, DEFAULT_TILE)
     pad = (-n) % tile
     if pad:
         pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))

@@ -8,15 +8,15 @@ sharded across the mesh, each device advances its own scene's training
 step locally via ``shard_map``, and the only cross-chip traffic is the
 (tiny) metric reduction for logging.
 
-All of it is ordinary JAX: ``jax.vmap`` expresses "a step per scene",
-``shard_map`` pins one scene per device. Runs unmodified on the 8
-fake-CPU-device test mesh.
+All of it is ordinary JAX: ``jax.vmap`` of the SAME single-scene update
+rule the data-parallel trainer uses (``train_step.make_step_fn``), pinned
+one scene per device by ``shard_map``. Runs unmodified on the 8
+fake-CPU-device test mesh. Occupancy-grid sampling works per scene: pass a
+stacked grid (see :func:`create_multi_scene_grids` /
+:func:`make_multi_scene_grid_update`).
 """
 
 from __future__ import annotations
-
-
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -26,8 +26,7 @@ from nerfmlp_tpu.config import RenderConfig, TrainConfig
 from nerfmlp_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
-    loss_and_metrics,
-    make_optimizer,
+    make_step_fn,
 )
 
 
@@ -42,39 +41,63 @@ def create_multi_scene_state(
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *states)
 
 
+def create_multi_scene_grids(n_scenes: int, rc: RenderConfig):
+    """Stacked per-scene occupancy grids (scene axis leading)."""
+    from nerfmlp_tpu.ops.occupancy import create_grid
+
+    grids = [create_grid(rc.occ_grid_size) for _ in range(n_scenes)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *grids)
+
+
+def make_multi_scene_grid_update(rc: RenderConfig, mesh: Mesh, axis: str = "data"):
+    """Jitted per-scene grid refresh over the stacked states/grids."""
+    from nerfmlp_tpu.ops.occupancy import update_grid
+
+    def one(grid, params, rng):
+        return update_grid(grid, params, rc, rng)
+
+    def local(grid_stack, params_stack, rng_stack):
+        return jax.vmap(one)(grid_stack, params_stack, rng_stack)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 def make_multi_scene_step(
     rc: RenderConfig, tc: TrainConfig, mesh: Mesh, axis: str = "data"
 ):
-    """Jitted step over stacked states + (n_scenes, B, 9) batches.
+    """Jitted step over stacked states + (n_scenes, B, 9|12) batches.
 
     ``n_scenes`` must be divisible by the mesh size; each device holds
-    ``n_scenes / n_devices`` scenes and vmaps over its local stack.
+    ``n_scenes / n_devices`` scenes and vmaps the shared single-scene
+    update rule over its local stack. With ``rc.use_occupancy`` the step
+    takes a third stacked-grids argument.
     """
-    optimizer = make_optimizer(tc)
+    step_fn = make_step_fn(rc, tc)
 
-    def one_scene_step(state: TrainState, batch: jnp.ndarray):
-        rng, rng_step = jax.random.split(state.rng)
-        rng_step = jax.random.fold_in(rng_step, state.step)
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_and_metrics, has_aux=True
-        )(state.params, batch, rng_step, rc, tc)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        import optax
+    if rc.use_occupancy:
+        def local_step(state_stack, batch_stack, grid_stack):
+            return jax.vmap(step_fn)(state_stack, batch_stack, grid_stack)
 
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
-        )
-        return new_state, metrics
+        in_specs = (P(axis), P(axis), P(axis))
+    else:
+        def local_step(state_stack, batch_stack):  # noqa: E306
+            return jax.vmap(lambda s, b: step_fn(s, b, None))(
+                state_stack, batch_stack
+            )
 
-    def local_step(state_stack, batch_stack):
-        # state_stack/batch_stack: this device's shard (scenes_local, ...).
-        return jax.vmap(one_scene_step)(state_stack, batch_stack)
+        in_specs = (P(axis), P(axis))
 
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(axis), P(axis)),
         check_vma=False,
     )

@@ -5,7 +5,7 @@ Design (vs the reference hot loop, scripts/train.py:365-406):
     MSE loss (+ optional coarse term) -> grads -> Adam update -> metrics,
   * params/opt-state replicated, batch sharded on the mesh's "data" axis;
     GSPMD inserts the gradient all-reduce over ICI,
-  * ``donate_argnums`` on (state, batch) so HBM is reused in place,
+  * ``donate_argnums`` on the state so its HBM is reused in place,
   * loss/psnr/grad-norm come back as device scalars — the host never
     blocks on them except at log intervals (the reference syncs per step
     via ``loss.item()`` + skimage PSNR, SURVEY §3.1 — deliberately fixed).
@@ -35,9 +35,6 @@ class TrainState:
     params: Any                       # {"coarse": ..., ["fine": ...]}
     opt_state: Any
     rng: jax.Array
-
-    def bound_apply(self):  # pragma: no cover - convenience
-        return self.params
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -97,9 +94,10 @@ def loss_and_metrics(
     return loss, {"loss": loss_fine, "psnr": psnr}
 
 
-def make_train_step(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "data"):
-    """Build the jitted step. With a mesh, batches are sharded over ``axis``
-    and state is replicated; XLA handles the cross-chip grad reduction."""
+def make_step_fn(rc: RenderConfig, tc: TrainConfig):
+    """The single-scene update rule (state, batch[, occ_grid]) -> (state,
+    metrics) — shared by the data-parallel step below and the multi-scene
+    trainer (which vmaps it over a stacked scene axis)."""
     optimizer = make_optimizer(tc)
 
     def step_fn(state: TrainState, batch: jnp.ndarray, occ_grid=None):
@@ -116,6 +114,14 @@ def make_train_step(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "d
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng
         )
         return new_state, metrics
+
+    return step_fn
+
+
+def make_train_step(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "data"):
+    """Build the jitted step. With a mesh, batches are sharded over ``axis``
+    and state is replicated; XLA handles the cross-chip grad reduction."""
+    step_fn = make_step_fn(rc, tc)
 
     # With occupancy sampling the step takes (state, batch, occ_grid);
     # otherwise the 2-arg signature is preserved.

@@ -76,3 +76,36 @@ def test_multi_scene_sharded_layout():
     assert leaf.shape[0] == 8
     assert len(leaf.addressable_shards) == 8
     assert leaf.addressable_shards[0].data.shape[0] == 1  # one scene/device
+
+
+def test_multi_scene_with_occupancy():
+    """Per-scene occupancy grids: stacked, refreshed, and consumed by the
+    shared step — one grid per device."""
+    from nerfmlp_tpu.parallel.multi_scene import (
+        create_multi_scene_grids,
+        make_multi_scene_grid_update,
+    )
+
+    rc = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                      perturb=True, aabb=(-1, -1, -1, 1, 1, 1),
+                      use_occupancy=True, occ_grid_size=8,
+                      occ_dense_samples=16)
+    tc = TrainConfig(batch_size=32)
+    mesh = make_mesh(n_devices=8)
+    state = jax.device_put(create_multi_scene_state(8, rc, tc),
+                           scene_sharding(mesh))
+    grids = jax.device_put(create_multi_scene_grids(8, rc),
+                           scene_sharding(mesh))
+    upd = make_multi_scene_grid_update(rc, mesh)
+    rngs = jax.device_put(
+        jax.vmap(jax.random.PRNGKey)(jnp.arange(8, dtype=jnp.uint32)),
+        scene_sharding(mesh),
+    )
+    grids = upd(grids, state.params, rngs)
+    assert jax.tree.leaves(grids)[0].shape == (8, 8, 8, 8)
+
+    step = make_multi_scene_step(rc, tc, mesh)
+    batch = jax.device_put(jnp.asarray(_batches(8, 32)), scene_sharding(mesh))
+    state, m = step(state, batch, grids)
+    assert np.isfinite(np.asarray(m["loss"])).all()
+    assert "grad_norm" in m  # shared step rule: full metric set
