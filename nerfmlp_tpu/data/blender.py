@@ -102,15 +102,17 @@ class BlenderDataset:
         from nerfmlp_tpu.ops.rays import get_rays_np
 
         n = len(self.images)
-        ro, rd, rgb = [], [], []
+        ro, rd = [], []
         for k in range(n):
             o, d = get_rays_np(self.H, self.W, self.focal, self.poses[k])
             ro.append(o.reshape(-1, 3).astype(np.float32))
             rd.append(d.reshape(-1, 3).astype(np.float32))
-            rgb.append(self.images[k].reshape(-1, 3).astype(np.float32))
         self.all_rays_o = np.concatenate(ro, axis=0)
         self.all_rays_d = np.concatenate(rd, axis=0)
-        self.all_rgbs = np.concatenate(rgb, axis=0)
+        # Zero-copy view of the contiguous image stack (per-image flats
+        # concatenated in order == one big reshape); a copy here doubles
+        # RGB host RAM (~0.75 GB for Lego train at 800^2).
+        self.all_rgbs = self.images.reshape(-1, 3)
 
     def __len__(self) -> int:
         return self.all_rays_o.shape[0]

@@ -38,11 +38,12 @@ def expected_shapes(cfg: Optional[ModelConfig] = None) -> List[tuple]:
     """Kernel/bias shapes in official array order, for validation dumps."""
     cfg = cfg or ModelConfig()
     shapes = []
-    in_dim = cfg.input_ch
     for i in range(cfg.depth):
-        d_in = in_dim if i == 0 else cfg.width
-        if i in cfg.skips and i > 0:
-            d_in = cfg.width + cfg.input_ch
+        d_in = cfg.input_ch if i == 0 else cfg.width
+        if i in cfg.skips:
+            # The model concatenates the encoded input before layer i
+            # (including a hypothetical skip at 0, where h == x).
+            d_in = d_in + cfg.input_ch
         shapes += [(d_in, cfg.width), (cfg.width,)]
     if cfg.use_viewdirs:
         shapes += [(cfg.width, cfg.bottleneck_ch), (cfg.bottleneck_ch,)]

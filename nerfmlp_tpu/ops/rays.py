@@ -128,6 +128,12 @@ def look_at_matrix(
     forward = eye - target  # camera +Z points away from the target
     forward = forward / (np.linalg.norm(forward) + 1e-12)
     right = np.cross(up, forward)
+    if np.linalg.norm(right) < 1e-6:
+        # View direction parallel to up (straight top-down/bottom-up
+        # camera): fall back to a perpendicular up axis instead of
+        # producing a degenerate zero-column rotation.
+        up = np.array([0.0, 1.0, 0.0], dtype=np.float32)
+        right = np.cross(up, forward)
     right = right / (np.linalg.norm(right) + 1e-12)
     true_up = np.cross(forward, right)
 

@@ -10,10 +10,11 @@ Mirrors the reference's redundant checkpoint layering (SURVEY §5.3/5.4):
     quick_val_*, val_steps, iteration_times, best_val_psnr), so the
     plotting/status tools carry over unchanged.
 
-Format: flax msgpack serialization of the pytree, with a small JSON header
-describing shapes (self-describing enough for `load_checkpoint` to restore
-into a freshly-initialized state). Official TF ``.npy`` weight lists remain
-an import path via models/import_tf.py (the PSNR-parity bootstrap).
+Format: flax msgpack serialization of the pytree; ``load_checkpoint``
+restores into a template pytree of matching structure (``load_params_any``
+inspects the serialized structure to pick the right template). Official TF
+``.npy`` weight lists remain an import path via models/import_tf.py (the
+PSNR-parity bootstrap).
 """
 
 from __future__ import annotations
@@ -85,16 +86,15 @@ def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None)
         raise ValueError(".ckpt loading requires a template param pytree")
     if "coarse" in template_params:
         template_params = template_params["coarse"]
-    try:
-        return {"coarse": load_checkpoint(path, template_params)}
-    except ValueError:
-        pass
-    try:  # stored as {"coarse": ...}
-        return load_checkpoint(path, {"coarse": template_params})
-    except ValueError:  # stored as {"coarse": ..., "fine": ...}
-        return load_checkpoint(
-            path, {"coarse": template_params, "fine": template_params}
-        )
+    # Inspect the serialized structure FIRST: flax restore ignores extra
+    # keys, so naively trying templates in order would silently DROP the
+    # fine network from a separate-fine checkpoint.
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if "coarse" in raw:  # {"coarse": ..., ["fine": ...]}
+        template = {k: template_params for k in raw.keys()}
+        return serialization.from_state_dict(template, raw)
+    return {"coarse": serialization.from_state_dict(template_params, raw)}
 
 
 def latest_checkpoint(save_dir: str) -> Optional[str]:

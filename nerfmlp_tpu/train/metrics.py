@@ -123,8 +123,8 @@ def calculate_etc(
     recent = iteration_times[-window:]
     median_t = float(np.median(recent))
     mean_t = float(np.mean(recent))
-    remaining = (total_iters - step) * median_t
-    remaining = min(remaining, 365 * 24 * 3600.0)  # 1-year cap
+    remaining = max(0.0, (total_iters - step) * median_t)
+    remaining = min(remaining, 365 * 24 * 3600.0)  # clamp to [0, 1 year]
     return {
         "progress_percent": 100.0 * step / total_iters,
         "median_iter_time": median_t,
@@ -152,5 +152,10 @@ def convert_for_json(obj):
         try:
             return obj.item()
         except Exception:
-            return obj
+            # Multi-element device arrays: convert via numpy rather than
+            # leaking a non-serializable object into json.dump.
+            try:
+                return _np.asarray(obj).tolist()
+            except Exception:
+                return obj
     return obj
