@@ -1,17 +1,26 @@
-"""Headline benchmark: training throughput (rays/s) on one TPU chip.
+"""Benchmarks on one TPU chip.
 
-Config mirrors the reference's flagship workload (scripts/train.py defaults):
-batch 1024 rays/step, 64 coarse + 128 importance samples (256 MLP evals per
-ray), coarse+fine hierarchical rendering, Adam. Baseline: the reference's
-best published wall-time implies ~7.1k train rays/s on an M3 Pro
-(BASELINE.md "derived throughput"; band 1.9k-7.1k).
+Default mode prints ONE JSON line — the headline training-throughput
+metric (the driver records it):
+  {"metric": "train_rays_per_sec_per_chip", "value": ..., ...}
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Config mirrors the reference's flagship workload (scripts/train.py
+defaults): batch 1024 rays/step, 64 coarse + 128 importance samples (256
+MLP evals per ray), coarse+fine hierarchical rendering, Adam. Baseline:
+the reference's best published wall-time implies ~7.1k train rays/s on an
+M3 Pro (BASELINE.md "derived throughput"; band 1.9k-7.1k).
 
-NOTE: timings force a device->host readback of the final loss because the
-axon tunnel's block_until_ready does not actually block.
+``--full`` reproduces the whole RESULTS.md table from one command: train
+throughput for bf16+pallas / bf16 XLA / fp32 XLA / occupancy-grid
+sampling, 800x800 render seconds-per-frame (bf16 + fp32), and an 8-fake-
+device multichip dry-run (subprocess on the CPU platform). Rows stream as
+JSON lines and are also written to bench_full.json.
+
+NOTE: timings force a device->host readback of the final result because
+the axon tunnel's block_until_ready does not actually block.
 """
 
+import argparse
 import json
 import time
 
@@ -20,25 +29,14 @@ import numpy as np
 BASELINE_RAYS_PER_SEC = 7100.0  # BASELINE.md derived-throughput upper band
 
 
-def main():
-    import jax
+def _train_throughput(rc, batch: int, iters: int = 100) -> float:
+    """Compile + time the full jitted train step; returns rays/s."""
     import jax.numpy as jnp
 
-    from nerfmlp_tpu.config import RenderConfig, TrainConfig
+    from nerfmlp_tpu.config import TrainConfig
     from nerfmlp_tpu.parallel.train_step import create_train_state, make_train_step
 
-    batch = 1024
-    rc = RenderConfig(
-        N_samples=64,
-        N_importance=128,
-        near=2.0,
-        far=6.0,
-        perturb=True,
-        compute_dtype="bfloat16",
-        use_pallas=True,
-    )
     tc = TrainConfig(batch_size=batch)
-
     state = create_train_state(rc, tc)
     step = make_train_step(rc, tc)
 
@@ -48,29 +46,147 @@ def main():
     b[:, 6:9] = np.abs(b[:, 6:9]) % 1.0
     b = jnp.asarray(b)
 
-    # Warmup / compile.
+    occ_args = ()
+    if rc.use_occupancy:
+        import jax
+
+        from nerfmlp_tpu.ops.occupancy import create_grid, update_grid
+
+        grid = jax.jit(
+            lambda g, p, r: update_grid(g, p, rc, r, decay=0.0)
+        )(create_grid(rc.occ_grid_size), state.params, jax.random.PRNGKey(1))
+        occ_args = (grid,)
+
     for _ in range(3):
-        state, m = step(state, b)
+        state, m = step(state, b, *occ_args)
     _ = float(m["loss"])
 
-    n = 100
+    t0 = time.time()
+    for _ in range(iters):
+        state, m = step(state, b, *occ_args)
+    _ = float(m["loss"])  # forces completion through the tunnel
+    return batch / ((time.time() - t0) / iters)
+
+
+def _render_seconds(rc, wh: int = 800, n: int = 3) -> float:
+    """Whole-frame render wall time (s/frame) at wh x wh."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.rays import get_rays_np, pose_spherical
+    from nerfmlp_tpu.ops.render import render_image
+
+    params = {"coarse": init_model(jax.random.PRNGKey(0), rc.model_config())}
+    o, d = get_rays_np(wh, wh, wh * 1.39, pose_spherical(30.0, -30.0, 4.0))
+    o = jnp.asarray(o.reshape(-1, 3).copy())
+    d = jnp.asarray(d.reshape(-1, 3))
+
+    img = render_image(params, o, d, wh, wh, rc)  # warmup/compile
+    _ = float(img[0, 0, 0])
     t0 = time.time()
     for _ in range(n):
-        state, m = step(state, b)
-    _ = float(m["loss"])  # forces completion
-    dt = (time.time() - t0) / n
+        img = render_image(params, o, d, wh, wh, rc)
+        _ = float(img[0, 0, 0])
+    return (time.time() - t0) / n
 
-    rays_per_sec = batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s (batch 1024, 64+128 samples, bf16 compute)",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
-            }
-        )
+
+def _multichip_dryrun_ok() -> bool:
+    """Run the 8-fake-device dry run in a CPU-platform subprocess (never
+    inside this process: XLA_FLAGS is parsed once and the TPU is busy)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
     )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=1200,
+        )
+        return r.returncode == 0 and "occupancy-grid step" in r.stdout
+    except Exception:
+        return False
+
+
+def _row(metric, value, unit, vs=None):
+    row = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if vs is not None:
+        row["vs_baseline"] = round(vs, 2)
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--full", action="store_true",
+                   help="emit the whole RESULTS.md row set (slow)")
+    args = p.parse_args()
+
+    from nerfmlp_tpu.config import RenderConfig
+
+    flagship = dict(N_samples=64, N_importance=128, near=2.0, far=6.0,
+                    perturb=True)
+    bf16_pallas = RenderConfig(
+        **flagship, compute_dtype="bfloat16", use_pallas=True
+    )
+
+    if not args.full:
+        rays = _train_throughput(bf16_pallas, batch=1024)
+        print(json.dumps({
+            "metric": "train_rays_per_sec_per_chip",
+            "value": round(rays, 1),
+            "unit": "rays/s (batch 1024, 64+128 samples, bf16 compute)",
+            "vs_baseline": round(rays / BASELINE_RAYS_PER_SEC, 2),
+        }))
+        return
+
+    rows = []
+    # The CPU-subprocess dry run goes FIRST: once this process touches the
+    # TPU it holds the tunnel, and two TPU processes serialize.
+    rows.append(_row("multichip_dryrun_8dev_ok",
+                     float(_multichip_dryrun_ok()), "bool"))
+
+    r = _train_throughput(bf16_pallas, batch=1024)
+    rows.append(_row("train_bf16_pallas", r, "rays/s (batch 1024, 64+128)",
+                     r / BASELINE_RAYS_PER_SEC))
+    r = _train_throughput(
+        RenderConfig(**flagship, compute_dtype="bfloat16"), batch=1024
+    )
+    rows.append(_row("train_bf16_xla", r, "rays/s (batch 1024, 64+128)",
+                     r / BASELINE_RAYS_PER_SEC))
+    r = _train_throughput(RenderConfig(**flagship), batch=1024)
+    rows.append(_row("train_fp32_xla", r, "rays/s (batch 1024, 64+128)",
+                     r / BASELINE_RAYS_PER_SEC))
+    occ = RenderConfig(
+        N_samples=16, N_importance=48, near=2.0, far=6.0, perturb=True,
+        compute_dtype="bfloat16", use_pallas=True, use_occupancy=True,
+        aabb=(-1.3, -1.3, -1.3, 1.3, 1.3, 1.3),
+    )
+    r = _train_throughput(occ, batch=1024)
+    rows.append(_row("train_occupancy_16_48", r, "rays/s (batch 1024, occ grid)",
+                     r / BASELINE_RAYS_PER_SEC))
+
+    s = _render_seconds(RenderConfig(
+        N_samples=64, N_importance=128, near=2.0, far=6.0, perturb=False,
+        compute_dtype="bfloat16", use_pallas=True,
+    ))
+    rows.append(_row("render_800px_bf16_pallas", s, "s/frame (800x800, 64+128)"))
+    s = _render_seconds(RenderConfig(
+        N_samples=64, N_importance=128, near=2.0, far=6.0, perturb=False,
+    ))
+    rows.append(_row("render_800px_fp32_xla", s, "s/frame (800x800, 64+128)"))
+
+    with open("bench_full.json", "w") as f:
+        json.dump(rows, f, indent=2)
+    print("wrote bench_full.json", flush=True)
 
 
 if __name__ == "__main__":

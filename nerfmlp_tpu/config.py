@@ -128,3 +128,8 @@ class TrainConfig:
     precrop_frac: float = 0.5    # crop fraction (run_nerf.py:776-792)
     no_batching: bool = False    # sample each batch from ONE random image
     profile_dir: str = ""        # jax.profiler trace of steps 10-30
+    # In-training render events (run_nerf.py:845-872); 0 = off.
+    i_video: int = 0             # spiral-path rgb+disp video every N steps
+    i_testset: int = 0           # test-pose sweep w/ per-frame PSNR every N
+    render_factor: int = 0       # downscale for the render events
+                                 # (oracle --render_factor, run_nerf.py:529-531)

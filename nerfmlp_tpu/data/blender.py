@@ -133,6 +133,17 @@ class BlenderDataset:
             self.all_rgbs[sl].reshape(self.H, self.W, 3),
         )
 
+    def render_poses(self, n_frames: int = 40) -> np.ndarray:
+        """Orbit trajectory for video rendering (the oracle's i_video
+        renders load_blender's 40-pose spherical orbit, run_nerf.py:845-851;
+        elevation -30 deg). Radius is derived from the capture's mean
+        camera distance (== the original's hardcoded 4.0 on real Blender
+        scenes) so synthetic scenes at other scales orbit correctly."""
+        from nerfmlp_tpu.ops.rays import blender_render_poses
+
+        radius = float(np.linalg.norm(self.poses[:, :3, 3], axis=-1).mean())
+        return blender_render_poses(n_frames=n_frames, radius=radius)
+
     def dynamic_near_far(self) -> Tuple[float, float]:
         """Scene bounds heuristic with spherical-camera detection
         (scripts/train.py:233-253): if all camera distances from the origin

@@ -30,6 +30,107 @@ def _viewmatrix(z: np.ndarray, up: np.ndarray, pos: np.ndarray) -> np.ndarray:
     return np.stack([vec0, vec1, vec2, pos], axis=1)
 
 
+def _focus_point(poses: np.ndarray) -> np.ndarray:
+    """Point minimizing summed squared distance to all camera optical axes
+    (the 360-capture "center of attention"). Least-squares over the
+    projectors perpendicular to each axis."""
+    d = poses[:, :3, 2]
+    d = d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-12)
+    proj = np.eye(3)[None] - d[:, :, None] * d[:, None, :]  # (N, 3, 3)
+    lhs = proj.mean(axis=0)
+    rhs = (proj @ poses[:, :3, 3:4]).mean(axis=0)[:, 0]
+    # lstsq (not solve): parallel optical axes make lhs singular — the
+    # min-norm solution picks the point on the shared axis nearest origin
+    # instead of crashing on degenerate (e.g. forward-facing) rigs.
+    return np.linalg.lstsq(lhs, rhs, rcond=None)[0]
+
+
+def spherify_poses(poses: np.ndarray, bounds: np.ndarray):
+    """360-capture normalization (oracle flag --spherify, run_nerf.py:548):
+    recenters the rig on the point the cameras look at, rescales so the
+    average camera sits on a unit sphere, and builds a circular render path
+    at the rig's mean height looking at the center (behavioral parity with
+    the original load_llff spherify; the generating load_llff.py is imported
+    by the oracle but absent from its repo, run_nerf.py:12).
+
+    Returns (poses (N,4,4), render_poses (120,4,4), bounds, scale).
+    """
+    center = _focus_point(poses)
+    up_raw = (poses[:, :3, 3] - center).mean(axis=0)
+    if np.linalg.norm(up_raw) < 1e-6:
+        # Degenerate rig (cameras centered on the focus point — e.g. a
+        # forward-facing capture fed through --spherify): fall back to the
+        # cameras' own mean up axis instead of a zero vector.
+        up_raw = poses[:, :3, 1].sum(axis=0)
+    up = _normalize(up_raw)
+    # World frame with z = up, origin at the center (the arbitrary seed
+    # vector just needs to be non-parallel to up).
+    x = _normalize(np.cross(np.array([0.1, 0.2, 0.3]), up))
+    y = _normalize(np.cross(up, x))
+    frame = np.eye(4, dtype=np.float32)
+    frame[:3, 0], frame[:3, 1], frame[:3, 2], frame[:3, 3] = x, y, up, center
+    poses = (np.linalg.inv(frame)[None] @ poses).astype(np.float32)
+
+    rad = float(np.sqrt(np.mean(np.sum(poses[:, :3, 3] ** 2, axis=-1))))
+    sc = 1.0 / rad
+    poses[:, :3, 3] *= sc
+    bounds = bounds * sc
+
+    zh = float(poses[:, :3, 3].mean(axis=0)[2])
+    radcircle = float(np.sqrt(max(1.0 - zh * zh, 1e-6)))
+    render = []
+    for th in np.linspace(0.0, 2.0 * np.pi, 120, endpoint=False):
+        pos = np.array(
+            [radcircle * np.cos(th), radcircle * np.sin(th), zh],
+            dtype=np.float32,
+        )
+        back = _normalize(pos)  # camera +z points away from the origin
+        right = _normalize(np.cross(back, np.array([0.0, 0.0, -1.0])))
+        upv = _normalize(np.cross(back, right))
+        p = np.eye(4, dtype=np.float32)
+        p[:3, 0], p[:3, 1], p[:3, 2], p[:3, 3] = right, upv, back, pos
+        render.append(p)
+    return poses, np.stack(render), bounds, sc
+
+
+def spiral_render_poses(
+    poses: np.ndarray,
+    bounds: np.ndarray,
+    n_frames: int = 120,
+    n_rots: int = 2,
+    zrate: float = 0.5,
+) -> np.ndarray:
+    """Forward-facing spiral path around the average (recentered) pose —
+    the trajectory the oracle's LLFF i_video renders (run_nerf.py:845-851;
+    path semantics from the original load_llff spiral: focus depth from
+    the depth bounds, radii from the 90th percentile of camera offsets).
+    """
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :4] = _viewmatrix(
+        _normalize(poses[:, :3, 2].sum(axis=0)),
+        poses[:, :3, 1].sum(axis=0),
+        poses[:, :3, 3].mean(axis=0),
+    )
+    up = _normalize(poses[:, :3, 1].sum(axis=0))
+    close, far = float(bounds.min()) * 0.9, float(bounds.max()) * 5.0
+    dt = 0.75
+    focus = 1.0 / ((1.0 - dt) / close + dt / far)
+    rads = np.percentile(np.abs(poses[:, :3, 3]), 90, axis=0)
+
+    out = []
+    for th in np.linspace(0.0, 2.0 * np.pi * n_rots, n_frames, endpoint=False):
+        offset = np.array(
+            [np.cos(th), -np.sin(th), -np.sin(th * zrate)], dtype=np.float32
+        ) * rads
+        pos = c2w[:3, 3] + c2w[:3, :3] @ offset
+        look = c2w[:3, 3] + c2w[:3, :3] @ np.array([0.0, 0.0, -focus], np.float32)
+        back = _normalize(pos - look)
+        p = np.eye(4, dtype=np.float32)
+        p[:3, :4] = _viewmatrix(back, up, pos)
+        out.append(p)
+    return np.stack(out)
+
+
 def recenter_poses(poses: np.ndarray) -> np.ndarray:
     """Rigidly transform all (N, 4, 4) c2w poses so their AVERAGE pose is
     the identity (cameras centered at the origin, mean view along -z).
@@ -62,12 +163,18 @@ class LLFFDataset:
         apply_srgb_to_linear: bool = False,
         bd_factor: float = 0.75,    # depth-bound rescale (load_llff semantics)
         recenter: bool = True,
+        spherify: bool = False,     # 360 capture (oracle --spherify)
+        factor: int = 0,            # explicit images_{factor}/ dir (oracle --factor)
         **_,
     ):
         self.datadir = datadir
         self.split = split
         self.img_wh = tuple(img_wh)
-        self.use_ndc = use_ndc
+        self.spherify = spherify
+        # NDC assumes a forward-facing rig looking down -z; a spherified
+        # 360 capture violates that, so spherify implies metric rays
+        # (the oracle pairs --spherify with --no_ndc).
+        self.use_ndc = use_ndc and not spherify
         W, H = img_wh
         self.H, self.W = H, W
 
@@ -96,17 +203,29 @@ class LLFFDataset:
             self.bounds = self.bounds * sc
         if recenter:
             c2w = recenter_poses(c2w)
+        self._spherify_render_poses = None
+        if spherify:
+            c2w, self._spherify_render_poses, self.bounds, _ = spherify_poses(
+                c2w, self.bounds
+            )
         self.poses = c2w.astype(np.float32)
         # Metric near/far must come from the FULL capture's bounds, before
         # the train/val holdout split — the oracle derives them from all
-        # bds (run_nerf.py:608-610), so train and test agree.
+        # bds (run_nerf.py:608-610), so train and test agree. The full
+        # (pre-split) poses feed the spiral render path.
         self._full_bounds = self.bounds.copy()
+        self._full_poses = self.poses.copy()
 
-        # Pick the smallest pre-downsampled image set that still covers the
-        # requested resolution (LLFF scenes ship images/ at ~12MP alongside
-        # images_2/4/8 — decoding full-res to downsample to 504px wastes
-        # 10-60x the IO).
-        img_dir = self._pick_image_dir(datadir, W)
+        # --factor selects images_{factor}/ explicitly (oracle semantics:
+        # the original load_llff minifies images/ into that directory when
+        # absent); otherwise pick the smallest pre-downsampled set that
+        # still covers the requested resolution (LLFF scenes ship images/
+        # at ~12MP alongside images_2/4/8 — decoding full-res to
+        # downsample to 504px wastes 10-60x the IO).
+        if factor and factor > 1:
+            img_dir = self._ensure_factor_dir(datadir, factor)
+        else:
+            img_dir = self._pick_image_dir(datadir, W)
         if img_dir is None:
             raise FileNotFoundError(f"no images*/ directory under {datadir}")
         files = sorted(
@@ -140,6 +259,48 @@ class LLFFDataset:
             self.images = srgb_to_linear(self.images)
 
         self._generate_rays()
+
+    @staticmethod
+    def _ensure_factor_dir(datadir: str, factor: int) -> str:
+        """images_{factor}/ path, minifying from images/ with PIL when it
+        does not exist yet (the original load_llff's _minify shells out to
+        imagemagick; PIL-LANCZOS is the dependency-free equivalent)."""
+        out_dir = os.path.join(datadir, f"images_{factor}")
+        src_dir = os.path.join(datadir, "images")
+        if os.path.isdir(out_dir) and os.listdir(out_dir):
+            return out_dir
+        if not os.path.isdir(src_dir):
+            raise FileNotFoundError(
+                f"--factor {factor}: neither {out_dir} nor {src_dir} exists"
+            )
+        from PIL import Image
+
+        os.makedirs(out_dir, exist_ok=True)
+        for f in sorted(os.listdir(src_dir)):
+            if not f.lower().endswith((".png", ".jpg", ".jpeg")):
+                continue
+            with Image.open(os.path.join(src_dir, f)) as im:
+                im = im.resize(
+                    (im.size[0] // factor, im.size[1] // factor),
+                    Image.Resampling.LANCZOS,
+                )
+                im.save(os.path.join(out_dir, f))
+        return out_dir
+
+    def render_poses(self, n_frames: int = 120) -> np.ndarray:
+        """Video trajectory: circular orbit for spherified 360 captures,
+        spiral around the average pose for forward-facing rigs — computed
+        from the FULL capture (pre-holdout), like the oracle's
+        render_poses (run_nerf.py:593-599)."""
+        if self._spherify_render_poses is not None:
+            rp = self._spherify_render_poses
+            if n_frames != rp.shape[0]:
+                idx = np.linspace(0, rp.shape[0], n_frames, endpoint=False)
+                rp = rp[idx.astype(int)]
+            return rp
+        return spiral_render_poses(
+            self._full_poses, self._full_bounds, n_frames=n_frames
+        )
 
     @staticmethod
     def _pick_image_dir(datadir: str, want_w: int):

@@ -113,8 +113,11 @@ class RayBatchLoader:
         n_imgs, H, W = self.image_shape
         if self.precrop_frac >= 1.0:
             return img_idx * H * W + self.rng.integers(0, H * W, self.batch_size)
-        dh = int(H // 2 * self.precrop_frac)
-        dw = int(W // 2 * self.precrop_frac)
+        # Clamp to >=1: tiny images/fractions would otherwise make
+        # rng.integers(H//2, H//2) raise instead of degrading to the
+        # single central pixel.
+        dh = max(1, int(H // 2 * self.precrop_frac))
+        dw = max(1, int(W // 2 * self.precrop_frac))
         rows = self.rng.integers(H // 2 - dh, H // 2 + dh, self.batch_size)
         cols = self.rng.integers(W // 2 - dw, W // 2 + dw, self.batch_size)
         return img_idx * H * W + rows * W + cols

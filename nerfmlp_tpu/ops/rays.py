@@ -145,6 +145,49 @@ def look_at_matrix(
     return c2w
 
 
+def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarray:
+    """c2w on a sphere: azimuth ``theta``, elevation ``phi`` (degrees),
+    distance ``radius`` from the origin, camera looking at the origin.
+
+    This is the camera parameterization of the original NeRF's Blender
+    ``render_poses`` (the oracle renders them for its i_video trajectory,
+    example/run_nerf.py:845-863; the generating loader load_blender.py is
+    imported at run_nerf.py:13 but absent from the repo — behavior follows
+    the published NeRF convention: translate by radius along +z, rotate by
+    elevation about x, by azimuth about y, then swap into the z-up world).
+    """
+    theta = np.deg2rad(theta_deg)
+    phi = np.deg2rad(phi_deg)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = radius  # camera at (0, 0, r), -z looks at origin
+    rot_x = np.eye(4, dtype=np.float32)
+    rot_x[1, 1] = rot_x[2, 2] = np.cos(phi)
+    rot_x[1, 2], rot_x[2, 1] = -np.sin(phi), np.sin(phi)
+    rot_y = np.eye(4, dtype=np.float32)
+    rot_y[0, 0] = rot_y[2, 2] = np.cos(theta)
+    rot_y[0, 2], rot_y[2, 0] = -np.sin(theta), np.sin(theta)
+    flip = np.array(
+        [[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+        dtype=np.float32,
+    )
+    return flip @ rot_y @ rot_x @ c2w
+
+
+def blender_render_poses(
+    n_frames: int = 40, phi_deg: float = -30.0, radius: float = 4.0
+) -> np.ndarray:
+    """The standard Blender-synthetic orbit: ``n_frames`` azimuths in
+    [-180, 180) at elevation ``phi``, distance ``radius`` — the trajectory
+    the oracle's i_video events render (run_nerf.py:845-851)."""
+    return np.stack(
+        [
+            pose_spherical(th, phi_deg, radius)
+            for th in np.linspace(-180.0, 180.0, n_frames, endpoint=False)
+        ],
+        axis=0,
+    )
+
+
 def spiral_poses(
     radius: float,
     n_frames: int = 120,

@@ -22,7 +22,7 @@ reference runs ONE shared network for both passes (renderer.py:76,103);
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -234,7 +234,7 @@ def render_rays(
     }
 
 
-def render_image(
+def render_image_maps(
     params: Dict,
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
@@ -246,8 +246,13 @@ def render_image(
     far=None,
     occ_grid=None,
     viewdirs=None,
-) -> jnp.ndarray:
-    """Whole-image inference: (H*W, 3) rays -> (H, W, 3) rgb.
+    maps: Tuple[str, ...] = ("rgb_map",),
+) -> Dict[str, jnp.ndarray]:
+    """Whole-image inference: (H*W, 3) rays -> requested (H, W, ...) maps.
+
+    ``maps`` selects which render_rays outputs to assemble (``rgb_map``,
+    ``disp_map``, ``depth_map``, ``acc_map``) — the oracle's render_path
+    collects both rgb and disp for its videos (run_nerf.py:352-367).
 
     Deterministic (perturb/noise forced off, as in render_example.py:
     227-236). Rays are padded to a multiple of ``tile`` and a SINGLE
@@ -273,7 +278,7 @@ def render_image(
     if viewdirs is not None:
         viewdirs = jnp.concatenate([jnp.asarray(viewdirs), _down], axis=0)
 
-    tile_fn = _tile_render_fn(cfg)
+    tile_fn = _tile_render_fn(cfg, tuple(maps))
     near_arg = near if near is not None else cfg.near
     far_arg = far if far is not None else cfg.far
 
@@ -299,20 +304,45 @@ def render_image(
         )
         for i in range(n_tiles)
     ]
-    rgb = jnp.concatenate(outs, axis=0)
-    return rgb[:n_rays].reshape(H, W, 3)
+    result = {}
+    for key in maps:
+        flat = jnp.concatenate([o[key] for o in outs], axis=0)[:n_rays]
+        shape = (H, W) + flat.shape[1:]
+        result[key] = flat.reshape(shape)
+    return result
+
+
+def render_image(
+    params: Dict,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    H: int,
+    W: int,
+    cfg: RenderConfig,
+    tile: int = 4096,
+    near=None,
+    far=None,
+    occ_grid=None,
+    viewdirs=None,
+) -> jnp.ndarray:
+    """(H*W, 3) rays -> (H, W, 3) rgb (see :func:`render_image_maps`)."""
+    return render_image_maps(
+        params, rays_o, rays_d, H, W, cfg, tile=tile, near=near, far=far,
+        occ_grid=occ_grid, viewdirs=viewdirs, maps=("rgb_map",),
+    )["rgb_map"]
 
 
 @functools.lru_cache(maxsize=32)
-def _tile_render_fn(cfg: RenderConfig):
-    """One compiled deterministic tile renderer per config (cfg is a frozen
-    dataclass, so it is a valid cache key)."""
+def _tile_render_fn(cfg: RenderConfig, maps: Tuple[str, ...]):
+    """One compiled deterministic tile renderer per (config, maps) pair
+    (cfg is a frozen dataclass, so it is a valid cache key)."""
 
     @jax.jit
     def tile_fn(params, o, d, near, far, occ_grid, viewdirs):
-        return render_rays(
+        out = render_rays(
             params, o, d, None, cfg, near=near, far=far,
             occ_grid=occ_grid, viewdirs=viewdirs,
-        )["rgb_map"]
+        )
+        return {k: out[k] for k in maps}
 
     return tile_fn

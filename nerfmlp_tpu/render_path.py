@@ -1,0 +1,126 @@
+"""Trajectory rendering: the TPU-side equivalent of the oracle's
+``render_path`` (example/run_nerf.py:339-375).
+
+Given a list of c2w poses, renders rgb + disparity frames, optionally
+downscaled by ``render_factor`` (run_nerf.py:344-349), optionally saving
+per-frame PNGs (:361-367) and logging per-frame PSNR against ground-truth
+images when provided (:369-372). NDC scenes (``cfg.ndc``) get their rays
+reprojected at render time with world-space view directions kept for the
+view branch (run_nerf.py:297-312) — this is what lets LLFF novel cameras
+(spiral videos, zoom) work at all.
+
+Used by both the in-training i_video / i_testset events
+(nerfmlp_tpu/train/loop.py) and the standalone scripts/render_video.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from nerfmlp_tpu.config import RenderConfig
+from nerfmlp_tpu.ops.render import render_image_maps
+from nerfmlp_tpu.utils.image import save_png, to8b
+
+
+def rays_for_pose(
+    pose: np.ndarray, H: int, W: int, focal: float, cfg: RenderConfig
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """(rays_o, rays_d, viewdirs) flattened to (H*W, 3) for one camera.
+
+    For NDC configs the returned o/d are NDC-reparameterized and viewdirs
+    are the WORLD directions computed before the projection (the oracle
+    conditions the view branch on pre-NDC directions, run_nerf.py:297-312);
+    for metric configs viewdirs is None (render_rays normalizes rays_d).
+    """
+    from nerfmlp_tpu.ops.rays import get_rays_np, ndc_rays
+
+    o, d = get_rays_np(H, W, focal, np.asarray(pose, dtype=np.float32))
+    o = o.reshape(-1, 3).astype(np.float32).copy()
+    d = d.reshape(-1, 3).astype(np.float32)
+    if not cfg.ndc:
+        return o, d, None
+    vd = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    o_n, d_n = ndc_rays(H, W, focal, 1.0, o, d)
+    return np.asarray(o_n), np.asarray(d_n), vd
+
+
+def render_path(
+    params: Dict,
+    poses: np.ndarray,
+    hwf: Tuple[int, int, float],
+    cfg: RenderConfig,
+    gt_images: Optional[np.ndarray] = None,
+    render_factor: int = 0,
+    occ_grid=None,
+    save_dir: Optional[str] = None,
+    tile: int = 4096,
+    verbose: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, Optional[list]]:
+    """Render every pose; returns (rgbs (N,H,W,3), disps (N,H,W), psnrs).
+
+    * ``render_factor`` > 1 divides H/W/focal for fast previews
+      (run_nerf.py:344-349); ground-truth comparison is skipped when
+      downscaled (shapes no longer match, same as the oracle's render-only
+      path which passes gt_imgs=None with render_factor).
+    * ``gt_images`` (N,H,W,3): per-frame PSNR is computed and printed
+      (run_nerf.py:369-372) and returned.
+    * ``save_dir``: writes ``{i:03d}.png`` rgb frames (run_nerf.py:361-365).
+    """
+    import jax.numpy as jnp
+
+    H, W, focal = hwf
+    if render_factor and render_factor > 1:
+        H, W = H // render_factor, W // render_factor
+        focal = focal / render_factor
+        gt_images = None
+
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+
+    rgbs, disps = [], []
+    psnrs = [] if gt_images is not None else None
+    for i, pose in enumerate(np.asarray(poses)):
+        o, d, vd = rays_for_pose(pose, H, W, focal, cfg)
+        out = render_image_maps(
+            params, jnp.asarray(o), jnp.asarray(d), H, W, cfg,
+            tile=tile, occ_grid=occ_grid,
+            viewdirs=None if vd is None else jnp.asarray(vd),
+            maps=("rgb_map", "disp_map"),
+        )
+        rgb = np.asarray(out["rgb_map"], dtype=np.float32)
+        disp = np.asarray(out["disp_map"], dtype=np.float32)
+        rgbs.append(rgb)
+        disps.append(disp)
+        line = f"render_path {i + 1}/{len(poses)}"
+        if psnrs is not None:
+            p = -10.0 * np.log10(
+                max(float(np.mean((rgb - gt_images[i]) ** 2)), 1e-12)
+            )
+            psnrs.append(p)
+            line += f" | PSNR {p:.2f}"
+        if save_dir:
+            save_png(os.path.join(save_dir, f"{i:03d}.png"), rgb)
+        if verbose:
+            print(line, flush=True)
+    if psnrs is not None and verbose and psnrs:
+        print(f"render_path mean PSNR over {len(psnrs)} frames: "
+              f"{float(np.mean(psnrs)):.2f}", flush=True)
+    return np.stack(rgbs), np.stack(disps), psnrs
+
+
+def save_path_videos(
+    base: str, rgbs: np.ndarray, disps: np.ndarray, fps: int = 30
+) -> Tuple[str, str]:
+    """Write ``<base>_rgb`` and ``<base>_disp`` videos (the oracle writes
+    both an rgb and a max-normalized disparity video, run_nerf.py:853-856).
+    Returns the two paths written."""
+    from nerfmlp_tpu.utils.image import write_video
+
+    rgb_path = write_video(base + "_rgb", to8b(rgbs), fps=fps)
+    disp_path = write_video(
+        base + "_disp", to8b(disps / max(float(np.max(disps)), 1e-8)), fps=fps
+    )
+    return rgb_path, disp_path

@@ -97,6 +97,25 @@ def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None)
     return {"coarse": serialization.from_state_dict(template_params, raw)}
 
 
+def is_params_only(path: str) -> bool:
+    """True when the serialized tree is a bare params dict ({"coarse", ...})
+    rather than a full TrainState ({"step", "params", "opt_state", "rng"})."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    return "opt_state" not in raw
+
+
+def step_from_filename(path: str) -> int:
+    """model_{step}.ckpt -> step; 0 when the name carries no step."""
+    stem = os.path.basename(path)
+    for prefix, suffix in (("model_", ".ckpt"),):
+        if stem.startswith(prefix) and stem.endswith(suffix):
+            digits = stem[len(prefix) : -len(suffix)]
+            if digits.isdigit():
+                return int(digits)
+    return 0
+
+
 def latest_checkpoint(save_dir: str) -> Optional[str]:
     """Auto-discover the most recent resumable checkpoint in a directory
     (the TF oracle auto-reloads sorted model_*.npy, run_nerf.py:439-456)."""

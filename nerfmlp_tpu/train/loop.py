@@ -53,6 +53,8 @@ class Trainer:
         mesh=None,
         verbose: bool = True,
         tensorboard_dir: Optional[str] = None,
+        render_poses=None,
+        test_ds=None,
     ):
         self.rc = rc
         self.tc = tc
@@ -62,6 +64,11 @@ class Trainer:
         self.save_dir = save_dir
         self.mesh = mesh
         self.verbose = verbose
+        # In-training render events (the oracle's i_video / i_testset,
+        # example/run_nerf.py:845-872): a trajectory of c2w poses for the
+        # spiral video, and a held-out dataset for the test-set sweeps.
+        self.render_poses = render_poses
+        self.test_ds = test_ds
         os.makedirs(save_dir, exist_ok=True)
 
         # Optional TensorBoard scalars (the TF oracle logs loss/psnr/images
@@ -120,8 +127,21 @@ class Trainer:
             "val_steps": [],
             "full_val_steps": [],
             "iteration_times": [],
+            # Ring-buffer bookkeeping: iteration_times is capped (memory +
+            # JSON-rewrite cost grow per step otherwise); dropped samples
+            # stay accounted for here so totals remain exact.
+            "iteration_times_dropped": 0,
+            "iteration_times_dropped_sum": 0.0,
+            "testset_psnrs": [],
+            "testset_steps": [],
             "best_val_psnr": 0.0,
         }
+
+    # iteration_times cap: once the list exceeds this, the oldest half is
+    # folded into the dropped counters. 20k floats ≈ 160 KB in memory and
+    # ~400 KB of JSON — bounded regardless of run length (a 200k-step run
+    # would otherwise re-serialize ~4 MB every quick-val).
+    _ITER_TIMES_CAP = 20_000
 
     # ------------------------------------------------------------------ #
 
@@ -178,15 +198,74 @@ class Trainer:
 
             cfg = _dc.replace(self.rc, perturb=False, raw_noise_std=0.0)
             o, d, _ = self.val_ds.image_rays(0)
+            # NDC/LLFF datasets carry world-space viewdirs alongside the
+            # NDC rays — rendering without them conditions the view branch
+            # on NDC-space directions (wrong colors); mirror _validate.
+            vd = getattr(self.val_ds, "image_viewdirs", lambda _i: None)(0)
             img = np.asarray(
                 render_image(
                     self.state.params, jnp.asarray(o), jnp.asarray(d),
                     self.val_ds.H, self.val_ds.W, cfg, occ_grid=self.occ_grid,
+                    viewdirs=vd,
                 )
             )
             save_png(os.path.join(self.save_dir, f"val_{step:06d}.png"), img)
         except Exception as e:
             self._log(f"(val image dump skipped: {e})")
+
+    def _hwf(self, ds):
+        return ds.H, ds.W, ds.focal
+
+    def _video_event(self, step: int) -> None:
+        """Render the spiral/orbit trajectory to rgb + disp videos — the
+        oracle's i_video event (example/run_nerf.py:845-863). Best-effort:
+        a failed encode must not kill a long training run."""
+        try:
+            from nerfmlp_tpu.render_path import render_path, save_path_videos
+
+            rgbs, disps, _ = render_path(
+                self.state.params, self.render_poses,
+                self._hwf(self.train_ds), self.rc,
+                render_factor=self.tc.render_factor,
+                occ_grid=self.occ_grid, verbose=False,
+            )
+            expname = os.path.basename(os.path.normpath(self.save_dir))
+            base = os.path.join(self.save_dir, f"{expname}_spiral_{step:06d}")
+            rgb_path, disp_path = save_path_videos(base, rgbs, disps)
+            self._log(f"🎬 i_video @ {step:,}: {rgb_path}, {disp_path}")
+        except Exception as e:
+            self._log(f"(i_video event failed: {e})")
+
+    def _testset_event(self, step: int) -> None:
+        """Render every held-out test pose with per-frame PSNR — the
+        oracle's i_testset event (example/run_nerf.py:865-872); frames go
+        to testset_{step:06d}/ like the oracle's testsavedir."""
+        try:
+            from nerfmlp_tpu.render_path import render_path
+
+            out_dir = os.path.join(self.save_dir, f"testset_{step:06d}")
+            _, _, psnrs = render_path(
+                self.state.params, self.test_ds.poses,
+                self._hwf(self.test_ds), self.rc,
+                gt_images=self.test_ds.images,
+                render_factor=self.tc.render_factor,
+                occ_grid=self.occ_grid, save_dir=out_dir, verbose=False,
+            )
+            if psnrs:
+                mean_p = float(np.mean(psnrs))
+                self.history["testset_psnrs"].append(mean_p)
+                self.history["testset_steps"].append(step)
+                if self._tb is not None:
+                    self._tb.add_scalar("test/psnr", mean_p, step)
+                self._log(
+                    f"🧪 i_testset @ {step:,}: {len(psnrs)} views -> {out_dir} "
+                    f"| mean PSNR {mean_p:.2f} "
+                    f"(min {min(psnrs):.2f} / max {max(psnrs):.2f})"
+                )
+            else:
+                self._log(f"🧪 i_testset @ {step:,}: frames -> {out_dir}")
+        except Exception as e:
+            self._log(f"(i_testset event failed: {e})")
 
     def quick_validate(self) -> Dict[str, float]:
         return self._validate(self.quick_val_ds, self.tc.quick_val_subset)
@@ -204,7 +283,21 @@ class Trainer:
         if not os.path.exists(path):
             self._log(f"⚠️  resume checkpoint not found: {path} — starting fresh")
             return False
-        restored = ckpt.load_checkpoint(path, jax.device_get(self.state))
+        host_state = jax.device_get(self.state)
+        if ckpt.is_params_only(path):
+            # Auto-discovery can land on a params-only model_{step}.ckpt
+            # (e.g. metrics_latest.ckpt was corrupted/removed). Restore the
+            # weights, take the step from the filename, keep a fresh
+            # optimizer — the oracle's .npy reload does exactly this
+            # (weights only, step from the filename, run_nerf.py:439-456).
+            params = ckpt.load_checkpoint(path, host_state.params)
+            step = ckpt.step_from_filename(path)
+            restored = host_state.replace(
+                params=params, step=jnp.asarray(step, jnp.int32)
+            )
+            self._log(f"⚠️  {path} holds params only — optimizer state reset")
+        else:
+            restored = ckpt.load_checkpoint(path, host_state)
         if self.mesh is not None:
             # Re-apply the replicated layout __init__ used — a plain put
             # commits to one device, breaking donation (and multi-host).
@@ -306,8 +399,16 @@ class Trainer:
             run_count += 1
 
             now = time.time()
-            self.history["iteration_times"].append(now - t_prev)
+            it = self.history["iteration_times"]
+            it.append(now - t_prev)
             t_prev = now
+            if len(it) > self._ITER_TIMES_CAP:
+                drop = len(it) // 2
+                self.history["iteration_times_dropped"] += drop
+                self.history["iteration_times_dropped_sum"] += float(
+                    np.sum(it[:drop])
+                )
+                del it[:drop]
 
             if step % tc.log_interval == 0:
                 m = jax.device_get(pending[0])
@@ -360,6 +461,26 @@ class Trainer:
                     self.state.params,
                 )
 
+            # In-training render events (run_nerf.py:845-872). Skipped on
+            # the final step: the oracle's `and i > 0` guard plus the fact
+            # that end-of-run artifacts come from the final checkpoint.
+            if (
+                tc.i_video
+                and step % tc.i_video == 0
+                and step < iters
+                and self.render_poses is not None
+            ):
+                self._video_event(step)
+                t_prev = time.time()
+            if (
+                tc.i_testset
+                and step % tc.i_testset == 0
+                and step < iters
+                and self.test_ds is not None
+            ):
+                self._testset_event(step)
+                t_prev = time.time()
+
             self.history["step"] = step
 
         # Final saves + full validation (train.py:563-585).
@@ -397,6 +518,7 @@ class Trainer:
             self._tb.add_scalar("val/loss", qm["loss"], step)
             self._tb.add_scalar("val/psnr", qm["psnr"], step)
             self._tb.add_scalar("val/ssim", qm["ssim"], step)
+            self._tb_histograms_and_image(step)
 
         conv = ""
         if len(h["quick_val_losses"]) > 5:
@@ -431,11 +553,64 @@ class Trainer:
             )
 
         self._save_resumable()
+        snapshot = dict(self.history, config=self._config_dict())
         ckpt.save_metrics_json(
-            os.path.join(self.save_dir, "metrics_latest.json"),
-            dict(self.history, config=self._config_dict()),
+            os.path.join(self.save_dir, "metrics_latest.json"), snapshot
         )
+        # Layered per-step snapshot (reference train.py:480-495 writes
+        # metrics_{step}_latest.json alongside the rolling latest file, so
+        # corruption of one never loses the run's history). Pruned to the
+        # most recent few to bound disk growth.
+        ckpt.save_metrics_json(
+            os.path.join(self.save_dir, f"metrics_{step}_latest.json"), snapshot
+        )
+        self._prune_step_snapshots(keep=5)
         self._log("-" * 80)
+
+    def _prune_step_snapshots(self, keep: int) -> None:
+        """Keep only the newest ``keep`` metrics_{step}_latest.json files."""
+        import re
+
+        snaps = []
+        for name in os.listdir(self.save_dir):
+            m = re.fullmatch(r"metrics_(\d+)_latest\.json", name)
+            if m:
+                snaps.append((int(m.group(1)), name))
+        for _, name in sorted(snaps)[:-keep]:
+            try:
+                os.remove(os.path.join(self.save_dir, name))
+            except OSError:
+                pass
+
+    def _tb_histograms_and_image(self, step: int) -> None:
+        """Param histograms + one holdout render to TensorBoard (the
+        oracle's i_img logging, example/run_nerf.py:879-922)."""
+        try:
+            import jax.tree_util as jtu
+
+            for path, leaf in jtu.tree_flatten_with_path(self.state.params)[0]:
+                name = "/".join(
+                    getattr(k, "key", getattr(k, "idx", "?")).__str__()
+                    for k in path
+                )
+                self._tb.add_histogram(f"params/{name}", np.asarray(leaf), step)
+            if self.quick_val_ds is not None:
+                ds = self.quick_val_ds
+                cfg = dataclasses.replace(
+                    self.rc, perturb=False, raw_noise_std=0.0
+                )
+                o, d, gt = ds.image_rays(0)
+                vd = getattr(ds, "image_viewdirs", lambda _i: None)(0)
+                img = np.asarray(render_image(
+                    self.state.params, jnp.asarray(o), jnp.asarray(d),
+                    ds.H, ds.W, cfg, occ_grid=self.occ_grid, viewdirs=vd,
+                ))
+                self._tb.add_image(
+                    "val/render", np.clip(img, 0, 1), step, dataformats="HWC"
+                )
+                self._tb.add_image("val/gt", gt, step, dataformats="HWC")
+        except Exception as e:
+            self._log(f"(tensorboard histogram/image logging failed: {e})")
 
     def _config_dict(self) -> Dict:
         return {

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Golden-image Lego parity harness — the executable form of the north
+star: given the real ``nerf_synthetic/lego`` scene and the official
+``model_fine_200000.npy`` weights, render a test view in BOTH frameworks
+(ours and the torch reference at /root/reference) and assert the per-view
+PSNR difference is within 0.1 dB.
+
+Semantics match the reference's official-weights render path
+(scripts/render_example.py:166-207 dual loading, :212-223 auto-config
+N_importance=64 for official weights, :120-124 training-consistent bounds
+near=2.0 far=6.0).
+
+Skips gracefully (exit 0, report "skipped") when the dataset or weights
+are not mounted; the moment real data appears this fires as-is:
+
+  python scripts/golden_lego.py --datadir /data/nerf_synthetic/lego \\
+      --weights /data/lego_example_weights/model_fine_200000.npy
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REFERENCE = "/root/reference"
+
+DATA_CANDIDATES = [
+    os.environ.get("NERF_SYNTHETIC_LEGO", ""),
+    "/root/data/nerf_synthetic/lego",
+    "/data/nerf_synthetic/lego",
+    os.path.join(REFERENCE, "data/nerf_synthetic/lego"),
+]
+WEIGHT_CANDIDATES = [
+    os.environ.get("LEGO_FINE_WEIGHTS", ""),
+    "/root/data/lego_example_weights/model_fine_200000.npy",
+    "/data/lego_example_weights/model_fine_200000.npy",
+    os.path.join(REFERENCE, "data/lego_example_weights/model_fine_200000.npy"),
+]
+
+
+def _first_existing(cands, check):
+    for c in cands:
+        if c and check(c):
+            return c
+    return None
+
+
+def find_inputs(datadir=None, weights=None):
+    datadir = datadir or _first_existing(
+        DATA_CANDIDATES,
+        lambda d: os.path.exists(os.path.join(d, "transforms_test.json")),
+    )
+    weights = weights or _first_existing(WEIGHT_CANDIDATES, os.path.isfile)
+    return datadir, weights
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Golden Lego PSNR-parity check")
+    p.add_argument("--datadir", type=str, default=None)
+    p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--view_idx", type=int, default=0)
+    p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
+    p.add_argument("--tolerance_db", type=float, default=0.1)
+    p.add_argument("--out", type=str, default="outputs/golden_lego.json")
+    p.add_argument("--skip_reference", action="store_true",
+                   help="render only our framework (no torch baseline)")
+    args = p.parse_args(argv)
+
+    datadir, weights = find_inputs(args.datadir, args.weights)
+    if datadir is None or weights is None:
+        report = {
+            "status": "skipped",
+            "reason": f"lego data ({datadir}) or official weights "
+                      f"({weights}) not mounted",
+        }
+        print(json.dumps(report))
+        return report
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.data.blender import BlenderDataset
+    from nerfmlp_tpu.ops.render import render_image
+    from nerfmlp_tpu.train.checkpoint import load_params_any
+    from nerfmlp_tpu.train.metrics import psnr_images
+    from nerfmlp_tpu.utils.image import save_png
+
+    # Official-weight semantics (render_example.py): N_importance=64,
+    # near/far 2/6, white background, NO srgb-to-linear on GT (the official
+    # weights were trained on raw [0,1] pixels). fp32 XLA = the parity path.
+    ds = BlenderDataset(
+        datadir, "test", img_wh=tuple(args.img_wh),
+        white_bkgd=True, apply_srgb_to_linear=False,
+    )
+    cfg = RenderConfig(
+        N_samples=64, N_importance=64, near=2.0, far=6.0,
+        white_bkgd=True, perturb=False, raw_noise_std=0.0,
+        compute_dtype="float32", use_pallas=False,
+    )
+    params = load_params_any(weights, cfg=cfg.model_config())
+
+    o, d, gt = ds.image_rays(args.view_idx)
+    ours = np.asarray(render_image(
+        params, jnp.asarray(o), jnp.asarray(d), ds.H, ds.W, cfg
+    ))
+    psnr_ours = psnr_images(ours, gt)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_png(args.out.rsplit(".", 1)[0] + "_ours.png", ours)
+
+    report = {
+        "status": "ok",
+        "view_idx": args.view_idx,
+        "img_wh": list(args.img_wh),
+        "psnr_ours_vs_gt": round(float(psnr_ours), 4),
+    }
+
+    if not args.skip_reference and os.path.isdir(
+        os.path.join(REFERENCE, "nerfmlp")
+    ):
+        import torch
+
+        sys.path.insert(0, REFERENCE)
+        import nerfmlp as ref_pkg
+
+        ref_model = ref_pkg.NeRFMLP()
+        arrays = [np.asarray(a) for a in np.load(weights, allow_pickle=True)]
+        ref_model.load_from_numpy(arrays)
+        ref_model.eval()
+        renderer = ref_pkg.NeRFRenderer(
+            ref_model, torch.device("cpu"),
+            N_samples=64, N_importance=64, near=2.0, far=6.0,
+            white_bkgd=True, perturb=0.0, raw_noise_std=0.0,
+        )
+        with torch.no_grad():
+            out = renderer.render(
+                torch.from_numpy(np.ascontiguousarray(o)),
+                torch.from_numpy(np.ascontiguousarray(d)),
+                ds.H, ds.W, ds.focal,
+            )
+        theirs = out.numpy()  # render() returns the (H, W, 3) rgb image
+        psnr_ref = psnr_images(theirs, gt)
+        save_png(args.out.rsplit(".", 1)[0] + "_reference.png", theirs)
+        delta = abs(float(psnr_ours) - float(psnr_ref))
+        report.update({
+            "psnr_reference_vs_gt": round(float(psnr_ref), 4),
+            "psnr_ours_vs_reference": round(psnr_images(ours, theirs), 4),
+            "delta_db": round(delta, 4),
+            "within_tolerance": delta <= args.tolerance_db,
+        })
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    r = main()
+    if r.get("status") == "ok" and r.get("within_tolerance") is False:
+        sys.exit(1)

@@ -1,8 +1,15 @@
 #!/usr/bin/env python
-"""Render a camera trajectory to PNG frames + mp4 — the TPU-side equivalent
-of the official render_path video dumps (example/run_nerf.py:339-375,
-845-863): spiral/orbit poses, optional render_factor downscale, per-frame
-PSNR when ground truth exists.
+"""Render a camera trajectory (or the test set) to PNG frames + rgb/disp
+videos — the TPU-side equivalent of the official render_path driver
+(example/run_nerf.py:339-375 and the --render_only/--render_test paths,
+:682-702):
+
+  * dataset render poses by default (Blender: the 40-pose orbit; LLFF:
+    spiral for forward-facing, circular for --spherify),
+  * ``--render_test``: render the held-out test split's own poses and log
+    per-frame PSNR against ground truth (run_nerf.py:369-372, 687-691),
+  * rgb AND max-normalized disparity videos (run_nerf.py:853-856),
+  * ``--render_factor`` downscale for fast previews (run_nerf.py:344-349).
 """
 
 import argparse
@@ -13,84 +20,108 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="Render an orbit/spiral video")
+    p = argparse.ArgumentParser(description="Render an orbit/spiral/test-set video")
     p.add_argument("--datadir", type=str, required=True)
     p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--dataset_type", type=str, default="blender",
+                   choices=["blender", "llff"])
     p.add_argument("--out_dir", type=str, default="outputs/video")
     p.add_argument("--size", type=int, default=400)
     p.add_argument("--n_frames", type=int, default=60)
-    p.add_argument("--radius", type=float, default=None,
-                   help="orbit radius (default: mean camera distance)")
-    p.add_argument("--height", type=float, default=None)
     p.add_argument("--fps", type=int, default=30)
-    p.add_argument("--render_factor", type=int, default=1,
+    p.add_argument("--render_factor", type=int, default=0,
                    help="downscale factor for fast previews")
+    p.add_argument("--render_test", action="store_true",
+                   help="render the test split's poses with per-frame PSNR "
+                        "against ground truth instead of a trajectory")
+    p.add_argument("--spherify", action="store_true",
+                   help="LLFF 360 capture (circular orbit path)")
+    p.add_argument("--factor", type=int, default=0,
+                   help="LLFF images_{factor}/ directory")
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=64)
+    p.add_argument("--near", type=float, default=None)
+    p.add_argument("--far", type=float, default=None)
+    p.add_argument("--separate_fine", action="store_true")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
     args = p.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from PIL import Image
 
     from nerfmlp_tpu.config import RenderConfig
-    from nerfmlp_tpu.data.blender import BlenderDataset
     from nerfmlp_tpu.models.mlp import init_model
-    from nerfmlp_tpu.ops.rays import get_rays_np, spiral_poses
-    from nerfmlp_tpu.ops.render import render_image
+    from nerfmlp_tpu.render_path import render_path, save_path_videos
     from nerfmlp_tpu.train.checkpoint import load_params_any
 
     os.makedirs(args.out_dir, exist_ok=True)
-    size = max(args.size // max(args.render_factor, 1), 16)
-    ds = BlenderDataset(args.datadir, "train", img_wh=(size, size))
+    if args.dataset_type == "llff":
+        from nerfmlp_tpu.data.llff import LLFFDataset
 
-    cam_d = np.linalg.norm(ds.poses[:, :3, 3], axis=-1)
-    radius = args.radius or float(cam_d.mean())
-    height = args.height if args.height is not None else float(
-        ds.poses[:, 2, 3].mean()
+        ds = LLFFDataset(
+            args.datadir, "test" if args.render_test else "train",
+            img_wh=(args.size, args.size),
+            spherify=args.spherify, factor=args.factor,
+        )
+        ndc = ds.use_ndc
+    else:
+        from nerfmlp_tpu.data.blender import BlenderDataset
+
+        split = "test" if args.render_test else "train"
+        try:
+            ds = BlenderDataset(args.datadir, split, img_wh=(args.size, args.size))
+        except FileNotFoundError:
+            if not args.render_test:
+                raise
+            print("(no test split; using val)")
+            ds = BlenderDataset(args.datadir, "val", img_wh=(args.size, args.size))
+        ndc = False
+
+    near, far = ds.dynamic_near_far()
+    if args.near is not None:
+        near = args.near
+    if args.far is not None:
+        far = args.far
+
+    rc = RenderConfig(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        near=near, far=far, perturb=False, ndc=ndc,
+        white_bkgd=args.dataset_type == "blender",
+        separate_fine=args.separate_fine,
+        use_pallas=args.use_pallas,
+        compute_dtype="bfloat16" if args.use_pallas else "float32",
     )
-    near, far = max(0.1, radius - 2.0), radius + 2.0
-
-    rc = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
-                      near=near, far=far, perturb=False,
-                      use_pallas=args.use_pallas)
     template = init_model(jax.random.PRNGKey(0), rc.model_config())
+    if args.separate_fine:
+        template = {"coarse": template, "fine": template}
     params = load_params_any(args.ckpt, template, rc.model_config())
 
-    poses = spiral_poses(radius, n_frames=args.n_frames, height=height)
-    frames = []
-    for k, pose in enumerate(poses):
-        o, d = get_rays_np(size, size, ds.focal, pose)
-        img = np.asarray(render_image(
-            params, jnp.asarray(o.reshape(-1, 3).copy()),
-            jnp.asarray(d.reshape(-1, 3)), size, size, rc,
-        ))
-        frame = (np.clip(img, 0, 1) * 255).round().astype(np.uint8)
-        frames.append(frame)
-        Image.fromarray(frame).save(os.path.join(args.out_dir, f"frame_{k:04d}.png"))
-        if (k + 1) % 10 == 0:
-            print(f"rendered {k + 1}/{len(poses)} frames")
+    if args.render_test:
+        poses, gts, tag = ds.poses, ds.images, "test"
+    else:
+        poses, gts, tag = ds.render_poses(n_frames=args.n_frames), None, "path"
 
-    try:
-        import imageio.v2 as imageio
+    rgbs, disps, psnrs = render_path(
+        params, poses, (ds.H, ds.W, ds.focal), rc,
+        gt_images=gts, render_factor=args.render_factor,
+        save_dir=os.path.join(args.out_dir, "frames"),
+    )
+    rgb_path, disp_path = save_path_videos(
+        os.path.join(args.out_dir, tag), rgbs, disps, fps=args.fps
+    )
+    print(f"wrote {rgb_path} and {disp_path}")
+    if psnrs:
+        import numpy as np
 
-        mp4 = os.path.join(args.out_dir, "orbit.mp4")
-        imageio.mimwrite(mp4, frames, fps=args.fps, quality=8)
-        print(f"wrote {mp4}")
-    except Exception as e:
-        # No ffmpeg backend in this environment: fall back to an animated
-        # GIF via PIL (always available) so a video artifact still ships.
-        from PIL import Image
+        import json
 
-        gif = os.path.join(args.out_dir, "orbit.gif")
-        pil_frames = [Image.fromarray(f) for f in frames]
-        pil_frames[0].save(
-            gif, save_all=True, append_images=pil_frames[1:],
-            duration=max(1000 // args.fps, 20), loop=0,
-        )
-        print(f"(mp4 unavailable: {e}); wrote {gif}")
+        report = {
+            "per_frame_psnr": [round(float(x), 3) for x in psnrs],
+            "mean_psnr": round(float(np.mean(psnrs)), 3),
+        }
+        with open(os.path.join(args.out_dir, "psnr.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"mean test PSNR {report['mean_psnr']:.2f} "
+              f"({len(psnrs)} frames; psnr.json written)")
 
 
 if __name__ == "__main__":

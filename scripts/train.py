@@ -15,10 +15,14 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _expand_config_files(argv):
+def _expand_config_files(argv, bool_flags=frozenset()):
     """``--config FILE`` support (the oracle uses configargparse,
     example/run_nerf.py:461-465): FILE holds ``key = value`` lines that are
-    expanded into flags, with explicit CLI flags taking precedence."""
+    expanded into flags, with explicit CLI flags taking precedence.
+
+    ``bool_flags``: names of store_true/store_false flags — for those,
+    numeric "1"/"0" mean present/absent (configargparse convention); for
+    value flags "1"/"0" stay values (``testskip = 1``)."""
     argv = list(sys.argv[1:] if argv is None else argv)
     out = []
     i = 0
@@ -34,11 +38,11 @@ def _expand_config_files(argv):
                     key, _, val = line.partition("=")
                     key, val = key.strip(), val.strip()
                     flag = [f"--{key}"]
-                    # Only words spell booleans — numeric "0"/"1" are VALUES
-                    # (testskip = 1 must not become a bare flag).
-                    if val.lower() in ("true", "yes"):
+                    truthy = ("true", "yes") + (("1",) if key in bool_flags else ())
+                    falsy = ("false", "no") + (("0",) if key in bool_flags else ())
+                    if val.lower() in truthy:
                         pass  # store_true flag
-                    elif val.lower() in ("false", "no"):
+                    elif val.lower() in falsy:
                         continue
                     else:
                         flag += val.split()
@@ -49,8 +53,22 @@ def _expand_config_files(argv):
     return out
 
 
+def _bool_flag_names(parser):
+    """Names of store_true/store_false options (no-argument actions)."""
+    return frozenset(
+        opt.lstrip("-")
+        for a in parser._actions
+        if a.nargs == 0
+        for opt in a.option_strings
+    )
+
+
 def parse_args(argv=None):
-    argv = _expand_config_files(argv)
+    p = build_parser()
+    return p.parse_args(_expand_config_files(argv, _bool_flag_names(p)))
+
+
+def build_parser():
     p = argparse.ArgumentParser(description="Train NeRF (TPU-native)")
     # Reference flags (train.py:180-192).
     p.add_argument("--datadir", type=str, required=True)
@@ -64,7 +82,13 @@ def parse_args(argv=None):
     p.add_argument("--full_val_interval", type=int, default=10000)
     p.add_argument("--quick_val_res", type=int, nargs=2, default=[256, 256])
     p.add_argument("--quick_val_subset", type=int, default=10)
-    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint to resume from; by default the newest "
+                        "checkpoint in --save_dir is auto-discovered "
+                        "(oracle behavior, run_nerf.py:439-456)")
+    p.add_argument("--no_resume", action="store_true",
+                   help="start fresh even if --save_dir has checkpoints "
+                        "(oracle --no_reload)")
     # Sampling / renderer (reference ctor kwargs + example/ superset flags).
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=128)
@@ -107,7 +131,20 @@ def parse_args(argv=None):
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of steps 10-30 here")
     p.add_argument("--tensorboard", action="store_true",
-                   help="log scalars to <save_dir>/tb")
+                   help="log scalars/histograms/images to <save_dir>/tb")
+    p.add_argument("--i_video", type=int, default=0,
+                   help="render a spiral rgb+disp video every N steps "
+                        "(oracle --i_video, run_nerf.py:845-863; 0 = off)")
+    p.add_argument("--i_testset", type=int, default=0,
+                   help="render the test set w/ per-frame PSNR every N steps "
+                        "(oracle --i_testset, run_nerf.py:865-872; 0 = off)")
+    p.add_argument("--render_factor", type=int, default=0,
+                   help="downscale factor for the in-training render events")
+    p.add_argument("--spherify", action="store_true",
+                   help="LLFF 360-capture path (oracle --spherify)")
+    p.add_argument("--factor", type=int, default=0,
+                   help="LLFF: use the images_{factor}/ downsample dir "
+                        "explicitly (oracle --factor; 0 = auto-pick)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize MLP activations (XLA path): bigger batches")
     p.add_argument("--aabb", type=float, nargs=6, default=None,
@@ -118,7 +155,7 @@ def parse_args(argv=None):
                         "pass with a cached density grid (requires --aabb)")
     p.add_argument("--occ_grid_size", type=int, default=64)
     p.add_argument("--occ_update_every", type=int, default=16)
-    return p.parse_args(argv)
+    return p
 
 
 def main(argv=None):
@@ -145,12 +182,30 @@ def main(argv=None):
     else:
         from nerfmlp_tpu.data.blender import BlenderDataset as DS
 
+    ds_kw = {}
+    if args.dataset_type == "llff":
+        ds_kw = {"spherify": args.spherify, "factor": args.factor}
     dataset = DS(args.datadir, split=args.split, img_wh=tuple(args.img_wh),
-                 white_bkgd=not args.no_white_bkgd)
+                 white_bkgd=not args.no_white_bkgd, **ds_kw)
     val_ds = DS(args.datadir, split="val", img_wh=tuple(args.img_wh),
-                white_bkgd=not args.no_white_bkgd, testskip=args.testskip)
+                white_bkgd=not args.no_white_bkgd, testskip=args.testskip,
+                **ds_kw)
     quick_val_ds = DS(args.datadir, split="val", img_wh=tuple(args.quick_val_res),
-                      white_bkgd=not args.no_white_bkgd, testskip=args.testskip)
+                      white_bkgd=not args.no_white_bkgd, testskip=args.testskip,
+                      **ds_kw)
+
+    # In-training render events (oracle run_nerf.py:845-872): the spiral
+    # trajectory for i_video, the held-out test split for i_testset.
+    render_poses = dataset.render_poses() if args.i_video else None
+    test_ds = None
+    if args.i_testset:
+        try:
+            test_ds = DS(args.datadir, split="test", img_wh=tuple(args.img_wh),
+                         white_bkgd=not args.no_white_bkgd,
+                         testskip=args.testskip, **ds_kw)
+        except (FileNotFoundError, OSError) as e:
+            print(f"⚠️  --i_testset: no test split ({e}); falling back to val")
+            test_ds = val_ds
 
     # Snapshot the invocation for reproducibility (oracle writes args.txt,
     # example/run_nerf.py:659-668).
@@ -198,6 +253,8 @@ def main(argv=None):
         quick_val_subset=args.quick_val_subset,
         precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
         no_batching=args.no_batching, profile_dir=args.profile_dir,
+        i_video=args.i_video, i_testset=args.i_testset,
+        render_factor=args.render_factor,
     )
 
     mesh = None
@@ -212,9 +269,22 @@ def main(argv=None):
         rc, tc, dataset, val_ds, quick_val_ds,
         save_dir=args.save_dir, mesh=mesh,
         tensorboard_dir=os.path.join(args.save_dir, "tb") if args.tensorboard else None,
+        render_poses=render_poses, test_ds=test_ds,
     )
-    if args.resume:
-        trainer.resume(args.resume)
+    # Auto-resume: discover the newest checkpoint in save_dir unless the
+    # user opted out or named one explicitly (oracle auto-reloads sorted
+    # model_*.npy from its logdir, run_nerf.py:439-456) — a crashed run
+    # restarted with the same command continues where it left off.
+    resume_path = args.resume
+    if resume_path is None and not args.no_resume:
+        from nerfmlp_tpu.train.checkpoint import latest_checkpoint
+
+        resume_path = latest_checkpoint(args.save_dir)
+        if resume_path:
+            print(f"Auto-discovered checkpoint: {resume_path} "
+                  f"(use --no_resume to start fresh)")
+    if resume_path:
+        trainer.resume(resume_path)
 
     metrics = trainer.train()
 

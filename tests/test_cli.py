@@ -59,6 +59,107 @@ def test_train_cli_resume(cli_scene, trained):
     assert m["step"] == 90
 
 
+def test_train_cli_auto_resume(cli_scene, trained, capsys):
+    """Without --resume, the newest checkpoint in save_dir is discovered
+    and resumed automatically (oracle run_nerf.py:439-456)."""
+    from scripts.train import main as train_main
+
+    m = train_main([
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--batch_size", "256", "--iters", "120", "--save_dir", trained,
+        "--N_samples", "8", "--N_importance", "8",
+        "--quick_val_interval", "30", "--full_val_interval", "0",
+        "--quick_val_res", "32", "32", "--quick_val_subset", "1",
+        "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "Auto-discovered checkpoint" in out
+    assert "resumed from" in out
+    assert m["step"] == 120
+
+
+def test_train_cli_no_resume_opt_out(cli_scene, trained, capsys):
+    from scripts.train import main as train_main
+
+    train_main([
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--batch_size", "256", "--iters", "30", "--save_dir", trained,
+        "--N_samples", "8", "--N_importance", "8",
+        "--quick_val_interval", "30", "--full_val_interval", "0",
+        "--quick_val_res", "32", "32", "--quick_val_subset", "1",
+        "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
+        "--no_resume",
+    ])
+    out = capsys.readouterr().out
+    assert "Auto-discovered checkpoint" not in out
+
+
+def test_config_file_bool_and_value_flags(tmp_path):
+    """configargparse-style files spell booleans as 1/0 too; numeric
+    values of value flags must stay values (ADVICE round 1)."""
+    from scripts.train import parse_args
+
+    cfg = tmp_path / "run.cfg"
+    cfg.write_text(
+        "no_batching = 1\nlindisp = 0\ntestskip = 2\nbatch_size = 512\n"
+    )
+    args = parse_args(["--config", str(cfg), "--datadir", "/x"])
+    assert args.no_batching is True
+    assert args.lindisp is False
+    assert args.testskip == 2
+    assert args.batch_size == 512
+
+
+def test_train_cli_default_flags_smoke(cli_scene, tmp_path):
+    """Drive the CLI with its SHIPPED defaults (bf16 + pallas kernel, which
+    interprets on CPU) — catches default-path-only breakage that the
+    fp32/no-pallas CLI tests cannot."""
+    from scripts.train import main as train_main
+
+    out = str(tmp_path / "defaults")
+    m = train_main([
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--batch_size", "128", "--iters", "6", "--save_dir", out,
+        "--N_samples", "8", "--N_importance", "8",
+        "--quick_val_interval", "3", "--full_val_interval", "0",
+        "--quick_val_res", "16", "16", "--quick_val_subset", "1",
+        "--n_devices", "1",
+    ])
+    assert np.isfinite(m["train_losses"][-1])
+    assert os.path.exists(os.path.join(out, "model_final.ckpt"))
+
+
+def test_render_video_cli(cli_scene, trained, tmp_path):
+    """Trajectory + test-set rendering with rgb/disp videos and per-frame
+    PSNR (oracle render_path semantics, run_nerf.py:339-375)."""
+    import glob
+
+    from scripts.render_video import main as rv_main
+
+    out = str(tmp_path / "vid")
+    rv_main([
+        "--datadir", cli_scene, "--ckpt",
+        os.path.join(trained, "model_final.ckpt"),
+        "--out_dir", out, "--size", "32", "--n_frames", "2",
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+    ])
+    assert glob.glob(os.path.join(out, "path_rgb.*"))
+    assert glob.glob(os.path.join(out, "path_disp.*"))
+    assert os.path.exists(os.path.join(out, "frames", "001.png"))
+
+    out2 = str(tmp_path / "vidtest")
+    rv_main([
+        "--datadir", cli_scene, "--ckpt",
+        os.path.join(trained, "model_final.ckpt"),
+        "--out_dir", out2, "--size", "32", "--render_test",
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+    ])
+    with open(os.path.join(out2, "psnr.json")) as f:
+        rep = json.load(f)
+    assert len(rep["per_frame_psnr"]) == 2  # test split has 2 views
+    assert np.isfinite(rep["mean_psnr"])
+
+
 def test_render_example_cli(cli_scene, trained, tmp_path):
     from scripts.render_example import main as render_main
 

@@ -1,0 +1,54 @@
+"""North-star golden-image test: Lego test-view PSNR parity within 0.1 dB
+between our framework and the torch reference, from the official
+``model_fine_200000.npy`` weights at 800x800.
+
+No Lego data or official weights ship in this environment, so this is a
+skip-if-absent harness (VERDICT r1 item 4): it fires automatically the
+moment ``nerf_synthetic/lego`` + the weight file are mounted (see the
+search paths in scripts/golden_lego.py, overridable via the
+NERF_SYNTHETIC_LEGO / LEGO_FINE_WEIGHTS env vars)."""
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scripts.golden_lego import find_inputs  # noqa: E402
+
+_datadir, _weights = find_inputs()
+
+
+@pytest.mark.skipif(
+    _datadir is None or _weights is None,
+    reason="nerf_synthetic/lego dataset or official fine weights not mounted",
+)
+def test_golden_lego_psnr_parity(tmp_path):
+    from scripts.golden_lego import main
+
+    report = main([
+        "--out", str(tmp_path / "golden.json"),
+        # Full 800x800 through torch-CPU takes many minutes; the harness is
+        # only exercised when real data is mounted, where fidelity matters
+        # more than runtime.
+        "--img_wh", "800", "800",
+    ])
+    assert report["status"] == "ok"
+    assert "delta_db" in report, "torch reference unavailable for comparison"
+    assert report["within_tolerance"], (
+        f"PSNR gap {report['delta_db']} dB exceeds 0.1 dB "
+        f"(ours {report['psnr_ours_vs_gt']}, "
+        f"reference {report['psnr_reference_vs_gt']})"
+    )
+
+
+def test_golden_lego_skips_cleanly_without_data(tmp_path, monkeypatch):
+    """The harness itself must not crash when inputs are missing."""
+    from scripts import golden_lego
+
+    monkeypatch.setattr(golden_lego, "DATA_CANDIDATES", ["/nonexistent"])
+    monkeypatch.setattr(golden_lego, "WEIGHT_CANDIDATES", ["/nonexistent"])
+    report = golden_lego.main(["--out", str(tmp_path / "g.json")])
+    assert report["status"] == "skipped"

@@ -142,3 +142,74 @@ def test_llff_batches_carry_viewdirs(llff_scene):
     step = make_train_step(rc, tc)
     state, m = step(state, jnp.asarray(b))
     assert np.isfinite(float(m["loss"]))
+
+
+@pytest.fixture(scope="module")
+def llff_360_scene(tmp_path_factory):
+    """Fake 360 capture: 10 cameras on a radius-5 ring looking inward."""
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("llff360")
+    img_dir = d / "images"
+    img_dir.mkdir()
+    n, h, w, f = 10, 30, 40, 50.0
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        pos = np.array([5 * np.cos(th), 5 * np.sin(th), 1.0], np.float32)
+        back = pos / np.linalg.norm(pos)
+        right = np.cross(np.array([0.0, 0.0, 1.0]), back)
+        right /= np.linalg.norm(right)
+        up = np.cross(back, right)
+        c2w = np.stack([right, up, back, pos], axis=1)
+        m = np.concatenate(
+            [-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:]], axis=1
+        )
+        hwf = np.array([[h], [w], [f]], dtype=np.float32)
+        rows.append(np.concatenate([np.concatenate([m, hwf], 1).ravel(), [2.0, 9.0]]))
+        img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(img_dir / f"img_{i:03d}.png")
+    np.save(d / "poses_bounds.npy", np.stack(rows).astype(np.float64))
+    return str(d)
+
+
+def test_llff_spherify_loader(llff_360_scene):
+    """--spherify: metric rays, unit-sphere rig normalization, circular
+    render path (oracle --spherify, run_nerf.py:548)."""
+    ds = LLFFDataset(llff_360_scene, "train", img_wh=(40, 30), llffhold=0,
+                     spherify=True)
+    assert ds.use_ndc is False  # spherify implies metric rays
+    rad = np.sqrt(np.mean(np.sum(ds.poses[:, :3, 3] ** 2, axis=-1)))
+    assert abs(rad - 1.0) < 1e-4
+    near, far = ds.dynamic_near_far()
+    assert 0 < near < far
+    rp = ds.render_poses(n_frames=10)
+    assert rp.shape == (10, 4, 4)
+    # Circular path looks at the center.
+    for p in rp:
+        pos = p[:3, 3]
+        np.testing.assert_allclose(p[:3, 2], pos / np.linalg.norm(pos),
+                                   atol=1e-5)
+
+
+def test_llff_render_poses_forward_facing(llff_scene):
+    ds = LLFFDataset(llff_scene, "train", img_wh=(40, 30))
+    rp = ds.render_poses(n_frames=12)
+    assert rp.shape == (12, 4, 4)
+    assert np.all(np.isfinite(rp))
+    R = rp[0, :3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_llff_factor_dir_created_and_used(llff_scene):
+    """--factor N minifies images/ into images_N/ once and loads from it
+    (oracle --factor semantics)."""
+    ds = LLFFDataset(llff_scene, "train", img_wh=(20, 15), factor=2)
+    fdir = os.path.join(llff_scene, "images_2")
+    assert os.path.isdir(fdir) and len(os.listdir(fdir)) == 8
+    from PIL import Image
+
+    with Image.open(os.path.join(fdir, sorted(os.listdir(fdir))[0])) as im:
+        assert im.size == (20, 15)  # 40x30 / 2
+    assert ds.images.shape == (7, 15, 20, 3)  # default llffhold=8 -> 7 train

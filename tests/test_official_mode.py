@@ -82,5 +82,9 @@ def test_render_video_cli(synthetic_scene, tmp_path):
         "--size", "24", "--n_frames", "3", "--N_samples", "8",
         "--N_importance", "0", "--no_pallas", "--render_factor", "1",
     ])
-    frames = [f for f in os.listdir(out) if f.startswith("frame_")]
+    frames = os.listdir(os.path.join(out, "frames"))
     assert len(frames) == 3
+    import glob
+
+    assert glob.glob(os.path.join(out, "path_rgb.*"))
+    assert glob.glob(os.path.join(out, "path_disp.*"))

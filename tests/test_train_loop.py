@@ -77,6 +77,102 @@ def test_resume_missing_file_warns_and_continues(synthetic_scene, tmp_path):
     assert t.resume(str(tmp_path / "nope.ckpt")) is False
 
 
+def test_in_training_render_events(synthetic_scene, tmp_path):
+    """i_video/i_testset events (oracle run_nerf.py:845-872): a spiral
+    rgb+disp video and a per-frame-PSNR test-set sweep mid-training."""
+    import glob
+
+    from nerfmlp_tpu.config import RenderConfig, TrainConfig
+
+    save_dir = str(tmp_path / "ev")
+    ds = BlenderDataset(synthetic_scene, "train", img_wh=(40, 40))
+    val = BlenderDataset(synthetic_scene, "val", img_wh=(40, 40))
+    test = BlenderDataset(synthetic_scene, "test", img_wh=(40, 40))
+    near, far = ds.dynamic_near_far()
+    rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far, perturb=True)
+    tc = TrainConfig(
+        batch_size=256, iters=60, quick_val_interval=30,
+        full_val_interval=0, quick_val_subset=1, log_interval=20,
+        ckpt_interval=30, i_video=30, i_testset=30,
+    )
+    t = Trainer(
+        rc, tc, ds, val, val, save_dir=save_dir, verbose=False,
+        render_poses=ds.render_poses(n_frames=2), test_ds=test,
+    )
+    t.train()
+
+    # Spiral video: rgb + disp files at step 30 (60 == iters is skipped).
+    vids = glob.glob(os.path.join(save_dir, "*_spiral_000030_rgb.*"))
+    assert vids, os.listdir(save_dir)
+    assert glob.glob(os.path.join(save_dir, "*_spiral_000030_disp.*"))
+    assert not glob.glob(os.path.join(save_dir, "*_spiral_000060_*"))
+
+    # Test-set sweep: per-view frames + mean PSNR history.
+    tdir = os.path.join(save_dir, "testset_000030")
+    assert os.path.exists(os.path.join(tdir, "000.png"))
+    assert os.path.exists(os.path.join(tdir, "001.png"))
+    assert t.history["testset_steps"] == [30]
+    assert np.isfinite(t.history["testset_psnrs"][0])
+
+
+def test_iteration_times_ring_buffer(synthetic_scene, tmp_path, monkeypatch):
+    monkeypatch.setattr(Trainer, "_ITER_TIMES_CAP", 40)
+    t = _mk_trainer(synthetic_scene, str(tmp_path / "rb"), iters=60)
+    t.train()
+    h = t.history
+    # 60 steps with a cap of 40: one fold of 20 at step 41.
+    assert len(h["iteration_times"]) == 40
+    assert h["iteration_times_dropped"] == 20
+    assert h["iteration_times_dropped_sum"] > 0.0
+
+
+def test_metrics_step_snapshots_written_and_pruned(synthetic_scene, tmp_path):
+    save_dir = str(tmp_path / "snap")
+    t = _mk_trainer(synthetic_scene, save_dir, iters=60)
+    t.train()
+    # Per-step snapshots at each quick-val (reference train.py:480-495).
+    assert os.path.exists(os.path.join(save_dir, "metrics_30_latest.json"))
+    assert os.path.exists(os.path.join(save_dir, "metrics_60_latest.json"))
+    # Pruning keeps only the newest N.
+    for s in range(100, 800, 100):
+        with open(os.path.join(save_dir, f"metrics_{s}_latest.json"), "w") as f:
+            f.write("{}")
+    t._prune_step_snapshots(keep=5)
+    import glob
+
+    left = sorted(
+        int(os.path.basename(p).split("_")[1])
+        for p in glob.glob(os.path.join(save_dir, "metrics_*_latest.json"))
+    )
+    # 30, 60, 100..700 = 9 snapshots -> the 5 newest survive.
+    assert left == [300, 400, 500, 600, 700]
+
+
+def test_params_only_resume(synthetic_scene, tmp_path):
+    """Auto-discovery can land on a params-only model_{step}.ckpt; resume
+    restores weights, takes the step from the filename, resets Adam."""
+    from nerfmlp_tpu.train.checkpoint import is_params_only, step_from_filename
+
+    save_dir = str(tmp_path / "po")
+    t1 = _mk_trainer(synthetic_scene, save_dir, iters=30)
+    t1.train()
+    path = os.path.join(save_dir, "model_30.ckpt")
+    assert is_params_only(path)
+    assert not is_params_only(os.path.join(save_dir, "metrics_latest.ckpt"))
+    assert step_from_filename(path) == 30
+    assert step_from_filename("whatever/metrics_latest.ckpt") == 0
+
+    t2 = _mk_trainer(synthetic_scene, save_dir, iters=60)
+    assert t2.resume(path)
+    assert int(t2.state.step) == 30
+    np.testing.assert_array_equal(
+        np.asarray(t1.state.params["coarse"]["pts_0"]["kernel"]),
+        np.asarray(t2.state.params["coarse"]["pts_0"]["kernel"]),
+    )
+    t2.train()
+    assert int(t2.history["step"]) == 60
+
+
 def test_npy_roundtrip_and_latest_discovery(synthetic_scene, tmp_path):
     save_dir = str(tmp_path / "out3")
     t = _mk_trainer(synthetic_scene, save_dir, iters=30)
