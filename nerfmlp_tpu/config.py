@@ -65,6 +65,11 @@ class RenderConfig:
                                  # separate fine net (example/run_nerf.py:397-403)
     use_pallas: bool = False     # fused Pallas TPU kernel for the MLP hot path
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+    fp32_precision: str = "highest"  # fp32 matmul strategy on TPU:
+                                 # "highest" = 6-pass bf16 (golden parity),
+                                 # "high" = 3-pass bf16x3 (~2x faster,
+                                 # fp32-grade to ~1e-6 relative). Ignored in
+                                 # bfloat16 mode.
     remat: bool = False          # jax.checkpoint the MLP query (XLA path):
                                  # trades recompute FLOPs for activation HBM,
                                  # enabling much larger ray batches

@@ -33,21 +33,27 @@ from nerfmlp_tpu.config import ModelConfig
 class NeRFMLP(nn.Module):
     cfg: ModelConfig = ModelConfig()
     compute_dtype: Any = jnp.float32
+    # fp32 matmul strategy: "highest" (6 bf16 passes — exact-parity path)
+    # or "high" (3 passes, bf16x3 — ~1e-6 relative error at ~2x speed).
+    # bfloat16 mode always uses the fast single-pass DEFAULT.
+    fp32_precision: str = "highest"
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, viewdirs: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         cfg = self.cfg
-        # In float32 mode, force full-precision MXU passes: TPU matmuls
+        # In float32 mode, force multi-pass MXU matmuls: TPU matmuls
         # default to bfloat16 inputs, which costs ~1e-2 absolute error per
         # layer and breaks golden-weight parity. bfloat16 mode keeps the
         # fast default (one MXU pass).
-        precision = (
-            jax.lax.Precision.HIGHEST
-            if jnp.dtype(self.compute_dtype) == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        )
+        if jnp.dtype(self.compute_dtype) == jnp.float32:
+            precision = {
+                "highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+            }[self.fp32_precision]
+        else:
+            precision = jax.lax.Precision.DEFAULT
         dense = lambda feat, name: nn.Dense(
             feat,
             name=name,
@@ -93,7 +99,9 @@ def apply_model(
     viewdirs: Optional[jnp.ndarray] = None,
     cfg: Optional[ModelConfig] = None,
     compute_dtype: Any = jnp.float32,
+    fp32_precision: str = "highest",
 ) -> jnp.ndarray:
     cfg = cfg or ModelConfig()
-    model = NeRFMLP(cfg=cfg, compute_dtype=compute_dtype)
+    model = NeRFMLP(cfg=cfg, compute_dtype=compute_dtype,
+                    fp32_precision=fp32_precision)
     return model.apply({"params": params}, x, viewdirs)

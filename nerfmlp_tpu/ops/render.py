@@ -76,6 +76,7 @@ def _query_mlp(
             return apply_model(
                 p, enc, d, cfg.model_config(),
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
+                fp32_precision=cfg.fp32_precision,
             )
 
         if cfg.remat:

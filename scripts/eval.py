@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--near", type=float, default=None)
     p.add_argument("--far", type=float, default=None)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--fp32_precision", type=str, default="highest",
+                   choices=["highest", "high"],
+                   help="fp32 matmul passes: highest=6 (golden parity), "
+                        "high=3 (~2x faster, fp32-grade)")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false",
                    default=True)
     p.add_argument("--separate_fine", action="store_true",
@@ -62,7 +66,7 @@ def main(argv=None):
     rc = RenderConfig(
         N_samples=args.N_samples, N_importance=args.N_importance,
         near=near, far=far, perturb=False, raw_noise_std=0.0,
-        compute_dtype=args.compute_dtype, use_pallas=args.use_pallas, separate_fine=args.separate_fine,
+        compute_dtype=args.compute_dtype, fp32_precision=args.fp32_precision, use_pallas=args.use_pallas, separate_fine=args.separate_fine,
         white_bkgd=args.dataset_type != "llff",
     )
     template = init_model(jax.random.PRNGKey(0), rc.model_config())

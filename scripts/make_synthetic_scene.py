@@ -17,7 +17,26 @@ def main(argv=None):
     p.add_argument("--n_test", type=int, default=4)
     p.add_argument("--radius", type=float, default=4.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--format", type=str, default="blender",
+                   choices=["blender", "llff"],
+                   help="blender: transforms_*.json; llff: poses_bounds.npy"
+                        " + images/")
+    p.add_argument("--llff_style", type=str, default="360",
+                   choices=["360", "forward"],
+                   help="llff camera rig: 360 ring (--spherify workload) or"
+                        " forward-facing cluster (NDC workload)")
     args = p.parse_args(argv)
+
+    if args.format == "llff":
+        from nerfmlp_tpu.data.synthetic import make_synthetic_llff_scene
+
+        make_synthetic_llff_scene(
+            args.outdir, n_images=args.n_train, img_wh=tuple(args.img_wh),
+            style=args.llff_style, radius=args.radius, seed=args.seed,
+        )
+        print(f"wrote LLFF ({args.llff_style}) scene to {args.outdir} "
+              f"({args.n_train} images @ {args.img_wh[0]}x{args.img_wh[1]})")
+        return
 
     from nerfmlp_tpu.data.synthetic import make_synthetic_scene
 

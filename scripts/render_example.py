@@ -39,6 +39,10 @@ def main(argv=None):
     p.add_argument("--brightness_boost", type=float, default=1.0)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    help="float32 (parity) or bfloat16 (speed)")
+    p.add_argument("--fp32_precision", type=str, default="highest",
+                   choices=["highest", "high"],
+                   help="fp32 matmul passes: highest=6 (golden parity), "
+                        "high=3 (~2x faster, fp32-grade)")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
     p.add_argument("--separate_fine", action="store_true",
                    help="checkpoint holds separate coarse/fine nets")
@@ -79,7 +83,7 @@ def main(argv=None):
     rc = RenderConfig(
         N_samples=args.N_samples, N_importance=n_importance,
         near=near, far=far, perturb=False, raw_noise_std=0.0,
-        coord_scale=args.coord_scale, compute_dtype=args.compute_dtype,
+        coord_scale=args.coord_scale, compute_dtype=args.compute_dtype, fp32_precision=args.fp32_precision,
         use_pallas=args.use_pallas, separate_fine=args.separate_fine,
         # Match training's compositing: white bkgd is blender-only.
         white_bkgd=args.dataset_type != "llff",

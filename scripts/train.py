@@ -113,6 +113,10 @@ def build_parser():
     # TPU-native knobs.
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--fp32_precision", type=str, default="highest",
+                   choices=["highest", "high"],
+                   help="fp32 matmul passes: highest=6 (golden parity), "
+                        "high=3 (~2x faster, fp32-grade)")
     p.add_argument("--use_pallas", action="store_true", default=True)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--n_devices", type=int, default=0,
@@ -140,6 +144,9 @@ def build_parser():
                         "(oracle --i_testset, run_nerf.py:865-872; 0 = off)")
     p.add_argument("--render_factor", type=int, default=0,
                    help="downscale factor for the in-training render events")
+    p.add_argument("--video_frames", type=int, default=0,
+                   help="frame count for --i_video trajectories "
+                        "(0 = dataset default: 40 blender / 120 llff)")
     p.add_argument("--spherify", action="store_true",
                    help="LLFF 360-capture path (oracle --spherify)")
     p.add_argument("--factor", type=int, default=0,
@@ -196,7 +203,10 @@ def main(argv=None):
 
     # In-training render events (oracle run_nerf.py:845-872): the spiral
     # trajectory for i_video, the held-out test split for i_testset.
-    render_poses = dataset.render_poses() if args.i_video else None
+    render_poses = None
+    if args.i_video:
+        rp_kw = {"n_frames": args.video_frames} if args.video_frames else {}
+        render_poses = dataset.render_poses(**rp_kw)
     test_ds = None
     if args.i_testset:
         try:
@@ -239,7 +249,7 @@ def main(argv=None):
         perturb=True, raw_noise_std=args.raw_noise_std,
         lindisp=args.lindisp, ndc=ndc, separate_fine=args.separate_fine,
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
-        remat=args.remat,
+        fp32_precision=args.fp32_precision, remat=args.remat,
         aabb=tuple(args.aabb) if args.aabb else None,
         use_occupancy=args.use_occupancy,
         occ_grid_size=args.occ_grid_size,

@@ -96,3 +96,32 @@ def test_no_viewdirs_mode():
 def test_official_array_count():
     assert ModelConfig().num_tf_arrays == 24
     assert len(expected_shapes()) == 24
+
+
+def test_fp32_precision_option_plumbs_through():
+    """fp32_precision="high" (3-pass bf16x3 on TPU) must agree with
+    "highest" on CPU (where both lower to true fp32) and be accepted
+    end-to-end through render_rays."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.models.mlp import apply_model, init_model
+    from nerfmlp_tpu.ops.render import render_rays
+
+    cfg = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                       perturb=False, fp32_precision="high")
+    params = init_model(jax.random.PRNGKey(0), cfg.model_config())
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 63)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(16, 27)).astype(np.float32))
+    hi = apply_model(params, x, v, fp32_precision="highest")
+    lo = apply_model(params, x, v, fp32_precision="high")
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(lo), atol=1e-5)
+
+    o = jnp.asarray(np.tile(np.array([[0, 0, 4.0]], np.float32), (8, 1)))
+    d = rng.normal(size=(8, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    out = render_rays({"coarse": params}, o, jnp.asarray(d), None, cfg)
+    assert np.isfinite(np.asarray(out["rgb_map"])).all()
