@@ -49,6 +49,14 @@ class RenderConfig:
 
     pos_enc_L: int = 10
     dir_enc_L: int = 4
+    # Network architecture (oracle --netdepth/--netwidth and the *_fine
+    # variants, example/run_nerf.py:467-474). 0 for the fine dims means
+    # "same as coarse" (the oracle's defaults are equal). The fused Pallas
+    # kernel covers the canonical 8x256 shape; other shapes take XLA.
+    depth: int = 8
+    width: int = 256
+    depth_fine: int = 0
+    width_fine: int = 0
     N_samples: int = 64
     N_importance: int = 128
     near: float = 2.0
@@ -94,11 +102,27 @@ class RenderConfig:
     def input_ch_views(self) -> int:
         return 3 * (1 + 2 * self.dir_enc_L)
 
-    def model_config(self) -> ModelConfig:
+    def model_config(self, fine: bool = False) -> ModelConfig:
+        """Architecture of the coarse net, or (``fine=True``) the fine net.
+
+        Bottleneck/view widths derive from the trunk width like the
+        reference (view layer = W // 2, nerfmlp/model.py:47-53); the skip
+        index scales with depth the way the original places it past the
+        middle of the trunk (skips=[4] of D=8 after-layer-i == our
+        before-layer-5 convention, example/run_nerf_helpers.py:92-104).
+        """
+        depth = (self.depth_fine or self.depth) if fine else self.depth
+        width = (self.width_fine or self.width) if fine else self.width
+        skip = 5 if depth == 8 else max(1, depth // 2 + 1)
         return ModelConfig(
+            depth=depth,
+            width=width,
+            skips=(skip,) if depth > 1 else (),
             input_ch=self.input_ch,
             input_ch_views=self.input_ch_views,
             use_viewdirs=self.use_viewdirs,
+            bottleneck_ch=width,
+            view_width=max(1, width // 2),
         )
 
 
@@ -136,5 +160,9 @@ class TrainConfig:
     # In-training render events (run_nerf.py:845-872); 0 = off.
     i_video: int = 0             # spiral-path rgb+disp video every N steps
     i_testset: int = 0           # test-pose sweep w/ per-frame PSNR every N
+    i_img: int = 0               # holdout render PNG every N steps (oracle
+                                 # --i_img TB image logging, run_nerf.py:879)
     render_factor: int = 0       # downscale for the render events
                                  # (oracle --render_factor, run_nerf.py:529-531)
+    chunk: int = 4096            # ray tile for validation/eval renders
+                                 # (oracle --chunk, run_nerf.py:488-489)

@@ -383,6 +383,7 @@ def fused_nerf_mlp(
     dirs_enc_flat: Optional[jnp.ndarray],
     cfg: RenderConfig,
     tile: int = DEFAULT_TILE,
+    mc=None,
 ) -> jnp.ndarray:
     """Fused encode->MLP->(rgb, sigma) Pallas kernel. pts: (N, 3) -> raw (N, 4).
 
@@ -399,8 +400,10 @@ def fused_nerf_mlp(
             "set use_pallas=False for the no-viewdirs architecture"
         )
     # The kernels hardcode the reference architecture; fail actionably on
-    # anything else instead of deep inside Mosaic shape errors.
-    mc = cfg.model_config()
+    # anything else instead of deep inside Mosaic shape errors. ``mc``:
+    # the resolved net config (callers pass the fine net's when querying
+    # it; default = the coarse architecture).
+    mc = mc or cfg.model_config()
     if (
         mc.depth != 8 or mc.skips != (5,) or mc.width != 256
         or mc.bottleneck_ch != 256 or mc.view_width != 128

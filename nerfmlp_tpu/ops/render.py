@@ -39,26 +39,31 @@ def _query_mlp(
     pts: jnp.ndarray,
     viewdirs_enc: Optional[jnp.ndarray],
     cfg: RenderConfig,
+    fine: bool = False,
 ) -> jnp.ndarray:
     """Encode points + run the MLP. pts: (N, S, 3) -> raw (N, S, 4).
 
     ``viewdirs_enc``: (N, E_dir) per-ray encoded directions (broadcast over
-    samples), or None when use_viewdirs=False.
+    samples), or None when use_viewdirs=False. ``fine`` selects the fine
+    net's architecture (oracle --netdepth_fine/--netwidth_fine).
     """
     n_rays, n_samples, _ = pts.shape
     if cfg.coord_scale != 1.0:
         pts = pts * cfg.coord_scale
     flat = pts.reshape(n_rays * n_samples, 3)
+    mc = cfg.model_config(fine=fine)
 
     # The fused kernel is a bf16 fast path: Mosaic decomposes fp32 matmuls
     # into multi-pass MXU programs whose compile time explodes (observed
     # ~8 min vs ~1 min for bf16); fp32 (the parity path) stays on XLA.
-    # The no-viewdirs architecture also falls back (not worth a kernel
-    # variant for the reference's non-default mode).
+    # The no-viewdirs architecture and non-canonical trunk shapes also
+    # fall back (not worth kernel variants for non-default modes).
     use_pallas = (
         cfg.use_pallas
         and cfg.use_viewdirs
         and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+        and mc.depth == 8
+        and mc.width == 256
     )
     dirs = None
     if viewdirs_enc is not None:
@@ -69,12 +74,12 @@ def _query_mlp(
     if use_pallas:
         from nerfmlp_tpu.ops.pallas_mlp import fused_nerf_mlp
 
-        raw = fused_nerf_mlp(params, flat, dirs, cfg)
+        raw = fused_nerf_mlp(params, flat, dirs, cfg, mc=mc)
     else:
         def query(p, f, d):
             enc = positional_encoding(f, cfg.pos_enc_L)
             return apply_model(
-                p, enc, d, cfg.model_config(),
+                p, enc, d, mc,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
                 fp32_precision=cfg.fp32_precision,
             )
@@ -165,7 +170,10 @@ def render_rays(
         # density source, ops/occupancy.py::update_grid); the coarse net is
         # unused — its whole job was sample placement, now the grid's.
         net = params.get("fine") if cfg.separate_fine else None
-        raw = _query_mlp(net or params["coarse"], pts, viewdirs_enc_pre, cfg)
+        raw = _query_mlp(
+            net if net is not None else params["coarse"],
+            pts, viewdirs_enc_pre, cfg, fine=net is not None,
+        )
         out = composite_rays(
             raw, z_vals, rays_d,
             rng=k_noise_f, raw_noise_std=cfg.raw_noise_std,
@@ -213,10 +221,11 @@ def render_rays(
     )
     pts_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_vals_fine[..., None]
 
-    fine_params = params.get("fine") if cfg.separate_fine else params["coarse"]
-    if fine_params is None:
-        fine_params = params["coarse"]
-    raw_fine = _query_mlp(fine_params, pts_fine, viewdirs_enc, cfg)
+    fine_params = params.get("fine") if cfg.separate_fine else None
+    raw_fine = _query_mlp(
+        fine_params if fine_params is not None else params["coarse"],
+        pts_fine, viewdirs_enc, cfg, fine=fine_params is not None,
+    )
     fine = composite_rays(
         raw_fine, z_vals_fine, rays_d,
         rng=k_noise_f, raw_noise_std=cfg.raw_noise_std,

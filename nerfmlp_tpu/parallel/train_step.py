@@ -57,10 +57,9 @@ def create_train_state(
 ) -> TrainState:
     rng = jax.random.PRNGKey(tc.seed) if rng is None else rng
     k_coarse, k_fine, k_state = jax.random.split(rng, 3)
-    mc = rc.model_config()
-    params = {"coarse": init_model(k_coarse, mc)}
+    params = {"coarse": init_model(k_coarse, rc.model_config())}
     if rc.separate_fine and rc.N_importance > 0:
-        params["fine"] = init_model(k_fine, mc)
+        params["fine"] = init_model(k_fine, rc.model_config(fine=True))
     opt_state = make_optimizer(tc).init(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -85,16 +85,24 @@ def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None)
     if template_params is None:
         raise ValueError(".ckpt loading requires a template param pytree")
     if "coarse" in template_params:
-        template_params = template_params["coarse"]
+        # A dict template may carry a distinct fine-net template (custom
+        # --netdepth_fine/--netwidth_fine architectures); otherwise the
+        # fine net shares the coarse structure (the oracle's default).
+        coarse_t = template_params["coarse"]
+        fine_t = template_params.get("fine", coarse_t)
+    else:
+        coarse_t = fine_t = template_params
     # Inspect the serialized structure FIRST: flax restore ignores extra
     # keys, so naively trying templates in order would silently DROP the
     # fine network from a separate-fine checkpoint.
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     if "coarse" in raw:  # {"coarse": ..., ["fine": ...]}
-        template = {k: template_params for k in raw.keys()}
+        template = {
+            k: (fine_t if k == "fine" else coarse_t) for k in raw.keys()
+        }
         return serialization.from_state_dict(template, raw)
-    return {"coarse": serialization.from_state_dict(template_params, raw)}
+    return {"coarse": serialization.from_state_dict(coarse_t, raw)}
 
 
 def is_params_only(path: str) -> bool:

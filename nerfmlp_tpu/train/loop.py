@@ -172,8 +172,8 @@ class Trainer:
             img = np.asarray(
                 render_image(
                     params, jnp.asarray(o), jnp.asarray(d),
-                    dataset.H, dataset.W, cfg, occ_grid=self.occ_grid,
-                    viewdirs=vd,
+                    dataset.H, dataset.W, cfg, tile=self.tc.chunk,
+                    occ_grid=self.occ_grid, viewdirs=vd,
                 )
             )
             mse = float(np.mean((img - gt) ** 2))
@@ -205,8 +205,8 @@ class Trainer:
             img = np.asarray(
                 render_image(
                     self.state.params, jnp.asarray(o), jnp.asarray(d),
-                    self.val_ds.H, self.val_ds.W, cfg, occ_grid=self.occ_grid,
-                    viewdirs=vd,
+                    self.val_ds.H, self.val_ds.W, cfg, tile=self.tc.chunk,
+                    occ_grid=self.occ_grid, viewdirs=vd,
                 )
             )
             save_png(os.path.join(self.save_dir, f"val_{step:06d}.png"), img)
@@ -479,6 +479,10 @@ class Trainer:
                 and self.test_ds is not None
             ):
                 self._testset_event(step)
+                t_prev = time.time()
+            # Holdout render dump (oracle --i_img, run_nerf.py:879-922).
+            if tc.i_img and step % tc.i_img == 0 and step < iters:
+                self._save_val_image(step)
                 t_prev = time.time()
 
             self.history["step"] = step

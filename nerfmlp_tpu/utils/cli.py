@@ -1,0 +1,50 @@
+"""Shared CLI plumbing for the render-side scripts.
+
+The training CLI exposes the oracle's network-architecture flags
+(--netdepth/--netwidth and the _fine variants, example/run_nerf.py:467-474);
+these helpers give every checkpoint-loading script the same flags so a
+custom-architecture checkpoint can be rendered/evaluated/compared without
+editing code.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+
+def add_arch_flags(p) -> None:
+    """--netdepth/--netwidth/--netdepth_fine/--netwidth_fine (oracle
+    run_nerf.py:467-474). Defaults = the reference 8x256 architecture."""
+    p.add_argument("--netdepth", type=int, default=8,
+                   help="MLP trunk depth (oracle --netdepth)")
+    p.add_argument("--netwidth", type=int, default=256,
+                   help="MLP trunk width (oracle --netwidth)")
+    p.add_argument("--netdepth_fine", type=int, default=0,
+                   help="fine net trunk depth (0 = same as --netdepth)")
+    p.add_argument("--netwidth_fine", type=int, default=0,
+                   help="fine net trunk width (0 = same as --netwidth)")
+
+
+def arch_fields(args) -> Dict[str, int]:
+    """RenderConfig kwargs for the parsed architecture flags."""
+    return {
+        "depth": args.netdepth,
+        "width": args.netwidth,
+        "depth_fine": args.netdepth_fine,
+        "width_fine": args.netwidth_fine,
+    }
+
+
+def params_template(rc) -> Dict:
+    """``{"coarse": ..., ["fine": ...]}`` init pytree matching ``rc``'s
+    architecture — the template :func:`load_params_any` needs to restore a
+    .ckpt (the fine entry matters when the fine net's shape differs)."""
+    import jax
+
+    from nerfmlp_tpu.models.mlp import init_model
+
+    key = jax.random.PRNGKey(0)
+    template = {"coarse": init_model(key, rc.model_config())}
+    if rc.separate_fine:
+        template["fine"] = init_model(key, rc.model_config(fine=True))
+    return template

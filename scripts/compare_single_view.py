@@ -26,9 +26,10 @@ def main(argv=None):
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
     p.add_argument("--separate_fine", action="store_true",
                    help="checkpoint holds separate coarse/fine nets")
+    from nerfmlp_tpu.utils.cli import add_arch_flags, arch_fields, params_template
+    add_arch_flags(p)
     args = p.parse_args(argv)
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
@@ -36,7 +37,6 @@ def main(argv=None):
     from nerfmlp_tpu.config import RenderConfig
     from nerfmlp_tpu.data.blender import BlenderDataset
     from nerfmlp_tpu.data.llff import LLFFDataset
-    from nerfmlp_tpu.models.mlp import init_model
     from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
     from nerfmlp_tpu.train.metrics import psnr_images, ssim
@@ -47,9 +47,9 @@ def main(argv=None):
     rc = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
                       near=near, far=far, perturb=False,
                       use_pallas=args.use_pallas, separate_fine=args.separate_fine,
-                      white_bkgd=args.dataset_type != "llff")
-    template = init_model(jax.random.PRNGKey(0), rc.model_config())
-    params = load_params_any(args.ckpt, template, rc.model_config())
+                      white_bkgd=args.dataset_type != "llff",
+                      **arch_fields(args))
+    params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
 
     o, d, gt = ds.image_rays(args.view_idx)
     vd = getattr(ds, "image_viewdirs", lambda _i: None)(args.view_idx)

@@ -37,19 +37,19 @@ def main(argv=None):
                    default=True)
     p.add_argument("--separate_fine", action="store_true",
                    help="checkpoint holds separate coarse/fine nets")
-    p.add_argument("--tile", type=int, default=4096)
+    p.add_argument("--tile", "--chunk", type=int, default=4096)
+    from nerfmlp_tpu.utils.cli import add_arch_flags, arch_fields, params_template
+    add_arch_flags(p)
     args = p.parse_args(argv)
 
     import time
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from nerfmlp_tpu.config import RenderConfig
     from nerfmlp_tpu.data.blender import BlenderDataset
     from nerfmlp_tpu.data.llff import LLFFDataset
-    from nerfmlp_tpu.models.mlp import init_model
     from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
     from nerfmlp_tpu.train.metrics import psnr_images, ssim
@@ -68,9 +68,9 @@ def main(argv=None):
         near=near, far=far, perturb=False, raw_noise_std=0.0,
         compute_dtype=args.compute_dtype, fp32_precision=args.fp32_precision, use_pallas=args.use_pallas, separate_fine=args.separate_fine,
         white_bkgd=args.dataset_type != "llff",
+        **arch_fields(args),
     )
-    template = init_model(jax.random.PRNGKey(0), rc.model_config())
-    params = load_params_any(args.ckpt, template, rc.model_config())
+    params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
 
     if args.save_renders:
         os.makedirs(args.save_renders, exist_ok=True)

@@ -46,10 +46,11 @@ def main(argv=None):
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
     p.add_argument("--separate_fine", action="store_true",
                    help="checkpoint holds separate coarse/fine nets")
-    p.add_argument("--tile", type=int, default=4096)
+    p.add_argument("--tile", "--chunk", type=int, default=4096)
+    from nerfmlp_tpu.utils.cli import add_arch_flags, arch_fields, params_template
+    add_arch_flags(p)
     args = p.parse_args(argv)
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
@@ -57,7 +58,6 @@ def main(argv=None):
     from nerfmlp_tpu.config import RenderConfig
     from nerfmlp_tpu.data.blender import BlenderDataset, linear_to_srgb
     from nerfmlp_tpu.data.llff import LLFFDataset
-    from nerfmlp_tpu.models.mlp import init_model
     from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
 
@@ -87,9 +87,9 @@ def main(argv=None):
         use_pallas=args.use_pallas, separate_fine=args.separate_fine,
         # Match training's compositing: white bkgd is blender-only.
         white_bkgd=args.dataset_type != "llff",
+        **arch_fields(args),
     )
-    template = init_model(jax.random.PRNGKey(0), rc.model_config())
-    params = load_params_any(args.ckpt, template, rc.model_config())
+    params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
 
     idxs = [args.view_idx] if args.view_idx is not None else list(range(args.num_views))
     for i in idxs:

@@ -44,12 +44,12 @@ def main(argv=None):
     p.add_argument("--far", type=float, default=None)
     p.add_argument("--separate_fine", action="store_true")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
+    from nerfmlp_tpu.utils.cli import add_arch_flags, arch_fields, params_template
+    add_arch_flags(p)
     args = p.parse_args(argv)
 
-    import jax
 
     from nerfmlp_tpu.config import RenderConfig
-    from nerfmlp_tpu.models.mlp import init_model
     from nerfmlp_tpu.render_path import render_path, save_path_videos
     from nerfmlp_tpu.train.checkpoint import load_params_any
 
@@ -89,11 +89,9 @@ def main(argv=None):
         separate_fine=args.separate_fine,
         use_pallas=args.use_pallas,
         compute_dtype="bfloat16" if args.use_pallas else "float32",
+        **arch_fields(args),
     )
-    template = init_model(jax.random.PRNGKey(0), rc.model_config())
-    if args.separate_fine:
-        template = {"coarse": template, "fine": template}
-    params = load_params_any(args.ckpt, template, rc.model_config())
+    params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
 
     if args.render_test:
         poses, gts, tag = ds.poses, ds.images, "test"

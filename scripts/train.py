@@ -74,28 +74,54 @@ def build_parser():
     p.add_argument("--datadir", type=str, required=True)
     p.add_argument("--split", type=str, default="train")
     p.add_argument("--img_wh", type=int, nargs=2, default=[1024, 1024])
+    p.add_argument("--half_res", action="store_true",
+                   help="train at half the images' native resolution "
+                        "(oracle --half_res; overrides --img_wh)")
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--iters", type=int, default=200000)
-    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--lr", "--lrate", type=float, default=5e-4)
+    p.add_argument("--lrate_decay", type=int, default=250,
+                   help="exponential lr decay horizon in 1000s of steps "
+                        "(oracle --lrate_decay; decays x0.1 per horizon)")
     p.add_argument("--save_dir", type=str, default="outputs/checkpoints")
+    p.add_argument("--basedir", type=str, default="./logs",
+                   help="experiment root (oracle --basedir; used with --expname)")
+    p.add_argument("--expname", type=str, default=None,
+                   help="experiment name; sets save_dir=<basedir>/<expname> "
+                        "(oracle --expname)")
     p.add_argument("--quick_val_interval", type=int, default=1000)
     p.add_argument("--full_val_interval", type=int, default=10000)
     p.add_argument("--quick_val_res", type=int, nargs=2, default=[256, 256])
     p.add_argument("--quick_val_subset", type=int, default=10)
-    p.add_argument("--resume", type=str, default=None,
-                   help="checkpoint to resume from; by default the newest "
-                        "checkpoint in --save_dir is auto-discovered "
-                        "(oracle behavior, run_nerf.py:439-456)")
-    p.add_argument("--no_resume", action="store_true",
+    p.add_argument("--resume", "--ft_path", type=str, default=None,
+                   help="checkpoint to resume from (oracle --ft_path); by "
+                        "default the newest checkpoint in --save_dir is "
+                        "auto-discovered (oracle behavior, run_nerf.py:439-456)")
+    p.add_argument("--no_resume", "--no_reload", action="store_true",
                    help="start fresh even if --save_dir has checkpoints "
                         "(oracle --no_reload)")
+    # Network architecture (oracle --netdepth/--netwidth + _fine variants,
+    # run_nerf.py:467-474). Non-default trunk shapes take the XLA path
+    # (the fused Pallas kernel covers the canonical 8x256).
+    p.add_argument("--netdepth", type=int, default=8)
+    p.add_argument("--netwidth", type=int, default=256)
+    p.add_argument("--netdepth_fine", type=int, default=0,
+                   help="fine net trunk depth (0 = same as --netdepth)")
+    p.add_argument("--netwidth_fine", type=int, default=0,
+                   help="fine net trunk width (0 = same as --netwidth)")
     # Sampling / renderer (reference ctor kwargs + example/ superset flags).
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=128)
     p.add_argument("--near", type=float, default=None, help="override dynamic near")
     p.add_argument("--far", type=float, default=None, help="override dynamic far")
     p.add_argument("--lindisp", action="store_true")
+    p.add_argument("--perturb", type=float, default=1.0,
+                   help="0 = deterministic (mid-bin) depth sampling "
+                        "(oracle --perturb, run_nerf.py:190-199)")
     p.add_argument("--no_white_bkgd", action="store_true")
+    p.add_argument("--white_bkgd", action="store_true",
+                   help="accepted for oracle config compatibility "
+                        "(white background is already the blender default)")
     p.add_argument("--raw_noise_std", type=float, default=0.0)
     p.add_argument("--separate_fine", action="store_true",
                    help="official two-net scheme instead of the shared net")
@@ -108,8 +134,16 @@ def build_parser():
                    help="view-direction frequencies (oracle --multires_views)")
     p.add_argument("--no_viewdirs", dest="use_viewdirs", action="store_false",
                    default=True)
+    p.add_argument("--use_viewdirs", dest="use_viewdirs", action="store_true",
+                   default=argparse.SUPPRESS,
+                   help="accepted for oracle config compatibility (default on)")
     p.add_argument("--testskip", type=int, default=1,
                    help="load every Nth val/test frame (oracle --testskip)")
+    p.add_argument("--chunk", type=int, default=4096,
+                   help="ray tile for validation/eval renders (oracle --chunk)")
+    p.add_argument("--netchunk", type=int, default=0,
+                   help="accepted for oracle config compatibility; network "
+                        "queries are tiled inside the fused kernel/XLA")
     # TPU-native knobs.
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
@@ -121,7 +155,7 @@ def build_parser():
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", "--random_seed", type=int, default=0)
     p.add_argument("--dataset_type", type=str, default="blender",
                    choices=["blender", "llff"])
     # Oracle-superset options (example/run_nerf.py).
@@ -136,12 +170,26 @@ def build_parser():
                    help="write a jax.profiler trace of steps 10-30 here")
     p.add_argument("--tensorboard", action="store_true",
                    help="log scalars/histograms/images to <save_dir>/tb")
+    p.add_argument("--i_print", type=int, default=100,
+                   help="console log interval (oracle --i_print)")
+    p.add_argument("--i_weights", type=int, default=10000,
+                   help="periodic model_{step}.ckpt interval (oracle --i_weights)")
+    p.add_argument("--i_img", type=int, default=0,
+                   help="holdout render PNG every N steps (oracle --i_img; "
+                        "0 = only at full-val boundaries)")
     p.add_argument("--i_video", type=int, default=0,
                    help="render a spiral rgb+disp video every N steps "
                         "(oracle --i_video, run_nerf.py:845-863; 0 = off)")
     p.add_argument("--i_testset", type=int, default=0,
                    help="render the test set w/ per-frame PSNR every N steps "
                         "(oracle --i_testset, run_nerf.py:865-872; 0 = off)")
+    p.add_argument("--render_only", action="store_true",
+                   help="skip training: load the checkpoint and render the "
+                        "trajectory (or, with --render_test, the test set) "
+                        "to save_dir/renderonly_* (oracle run_nerf.py:682-702)")
+    p.add_argument("--render_test", action="store_true",
+                   help="with --render_only: render the test split's poses "
+                        "with per-frame PSNR instead of the spiral path")
     p.add_argument("--render_factor", type=int, default=0,
                    help="downscale factor for the in-training render events")
     p.add_argument("--video_frames", type=int, default=0,
@@ -152,6 +200,12 @@ def build_parser():
     p.add_argument("--factor", type=int, default=0,
                    help="LLFF: use the images_{factor}/ downsample dir "
                         "explicitly (oracle --factor; 0 = auto-pick)")
+    p.add_argument("--llffhold", type=int, default=8,
+                   help="LLFF: hold out every Nth image for val/test "
+                        "(oracle --llffhold, run_nerf.py:600)")
+    p.add_argument("--no_ndc", action="store_true",
+                   help="LLFF: metric-space rays instead of NDC "
+                        "(oracle --no_ndc; required for --spherify captures)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize MLP activations (XLA path): bigger batches")
     p.add_argument("--aabb", type=float, nargs=6, default=None,
@@ -167,6 +221,23 @@ def build_parser():
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.expname:
+        # Oracle experiment layout: <basedir>/<expname> (run_nerf.py:659).
+        args.save_dir = os.path.join(args.basedir, args.expname)
+    if args.half_res:
+        # Train at half the native image resolution (the oracle's
+        # load_blender half_res path); probe the first frame for its size.
+        import json
+
+        from PIL import Image
+
+        with open(os.path.join(args.datadir, "transforms_train.json")) as f:
+            frame0 = json.load(f)["frames"][0]
+        name = frame0["file_path"].split("/")[-1]
+        with Image.open(os.path.join(args.datadir, "train", name + ".png")) as im:
+            args.img_wh = [max(1, im.width // 2), max(1, im.height // 2)]
+        print(f"--half_res: training at {args.img_wh[0]}x{args.img_wh[1]}")
 
     if args.img_wh[0] >= 1024 or args.img_wh[1] >= 1024:
         print("⚠️  High resolution training: consider batch_size>=512, lr<=2e-4")
@@ -191,7 +262,8 @@ def main(argv=None):
 
     ds_kw = {}
     if args.dataset_type == "llff":
-        ds_kw = {"spherify": args.spherify, "factor": args.factor}
+        ds_kw = {"spherify": args.spherify, "factor": args.factor,
+                 "llffhold": args.llffhold, "use_ndc": not args.no_ndc}
     dataset = DS(args.datadir, split=args.split, img_wh=tuple(args.img_wh),
                  white_bkgd=not args.no_white_bkgd, **ds_kw)
     val_ds = DS(args.datadir, split="val", img_wh=tuple(args.img_wh),
@@ -204,11 +276,11 @@ def main(argv=None):
     # In-training render events (oracle run_nerf.py:845-872): the spiral
     # trajectory for i_video, the held-out test split for i_testset.
     render_poses = None
-    if args.i_video:
+    if args.i_video or (args.render_only and not args.render_test):
         rp_kw = {"n_frames": args.video_frames} if args.video_frames else {}
         render_poses = dataset.render_poses(**rp_kw)
     test_ds = None
-    if args.i_testset:
+    if args.i_testset or (args.render_only and args.render_test):
         try:
             test_ds = DS(args.datadir, split="test", img_wh=tuple(args.img_wh),
                          white_bkgd=not args.no_white_bkgd,
@@ -244,9 +316,11 @@ def main(argv=None):
     rc = RenderConfig(
         pos_enc_L=args.pos_enc_L, dir_enc_L=args.dir_enc_L,
         use_viewdirs=args.use_viewdirs,
+        depth=args.netdepth, width=args.netwidth,
+        depth_fine=args.netdepth_fine, width_fine=args.netwidth_fine,
         N_samples=args.N_samples, N_importance=args.N_importance,
         near=near, far=far, white_bkgd=not args.no_white_bkgd,
-        perturb=True, raw_noise_std=args.raw_noise_std,
+        perturb=args.perturb > 0, raw_noise_std=args.raw_noise_std,
         lindisp=args.lindisp, ndc=ndc, separate_fine=args.separate_fine,
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
         fp32_precision=args.fp32_precision, remat=args.remat,
@@ -257,14 +331,16 @@ def main(argv=None):
     )
     tc = TrainConfig(
         batch_size=args.batch_size, iters=args.iters, lr=args.lr,
+        lr_decay_steps=args.lrate_decay * 1000,
         coarse_loss=args.coarse_loss, seed=args.seed,
         quick_val_interval=args.quick_val_interval,
         full_val_interval=args.full_val_interval,
         quick_val_subset=args.quick_val_subset,
+        log_interval=args.i_print, ckpt_interval=args.i_weights,
         precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
         no_batching=args.no_batching, profile_dir=args.profile_dir,
-        i_video=args.i_video, i_testset=args.i_testset,
-        render_factor=args.render_factor,
+        i_video=args.i_video, i_testset=args.i_testset, i_img=args.i_img,
+        render_factor=args.render_factor, chunk=args.chunk,
     )
 
     mesh = None
@@ -295,6 +371,36 @@ def main(argv=None):
                   f"(use --no_resume to start fresh)")
     if resume_path:
         trainer.resume(resume_path)
+
+    if args.render_only:
+        # Skip training: render the trajectory (or test set) from the
+        # loaded checkpoint and exit (oracle run_nerf.py:682-702, which
+        # writes into <save_dir>/renderonly_{path|test}_{start:06d}).
+        from nerfmlp_tpu.render_path import render_path, save_path_videos
+
+        if resume_path is None:
+            print("⚠️  --render_only with no checkpoint found in "
+                  f"{args.save_dir}: rendering from the random init")
+        start = int(trainer.history["step"])
+        suffix = "test" if args.render_test else "path"
+        out_dir = os.path.join(args.save_dir, f"renderonly_{suffix}_{start:06d}")
+        if args.render_test:
+            rgbs, disps, psnrs = render_path(
+                trainer.state.params, test_ds.poses,
+                (test_ds.H, test_ds.W, test_ds.focal), rc,
+                gt_images=test_ds.images, render_factor=args.render_factor,
+                occ_grid=trainer.occ_grid, save_dir=out_dir, tile=args.chunk,
+            )
+        else:
+            rgbs, disps, _ = render_path(
+                trainer.state.params, render_poses,
+                (dataset.H, dataset.W, dataset.focal), rc,
+                render_factor=args.render_factor,
+                occ_grid=trainer.occ_grid, save_dir=out_dir, tile=args.chunk,
+            )
+            save_path_videos(os.path.join(out_dir, "video"), rgbs, disps)
+        print(f"✅ render_only done: {len(rgbs)} frames -> {out_dir}")
+        return {"render_only": out_dir}
 
     metrics = trainer.train()
 

@@ -261,3 +261,104 @@ def test_eval_cli(cli_scene, trained, tmp_path):
     assert np.isfinite(report["mean_psnr"])
     assert len(report["per_view"]) == 2
     assert os.path.exists(str(tmp_path / "eval.json"))
+
+
+def test_custom_arch_train_and_render_only(cli_scene, tmp_path):
+    """Oracle --netdepth/--netwidth(_fine) + --render_only/--render_test
+    (run_nerf.py:467-474, 682-702): a non-canonical two-net architecture
+    trains, checkpoints, auto-resumes, and renders without training."""
+    import glob
+
+    from scripts.train import main as train_main
+
+    out = str(tmp_path / "arch")
+    common = [
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--batch_size", "128", "--N_samples", "8", "--N_importance", "8",
+        "--quick_val_interval", "20", "--full_val_interval", "0",
+        "--quick_val_res", "16", "16", "--quick_val_subset", "1",
+        "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
+        "--netdepth", "3", "--netwidth", "32",
+        "--netdepth_fine", "4", "--netwidth_fine", "48",
+        "--separate_fine", "--save_dir", out,
+    ]
+    m = train_main(common + ["--iters", "20", "--i_print", "10",
+                             "--chunk", "256", "--perturb", "0"])
+    assert m["step"] == 20
+    # The two nets really have distinct shapes in the checkpoint.
+    from flax import serialization
+
+    with open(os.path.join(out, "model_final.ckpt"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    assert raw["coarse"]["pts_0"]["kernel"].shape[1] == 32
+    assert raw["fine"]["pts_0"]["kernel"].shape[1] == 48
+    assert "pts_3" in raw["fine"] and "pts_3" not in raw["coarse"]
+
+    # --render_only --render_test: test-split renders with per-frame PSNR.
+    m = train_main(common + ["--iters", "20", "--render_only", "--render_test"])
+    ro = m["render_only"]
+    assert ro.endswith("renderonly_test_000020")
+    assert os.path.exists(os.path.join(ro, "001.png"))
+
+    # --render_only trajectory: frames + rgb/disp videos.
+    m = train_main(common + ["--iters", "20", "--render_only",
+                             "--video_frames", "2"])
+    assert glob.glob(os.path.join(m["render_only"], "video_rgb.*"))
+    assert glob.glob(os.path.join(m["render_only"], "video_disp.*"))
+
+
+def test_render_example_custom_arch(cli_scene, tmp_path):
+    """render_example loads a custom-architecture separate-fine checkpoint
+    via the shared --netdepth/--netwidth flags (utils/cli.py)."""
+    from scripts.render_example import main as render_main
+    from scripts.train import main as train_main
+
+    out = str(tmp_path / "arch2")
+    train_main([
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--batch_size", "128", "--iters", "10", "--save_dir", out,
+        "--N_samples", "8", "--N_importance", "8",
+        "--quick_val_interval", "10", "--full_val_interval", "0",
+        "--quick_val_res", "16", "16", "--quick_val_subset", "1",
+        "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
+        "--netdepth", "2", "--netwidth", "32", "--netwidth_fine", "48",
+        "--separate_fine",
+    ])
+    rdir = str(tmp_path / "arch2render")
+    render_main([
+        "--datadir", cli_scene, "--split", "val", "--img_wh", "32", "32",
+        "--ckpt", os.path.join(out, "model_final.ckpt"),
+        "--out_dir", rdir, "--num_views", "1", "--dynamic_bounds",
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+        "--netdepth", "2", "--netwidth", "32", "--netwidth_fine", "48",
+        "--separate_fine", "--tile", "256",
+    ])
+    assert os.path.exists(os.path.join(rdir, "render_val_0.png"))
+
+
+def test_oracle_flag_aliases_and_halfres(cli_scene, tmp_path, capsys):
+    """Oracle flag spellings parse onto the same knobs: --lrate/--ft_path/
+    --no_reload/--random_seed/--use_viewdirs/--lrate_decay; --half_res
+    derives img_wh from the images' native size."""
+    from scripts.train import main as train_main, parse_args
+
+    a = parse_args([
+        "--datadir", "/x", "--lrate", "1e-4", "--random_seed", "3",
+        "--no_reload", "--use_viewdirs", "--ft_path", "/some.ckpt",
+        "--lrate_decay", "500", "--expname", "exp1", "--basedir", "/logs",
+        "--netchunk", "65536", "--white_bkgd",
+    ])
+    assert a.lr == 1e-4 and a.seed == 3 and a.no_resume is True
+    assert a.use_viewdirs is True and a.resume == "/some.ckpt"
+    assert a.lrate_decay == 500 and a.expname == "exp1"
+
+    out = str(tmp_path / "halfres")
+    train_main([
+        "--datadir", cli_scene, "--half_res",
+        "--batch_size", "64", "--iters", "4", "--save_dir", out,
+        "--N_samples", "4", "--N_importance", "0",
+        "--quick_val_interval", "4", "--full_val_interval", "0",
+        "--quick_val_res", "16", "16", "--quick_val_subset", "1",
+        "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
+    ])
+    assert "--half_res: training at 16x16" in capsys.readouterr().out
