@@ -26,7 +26,12 @@ from nerfmlp_tpu.utils.image import save_png, to8b
 
 
 def rays_for_pose(
-    pose: np.ndarray, H: int, W: int, focal: float, cfg: RenderConfig
+    pose: np.ndarray,
+    H: int,
+    W: int,
+    focal: float,
+    cfg: RenderConfig,
+    viewdirs_pose: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """(rays_o, rays_d, viewdirs) flattened to (H*W, 3) for one camera.
 
@@ -34,15 +39,31 @@ def rays_for_pose(
     are the WORLD directions computed before the projection (the oracle
     conditions the view branch on pre-NDC directions, run_nerf.py:297-312);
     for metric configs viewdirs is None (render_rays normalizes rays_d).
+
+    ``viewdirs_pose``: when given, the view branch is conditioned on THIS
+    camera's ray directions while the geometry rays stay ``pose``'s — the
+    oracle's ``c2w_staticcam`` view-dependence visualization
+    (run_nerf.py:299-302: viewdirs from the moving pose, rays from the
+    static one; callers pass pose=static, viewdirs_pose=moving).
     """
     from nerfmlp_tpu.ops.rays import get_rays_np, ndc_rays
 
     o, d = get_rays_np(H, W, focal, np.asarray(pose, dtype=np.float32))
     o = o.reshape(-1, 3).astype(np.float32).copy()
     d = d.reshape(-1, 3).astype(np.float32)
-    if not cfg.ndc:
+    vd_src = d
+    if viewdirs_pose is not None:
+        _, vd_src = get_rays_np(
+            H, W, focal, np.asarray(viewdirs_pose, dtype=np.float32)
+        )
+        vd_src = vd_src.reshape(-1, 3).astype(np.float32)
+    if not cfg.ndc and viewdirs_pose is None:
         return o, d, None
-    vd = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    vd = (vd_src / np.linalg.norm(vd_src, axis=-1, keepdims=True)).astype(
+        np.float32
+    )
+    if not cfg.ndc:
+        return o, d, vd
     o_n, d_n = ndc_rays(H, W, focal, 1.0, o, d)
     return np.asarray(o_n), np.asarray(d_n), vd
 
@@ -58,6 +79,7 @@ def render_path(
     save_dir: Optional[str] = None,
     tile: int = 4096,
     verbose: bool = True,
+    static_cam_pose: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[list]]:
     """Render every pose; returns (rgbs (N,H,W,3), disps (N,H,W), psnrs).
 
@@ -68,6 +90,10 @@ def render_path(
     * ``gt_images`` (N,H,W,3): per-frame PSNR is computed and printed
       (run_nerf.py:369-372) and returned.
     * ``save_dir``: writes ``{i:03d}.png`` rgb frames (run_nerf.py:361-365).
+    * ``static_cam_pose``: render every frame from THIS fixed camera while
+      the view branch follows the trajectory poses — the oracle's
+      ``c2w_staticcam`` rgb_still viewdirs visualization
+      (run_nerf.py:858-863).
     """
     import jax.numpy as jnp
 
@@ -83,7 +109,12 @@ def render_path(
     rgbs, disps = [], []
     psnrs = [] if gt_images is not None else None
     for i, pose in enumerate(np.asarray(poses)):
-        o, d, vd = rays_for_pose(pose, H, W, focal, cfg)
+        if static_cam_pose is not None:
+            o, d, vd = rays_for_pose(
+                static_cam_pose, H, W, focal, cfg, viewdirs_pose=pose
+            )
+        else:
+            o, d, vd = rays_for_pose(pose, H, W, focal, cfg)
         out = render_image_maps(
             params, jnp.asarray(o), jnp.asarray(d), H, W, cfg,
             tile=tile, occ_grid=occ_grid,

@@ -233,6 +233,21 @@ class Trainer:
             base = os.path.join(self.save_dir, f"{expname}_spiral_{step:06d}")
             rgb_path, disp_path = save_path_videos(base, rgbs, disps)
             self._log(f"🎬 i_video @ {step:,}: {rgb_path}, {disp_path}")
+            if self.rc.use_viewdirs:
+                # View-dependence visualization: fixed camera, viewdirs
+                # following the trajectory (the oracle's c2w_staticcam
+                # rgb_still video, run_nerf.py:858-863).
+                from nerfmlp_tpu.utils.image import to8b, write_video
+
+                stills, _, _ = render_path(
+                    self.state.params, self.render_poses,
+                    self._hwf(self.train_ds), self.rc,
+                    render_factor=self.tc.render_factor,
+                    occ_grid=self.occ_grid, verbose=False,
+                    static_cam_pose=np.asarray(self.render_poses)[0],
+                )
+                still_path = write_video(base + "_rgb_still", to8b(stills))
+                self._log(f"🎬 i_video @ {step:,}: {still_path} (static cam)")
         except Exception as e:
             self._log(f"(i_video event failed: {e})")
 
@@ -244,11 +259,20 @@ class Trainer:
             from nerfmlp_tpu.render_path import render_path
 
             out_dir = os.path.join(self.save_dir, f"testset_{step:06d}")
+            # render_path skips PSNR under render_factor (shapes mismatch,
+            # oracle behavior) — instead pre-divide hwf and stride-sample
+            # the GT to the preview resolution so per-frame PSNR is always
+            # logged, even for fast mid-training sweeps.
+            H, W, focal = self._hwf(self.test_ds)
+            gt = self.test_ds.images
+            rf = int(self.tc.render_factor or 0)
+            if rf > 1:
+                H, W, focal = H // rf, W // rf, focal / rf
+                gt = gt[:, : H * rf : rf, : W * rf : rf]
             _, _, psnrs = render_path(
                 self.state.params, self.test_ds.poses,
-                self._hwf(self.test_ds), self.rc,
-                gt_images=self.test_ds.images,
-                render_factor=self.tc.render_factor,
+                (H, W, focal), self.rc,
+                gt_images=gt,
                 occ_grid=self.occ_grid, save_dir=out_dir, verbose=False,
             )
             if psnrs:

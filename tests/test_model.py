@@ -125,3 +125,33 @@ def test_fp32_precision_option_plumbs_through():
     d[:, 2] = -np.abs(d[:, 2]) - 0.5
     out = render_rays({"coarse": params}, o, jnp.asarray(d), None, cfg)
     assert np.isfinite(np.asarray(out["rgb_map"])).all()
+
+
+def test_custom_arch_falls_back_from_pallas():
+    """bf16 + use_pallas with a non-canonical trunk must silently take the
+    XLA path (the fused kernel hardcodes 8x256) and render finite maps —
+    including a separate fine net with its own shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.render import render_rays
+
+    cfg = RenderConfig(
+        N_samples=8, N_importance=8, near=2.0, far=6.0, perturb=False,
+        depth=4, width=64, depth_fine=3, width_fine=32,
+        separate_fine=True, use_pallas=True, compute_dtype="bfloat16",
+    )
+    params = {
+        "coarse": init_model(jax.random.PRNGKey(0), cfg.model_config()),
+        "fine": init_model(jax.random.PRNGKey(1), cfg.model_config(fine=True)),
+    }
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(np.tile(np.array([[0, 0, 4.0]], np.float32), (8, 1)))
+    d = rng.normal(size=(8, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    out = render_rays(params, o, jnp.asarray(d), None, cfg)
+    assert np.isfinite(np.asarray(out["rgb_map"])).all()
+    assert np.isfinite(np.asarray(out["rgb_map_coarse"])).all()

@@ -208,3 +208,44 @@ def test_render_image_maps_returns_requested_maps():
     assert out["disp_map"].shape == (8, 8)
     assert out["acc_map"].shape == (8, 8)
     assert np.all(np.isfinite(np.asarray(out["disp_map"])))
+
+
+def test_static_cam_pose_fixes_geometry_varies_view():
+    """c2w_staticcam rgb_still parity (run_nerf.py:299-302, 858-863):
+    geometry rays come from the static camera (disp identical across
+    frames), the view branch follows the trajectory (rgb varies)."""
+    cfg = RenderConfig(N_samples=8, N_importance=0, near=2.0, far=6.0)
+    params = _params(cfg)
+    poses = np.stack([pose_spherical(t, -30.0, 4.0) for t in (0.0, 90.0, 180.0)])
+    rgbs, disps, _ = render_path(
+        params, poses, (8, 8, 10.0), cfg,
+        static_cam_pose=poses[0], verbose=False, tile=32,
+    )
+    # Same geometry every frame -> identical disparity maps.
+    np.testing.assert_allclose(disps[1], disps[0], atol=1e-5)
+    np.testing.assert_allclose(disps[2], disps[0], atol=1e-5)
+    # The view branch sees different directions -> rgb differs.
+    assert np.abs(rgbs[1] - rgbs[0]).max() > 1e-4
+    # Frame 0's viewdirs-pose IS the static cam -> identical to a plain
+    # render of that pose.
+    plain, _, _ = render_path(
+        params, poses[:1], (8, 8, 10.0), cfg, verbose=False, tile=32
+    )
+    np.testing.assert_allclose(rgbs[0], plain[0], atol=1e-5)
+
+
+def test_rays_for_pose_viewdirs_pose_ndc():
+    """With NDC on, geometry rays are the static camera's NDC rays while
+    viewdirs are the moving camera's world directions."""
+    cfg = RenderConfig(ndc=True, near=0.0, far=1.0)
+    static = pose_spherical(0.0, -5.0, 3.0)
+    moving = pose_spherical(60.0, -5.0, 3.0)
+    o_s, d_s, vd = rays_for_pose(static, 6, 6, 8.0, cfg, viewdirs_pose=moving)
+    o_ref, d_ref, _ = rays_for_pose(static, 6, 6, 8.0, cfg)
+    np.testing.assert_allclose(o_s, o_ref, atol=1e-6)
+    np.testing.assert_allclose(d_s, d_ref, atol=1e-6)
+    _, md = get_rays_np(6, 6, 8.0, moving)
+    md = md.reshape(-1, 3)
+    np.testing.assert_allclose(
+        vd, md / np.linalg.norm(md, axis=-1, keepdims=True), atol=1e-6
+    )

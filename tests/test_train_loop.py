@@ -93,7 +93,7 @@ def test_in_training_render_events(synthetic_scene, tmp_path):
     tc = TrainConfig(
         batch_size=256, iters=60, quick_val_interval=30,
         full_val_interval=0, quick_val_subset=1, log_interval=20,
-        ckpt_interval=30, i_video=30, i_testset=30,
+        ckpt_interval=30, i_video=30, i_testset=30, render_factor=2,
     )
     t = Trainer(
         rc, tc, ds, val, val, save_dir=save_dir, verbose=False,
@@ -107,10 +107,15 @@ def test_in_training_render_events(synthetic_scene, tmp_path):
     assert glob.glob(os.path.join(save_dir, "*_spiral_000030_disp.*"))
     assert not glob.glob(os.path.join(save_dir, "*_spiral_000060_*"))
 
-    # Test-set sweep: per-view frames + mean PSNR history.
+    # Test-set sweep: per-view frames + mean PSNR history. render_factor=2
+    # exercises the strided-GT path: frames are 20x20 previews yet PSNR is
+    # still recorded (unlike the oracle, which skips PSNR when downscaled).
     tdir = os.path.join(save_dir, "testset_000030")
     assert os.path.exists(os.path.join(tdir, "000.png"))
     assert os.path.exists(os.path.join(tdir, "001.png"))
+    from PIL import Image
+
+    assert Image.open(os.path.join(tdir, "000.png")).size == (20, 20)
     assert t.history["testset_steps"] == [30]
     assert np.isfinite(t.history["testset_psnrs"][0])
 
