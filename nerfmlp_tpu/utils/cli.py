@@ -35,6 +35,22 @@ def arch_fields(args) -> Dict[str, int]:
     }
 
 
+def dataset_class(dataset_type: str):
+    """Loader class for an oracle ``--dataset_type`` value
+    (llff / blender / deepvoxels, example/run_nerf.py:533-534)."""
+    if dataset_type == "llff":
+        from nerfmlp_tpu.data.llff import LLFFDataset
+
+        return LLFFDataset
+    if dataset_type == "deepvoxels":
+        from nerfmlp_tpu.data.deepvoxels import DeepVoxelsDataset
+
+        return DeepVoxelsDataset
+    from nerfmlp_tpu.data.blender import BlenderDataset
+
+    return BlenderDataset
+
+
 def params_template(rc) -> Dict:
     """``{"coarse": ..., ["fine": ...]}`` init pytree matching ``rc``'s
     architecture — the template :func:`load_params_any` needs to restore a

@@ -16,7 +16,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Evaluate a checkpoint on a split")
     p.add_argument("--datadir", type=str, required=True)
     p.add_argument("--dataset_type", type=str, default="blender",
-                   choices=["blender", "llff"])
+                   choices=["blender", "llff", "deepvoxels"])
+    p.add_argument("--shape", type=str, default="greek",
+                   help="deepvoxels scene name (oracle --shape)")
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
     p.add_argument("--ckpt", type=str, required=True, help=".ckpt or .npy")
@@ -48,15 +50,16 @@ def main(argv=None):
     import numpy as np
 
     from nerfmlp_tpu.config import RenderConfig
-    from nerfmlp_tpu.data.blender import BlenderDataset
-    from nerfmlp_tpu.data.llff import LLFFDataset
     from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
     from nerfmlp_tpu.train.metrics import psnr_images, ssim
     from nerfmlp_tpu.utils.image import save_png
 
-    DS = LLFFDataset if args.dataset_type == "llff" else BlenderDataset
-    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh))
+    from nerfmlp_tpu.utils.cli import dataset_class
+
+    DS = dataset_class(args.dataset_type)
+    ds_kw = {"shape": args.shape} if args.dataset_type == "deepvoxels" else {}
+    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh), **ds_kw)
     near, far = ds.dynamic_near_far()
     if args.near is not None:
         near = args.near

@@ -18,7 +18,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Render NeRF views (TPU-native)")
     p.add_argument("--datadir", type=str, required=True)
     p.add_argument("--dataset_type", type=str, default="blender",
-                   choices=["blender", "llff"])
+                   choices=["blender", "llff", "deepvoxels"])
+    p.add_argument("--shape", type=str, default="greek",
+                   help="deepvoxels scene name (oracle --shape)")
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
     p.add_argument("--ckpt", type=str, required=True,
@@ -56,14 +58,16 @@ def main(argv=None):
     from PIL import Image
 
     from nerfmlp_tpu.config import RenderConfig
-    from nerfmlp_tpu.data.blender import BlenderDataset, linear_to_srgb
-    from nerfmlp_tpu.data.llff import LLFFDataset
+    from nerfmlp_tpu.data.blender import linear_to_srgb
     from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
 
     os.makedirs(args.out_dir, exist_ok=True)
-    DS = LLFFDataset if args.dataset_type == "llff" else BlenderDataset
-    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh))
+    from nerfmlp_tpu.utils.cli import dataset_class
+
+    DS = dataset_class(args.dataset_type)
+    ds_kw = {"shape": args.shape} if args.dataset_type == "deepvoxels" else {}
+    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh), **ds_kw)
 
     is_npy = args.ckpt.endswith(".npy")
     n_importance = args.N_importance
@@ -73,9 +77,10 @@ def main(argv=None):
         n_importance = 64 if is_npy else 128
 
     near, far = (args.near, args.far)
-    if args.dynamic_bounds or args.dataset_type == "llff":
-        # LLFF rays are in NDC: depth lives in [0, 1], never the blender
-        # 2/6 defaults — always take the dataset's bounds there.
+    if args.dynamic_bounds or args.dataset_type in ("llff", "deepvoxels"):
+        # LLFF rays are in NDC (depth in [0, 1]) and deepvoxels uses
+        # hemisphere bounds R-/+1 (run_nerf.py:640-642) — never the
+        # blender 2/6 defaults; always take the dataset's bounds there.
         near, far = ds.dynamic_near_far()
     print(f"bounds: near={near:.3f} far={far:.3f} | "
           f"samples {args.N_samples}+{n_importance}")

@@ -24,7 +24,9 @@ def main(argv=None):
     p.add_argument("--datadir", type=str, required=True)
     p.add_argument("--ckpt", type=str, required=True)
     p.add_argument("--dataset_type", type=str, default="blender",
-                   choices=["blender", "llff"])
+                   choices=["blender", "llff", "deepvoxels"])
+    p.add_argument("--shape", type=str, default="greek",
+                   help="deepvoxels scene name (oracle --shape)")
     p.add_argument("--out_dir", type=str, default="outputs/video")
     p.add_argument("--size", type=int, default=400)
     p.add_argument("--n_frames", type=int, default=60)
@@ -63,6 +65,14 @@ def main(argv=None):
             spherify=args.spherify, factor=args.factor,
         )
         ndc = ds.use_ndc
+    elif args.dataset_type == "deepvoxels":
+        from nerfmlp_tpu.data.deepvoxels import DeepVoxelsDataset
+
+        ds = DeepVoxelsDataset(
+            args.datadir, "test" if args.render_test else "train",
+            img_wh=(args.size, args.size), shape=args.shape,
+        )
+        ndc = False
     else:
         from nerfmlp_tpu.data.blender import BlenderDataset
 
@@ -85,7 +95,10 @@ def main(argv=None):
     rc = RenderConfig(
         N_samples=args.N_samples, N_importance=args.N_importance,
         near=near, far=far, perturb=False, ndc=ndc,
-        white_bkgd=args.dataset_type == "blender",
+        # White composite for blender AND deepvoxels (the oracle's --white_bkgd
+        # help: "always use for dvoxels", run_nerf.py:543-545); LLFF is real
+        # photos with no background to composite.
+        white_bkgd=args.dataset_type != "llff",
         separate_fine=args.separate_fine,
         use_pallas=args.use_pallas,
         compute_dtype="bfloat16" if args.use_pallas else "float32",

@@ -129,7 +129,7 @@ def build_parser():
                    help="add the coarse rgb loss term (official behavior)")
     p.add_argument("--pos_enc_L", type=int, default=10,
                    help="positional-encoding frequencies (oracle --multires); "
-                        "0 = identity embedding (oracle --i_embed 0)")
+                        "0 = identity embedding (oracle --i_embed -1)")
     p.add_argument("--dir_enc_L", type=int, default=4,
                    help="view-direction frequencies (oracle --multires_views)")
     p.add_argument("--no_viewdirs", dest="use_viewdirs", action="store_false",
@@ -157,7 +157,10 @@ def build_parser():
                    help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--seed", "--random_seed", type=int, default=0)
     p.add_argument("--dataset_type", type=str, default="blender",
-                   choices=["blender", "llff"])
+                   choices=["blender", "llff", "deepvoxels"])
+    p.add_argument("--shape", type=str, default="greek",
+                   help="deepvoxels scene: armchair / cube / greek / vase "
+                        "(oracle --shape, run_nerf.py:539-540)")
     # Oracle-superset options (example/run_nerf.py).
     p.add_argument("--precrop_iters", type=int, default=0,
                    help="central-crop ray sampling for the first N iters")
@@ -257,6 +260,8 @@ def main(argv=None):
         # compositing is a blender-synthetic behavior (the oracle enables
         # white_bkgd only for blender data, run_nerf.py:623-628).
         args.no_white_bkgd = True
+    elif args.dataset_type == "deepvoxels":
+        from nerfmlp_tpu.data.deepvoxels import DeepVoxelsDataset as DS
     else:
         from nerfmlp_tpu.data.blender import BlenderDataset as DS
 
@@ -264,6 +269,10 @@ def main(argv=None):
     if args.dataset_type == "llff":
         ds_kw = {"spherify": args.spherify, "factor": args.factor,
                  "llffhold": args.llffhold, "use_ndc": not args.no_ndc}
+    elif args.dataset_type == "deepvoxels":
+        # DeepVoxels pngs have the white background baked in; hemisphere
+        # near/far comes from dynamic_near_far (run_nerf.py:640-642).
+        ds_kw = {"shape": args.shape}
     dataset = DS(args.datadir, split=args.split, img_wh=tuple(args.img_wh),
                  white_bkgd=not args.no_white_bkgd, **ds_kw)
     val_ds = DS(args.datadir, split="val", img_wh=tuple(args.img_wh),
