@@ -79,3 +79,49 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.shape == (256, 3)
     ge.dryrun_multichip(8)
+
+
+def test_tensor_parallel_matches_single_device():
+    """TP demo (SURVEY §2.5): Megatron column/row param shardings over a
+    (data=2, model=4) mesh — GSPMD must treat them as pure layout, giving
+    the same math as one device, with params/Adam moments actually split
+    on the model axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from nerfmlp_tpu.parallel.tensor_parallel import (
+        make_tp_mesh,
+        make_tp_train_step,
+        tp_state_sharding,
+    )
+
+    rc, tc = _cfgs(32)
+    batch = _batch(32, seed=5)
+
+    state1 = create_train_state(rc, tc)
+    step1 = make_train_step(rc, tc)
+    state1, m1 = step1(state1, jnp.asarray(batch))
+
+    mesh = make_tp_mesh(n_devices=8, model_parallel=4)
+    state_tp = create_train_state(rc, tc)
+    shardings = tp_state_sharding(state_tp, mesh)
+    # The rule actually shards: even trunk kernels column, odd ones row.
+    assert shardings.params["coarse"]["pts_0"]["kernel"].spec == P(None, "model")
+    assert shardings.params["coarse"]["pts_1"]["kernel"].spec == P("model", None)
+    assert shardings.params["coarse"]["rgb"]["kernel"].spec == P("model", None)
+    state_tp = jax.device_put(state_tp, shardings)
+    step_tp, _ = make_tp_train_step(rc, tc, mesh, state_sharding=shardings)
+    b = jax.device_put(
+        jnp.asarray(batch), jax.NamedSharding(mesh, P("data"))
+    )
+    state_tp, m_tp = step_tp(state_tp, b)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m_tp["loss"]), rtol=1e-5)
+    for a, c in zip(
+        jax.tree.leaves(state1.params), jax.tree.leaves(state_tp.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-3)
+    # A column-sharded kernel is physically split 4 ways on the model axis
+    # (2 data-replicas x 4 model-shards = 8 addressable shards).
+    k = state_tp.params["coarse"]["pts_0"]["kernel"]
+    assert len(k.addressable_shards) == 8
+    assert k.addressable_shards[0].data.shape == (63, 64)
