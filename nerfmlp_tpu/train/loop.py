@@ -83,12 +83,40 @@ class Trainer:
             except Exception as e:
                 print(f"(tensorboard disabled: {e})")
 
+        # A mesh with a >1 "model" axis selects the tensor-parallel step
+        # (parallel/tensor_parallel.py): params + Adam moments sharded
+        # column/row on that axis, batch still sharded on "data".
+        self._tp = (
+            mesh is not None
+            and "model" in mesh.axis_names
+            and mesh.shape["model"] > 1
+        )
+        self._state_sharding = None
         self.state = create_train_state(rc, tc)
-        if mesh is not None:
+        if self._tp:
+            if rc.use_occupancy:
+                raise ValueError(
+                    "tensor parallelism + occupancy sampling is not wired; "
+                    "drop --use_occupancy or --tensor_parallel"
+                )
+            from nerfmlp_tpu.parallel.tensor_parallel import (
+                make_tp_train_step,
+                tp_state_sharding,
+            )
+
+            self._state_sharding = tp_state_sharding(self.state, mesh)
+            self.state = jax.device_put(self.state, self._state_sharding)
+            self.step_fn, _ = make_tp_train_step(
+                rc, tc, mesh, state_sharding=self._state_sharding
+            )
+        elif mesh is not None:
             from nerfmlp_tpu.parallel.mesh import replicated_sharding
 
-            self.state = jax.device_put(self.state, replicated_sharding(mesh))
-        self.step_fn = make_train_step(rc, tc, mesh=mesh)
+            self._state_sharding = replicated_sharding(mesh)
+            self.state = jax.device_put(self.state, self._state_sharding)
+            self.step_fn = make_train_step(rc, tc, mesh=mesh)
+        else:
+            self.step_fn = make_train_step(rc, tc, mesh=mesh)
         self.loader = RayBatchLoader.from_dataset(
             train_ds, tc.batch_size, seed=tc.seed, image_mode=tc.no_batching
         )
@@ -322,12 +350,11 @@ class Trainer:
             self._log(f"⚠️  {path} holds params only — optimizer state reset")
         else:
             restored = ckpt.load_checkpoint(path, host_state)
-        if self.mesh is not None:
-            # Re-apply the replicated layout __init__ used — a plain put
-            # commits to one device, breaking donation (and multi-host).
-            from nerfmlp_tpu.parallel.mesh import replicated_sharding
-
-            self.state = jax.device_put(restored, replicated_sharding(self.mesh))
+        if self._state_sharding is not None:
+            # Re-apply the layout __init__ used (replicated, or the TP
+            # column/row shardings) — a plain put commits to one device,
+            # breaking donation (and multi-host).
+            self.state = jax.device_put(restored, self._state_sharding)
         else:
             self.state = jax.device_put(restored)
         hist_path = path.rsplit(".", 1)[0] + ".history.json"
@@ -418,6 +445,9 @@ class Trainer:
             else:
                 self.state, metrics = self.step_fn(self.state, batch)
             pending = (metrics, step)
+            # Update before the validation/event blocks below so any JSON
+            # snapshot they write records THIS step, not step-1.
+            self.history["step"] = step
             run_loss = run_loss + metrics["loss"]
             run_psnr = run_psnr + metrics["psnr"]
             run_count += 1
@@ -508,8 +538,6 @@ class Trainer:
             if tc.i_img and step % tc.i_img == 0 and step < iters:
                 self._save_val_image(step)
                 t_prev = time.time()
-
-            self.history["step"] = step
 
         # Final saves + full validation (train.py:563-585).
         ckpt.save_checkpoint(

@@ -155,6 +155,10 @@ def build_parser():
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="model-axis size of a (data, model) mesh: shards "
+                        "the MLP's 256-wide layers Megatron column/row "
+                        "via GSPMD (parallel/tensor_parallel.py)")
     p.add_argument("--seed", "--random_seed", type=int, default=0)
     p.add_argument("--dataset_type", type=str, default="blender",
                    choices=["blender", "llff", "deepvoxels"])
@@ -354,7 +358,13 @@ def main(argv=None):
 
     mesh = None
     n_dev = args.n_devices or len(jax.devices())
-    if n_dev > 1:
+    if args.tensor_parallel > 1:
+        from nerfmlp_tpu.parallel.tensor_parallel import make_tp_mesh
+
+        mesh = make_tp_mesh(n_devices=n_dev, model_parallel=args.tensor_parallel)
+        print(f"Mesh: dp={n_dev // args.tensor_parallel} x "
+              f"tp={args.tensor_parallel} over {n_dev} devices")
+    elif n_dev > 1:
         from nerfmlp_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_devices=n_dev)

@@ -362,3 +362,32 @@ def test_oracle_flag_aliases_and_halfres(cli_scene, tmp_path, capsys):
         "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
     ])
     assert "--half_res: training at 16x16" in capsys.readouterr().out
+
+
+def test_train_cli_tensor_parallel(cli_scene, tmp_path):
+    """--tensor_parallel 2 trains on a (data=4, model=2) mesh end-to-end
+    through the Trainer (TP state shardings, checkpoint save, quick val),
+    including a resume that re-applies the TP layout."""
+    from scripts.train import main as train_main
+
+    out = str(tmp_path / "tp_out")
+    argv = [
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--batch_size", "256", "--iters", "40", "--save_dir", out,
+        "--N_samples", "8", "--N_importance", "8",
+        "--quick_val_interval", "20", "--full_val_interval", "0",
+        "--quick_val_res", "32", "32", "--quick_val_subset", "1",
+        "--compute_dtype", "float32", "--no_pallas",
+        "--tensor_parallel", "2",
+    ]
+    train_main(argv)
+    assert os.path.exists(os.path.join(out, "model_final.ckpt"))
+    import json
+
+    h = json.load(open(os.path.join(out, "metrics_latest.json")))
+    assert h["quick_val_psnrs"] and h["quick_val_psnrs"][-1] > 5.0
+    # Auto-resume continues under the same TP layout.
+    m2 = train_main([a if a != "40" else "60" for a in argv])
+    assert m2["step"] == 60
+    h2 = json.load(open(os.path.join(out, "metrics_latest.json")))
+    assert h2["step"] == 60  # snapshot written AT the quick-val step
