@@ -117,10 +117,14 @@ def _multichip_dryrun_ok() -> bool:
 
 
 def _row(metric, value, unit, vs=None):
+    """Progress rows go to STDERR: stdout carries exactly ONE JSON line in
+    every mode (the driver contract — see CLAUDE.md conventions)."""
+    import sys
+
     row = {"metric": metric, "value": round(value, 3), "unit": unit}
     if vs is not None:
         row["vs_baseline"] = round(vs, 2)
-    print(json.dumps(row), flush=True)
+    print(json.dumps(row), file=sys.stderr, flush=True)
     return row
 
 
@@ -186,7 +190,16 @@ def main():
 
     with open("bench_full.json", "w") as f:
         json.dump(rows, f, indent=2)
-    print("wrote bench_full.json", flush=True)
+    # The single stdout JSON line (same schema as the default mode), with
+    # the full row set attached; per-row progress went to stderr.
+    head = next(r for r in rows if r["metric"] == "train_bf16_pallas")
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": head["value"],
+        "unit": "rays/s (batch 1024, 64+128 samples, bf16 compute)",
+        "vs_baseline": head.get("vs_baseline"),
+        "full_rows": "bench_full.json",
+    }), flush=True)
 
 
 if __name__ == "__main__":

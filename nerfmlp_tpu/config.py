@@ -106,18 +106,22 @@ class RenderConfig:
         """Architecture of the coarse net, or (``fine=True``) the fine net.
 
         Bottleneck/view widths derive from the trunk width like the
-        reference (view layer = W // 2, nerfmlp/model.py:47-53); the skip
-        index scales with depth the way the original places it past the
-        middle of the trunk (skips=[4] of D=8 after-layer-i == our
-        before-layer-5 convention, example/run_nerf_helpers.py:92-104).
+        reference (view layer = W // 2, nerfmlp/model.py:47-53). The skip
+        index is FIXED at after-layer-4 for every --netdepth, exactly like
+        the oracle (skips=[4] hardcoded regardless of depth,
+        run_nerf.py:389; after-layer-4 == our before-layer-5 convention,
+        example/run_nerf_helpers.py:92-104), so custom-depth checkpoints
+        compute the same function in both frameworks. Depths <= 5 get no
+        skip: the TF loop never reaches i=4 for D<5, and D=5's trailing
+        concat (after the LAST layer, widening the head inputs) is a TF
+        artifact our before-layer convention cannot express.
         """
         depth = (self.depth_fine or self.depth) if fine else self.depth
         width = (self.width_fine or self.width) if fine else self.width
-        skip = 5 if depth == 8 else max(1, depth // 2 + 1)
         return ModelConfig(
             depth=depth,
             width=width,
-            skips=(skip,) if depth > 1 else (),
+            skips=(5,) if depth > 5 else (),
             input_ch=self.input_ch,
             input_ch_views=self.input_ch_views,
             use_viewdirs=self.use_viewdirs,

@@ -83,10 +83,9 @@ def render_path(
 ) -> Tuple[np.ndarray, np.ndarray, Optional[list]]:
     """Render every pose; returns (rgbs (N,H,W,3), disps (N,H,W), psnrs).
 
-    * ``render_factor`` > 1 divides H/W/focal for fast previews
-      (run_nerf.py:344-349); ground-truth comparison is skipped when
-      downscaled (shapes no longer match, same as the oracle's render-only
-      path which passes gt_imgs=None with render_factor).
+    * ``render_factor`` != 0 divides H/W/focal for fast previews and
+      skips the ground-truth comparison — even for factor 1, matching the
+      oracle exactly (run_nerf.py:344-349, 363-365).
     * ``gt_images`` (N,H,W,3): per-frame PSNR is computed and printed
       (run_nerf.py:369-372) and returned.
     * ``save_dir``: writes ``{i:03d}.png`` rgb frames (run_nerf.py:361-365).
@@ -98,7 +97,10 @@ def render_path(
     import jax.numpy as jnp
 
     H, W, focal = hwf
-    if render_factor and render_factor > 1:
+    if render_factor:
+        # Oracle semantics: ANY non-zero render_factor (even 1) takes the
+        # downscale branch and suppresses the gt comparison
+        # (run_nerf.py:344-349, 363-365).
         H, W = H // render_factor, W // render_factor
         focal = focal / render_factor
         gt_images = None

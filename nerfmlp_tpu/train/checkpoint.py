@@ -113,6 +113,18 @@ def is_params_only(path: str) -> bool:
     return "opt_state" not in raw
 
 
+def load_state_or_params(path: str, template_state: Any):
+    """Single-decode restore: ``(TrainState, False)`` when the file holds a
+    full train state, ``(params, True)`` for a bare params checkpoint —
+    avoids parsing the msgpack twice (is_params_only + load_checkpoint)
+    on every resume of a multi-hundred-MB state."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if "opt_state" in raw:
+        return serialization.from_state_dict(template_state, raw), False
+    return serialization.from_state_dict(template_state.params, raw), True
+
+
 def step_from_filename(path: str) -> int:
     """model_{step}.ckpt -> step; 0 when the name carries no step."""
     stem = os.path.basename(path)

@@ -204,6 +204,10 @@ class Trainer:
                     occ_grid=self.occ_grid, viewdirs=vd,
                 )
             )
+            if i == 0:
+                # Cache for _tb_histograms_and_image: the TB holdout image
+                # is this same view, rendered moments later otherwise.
+                self._last_val_render = (dataset, img, gt)
             mse = float(np.mean((img - gt) ** 2))
             mses.append(mse)
             psnrs.append(psnr_images(img, gt))
@@ -336,20 +340,20 @@ class Trainer:
             self._log(f"⚠️  resume checkpoint not found: {path} — starting fresh")
             return False
         host_state = jax.device_get(self.state)
-        if ckpt.is_params_only(path):
+        tree, params_only = ckpt.load_state_or_params(path, host_state)
+        if params_only:
             # Auto-discovery can land on a params-only model_{step}.ckpt
             # (e.g. metrics_latest.ckpt was corrupted/removed). Restore the
             # weights, take the step from the filename, keep a fresh
             # optimizer — the oracle's .npy reload does exactly this
             # (weights only, step from the filename, run_nerf.py:439-456).
-            params = ckpt.load_checkpoint(path, host_state.params)
             step = ckpt.step_from_filename(path)
             restored = host_state.replace(
-                params=params, step=jnp.asarray(step, jnp.int32)
+                params=tree, step=jnp.asarray(step, jnp.int32)
             )
             self._log(f"⚠️  {path} holds params only — optimizer state reset")
         else:
-            restored = ckpt.load_checkpoint(path, host_state)
+            restored = tree
         if self._state_sharding is not None:
             # Re-apply the layout __init__ used (replicated, or the TP
             # column/row shardings) — a plain put commits to one device,
@@ -652,15 +656,22 @@ class Trainer:
                 self._tb.add_histogram(f"params/{name}", np.asarray(leaf), step)
             if self.quick_val_ds is not None:
                 ds = self.quick_val_ds
-                cfg = dataclasses.replace(
-                    self.rc, perturb=False, raw_noise_std=0.0
-                )
-                o, d, gt = ds.image_rays(0)
-                vd = getattr(ds, "image_viewdirs", lambda _i: None)(0)
-                img = np.asarray(render_image(
-                    self.state.params, jnp.asarray(o), jnp.asarray(d),
-                    ds.H, ds.W, cfg, occ_grid=self.occ_grid, viewdirs=vd,
-                ))
+                cached = getattr(self, "_last_val_render", None)
+                if cached is not None and cached[0] is ds:
+                    # The quick-val that triggered this logging just
+                    # rendered view 0 of the same dataset — reuse it
+                    # instead of paying a second full render.
+                    _, img, gt = cached
+                else:
+                    cfg = dataclasses.replace(
+                        self.rc, perturb=False, raw_noise_std=0.0
+                    )
+                    o, d, gt = ds.image_rays(0)
+                    vd = getattr(ds, "image_viewdirs", lambda _i: None)(0)
+                    img = np.asarray(render_image(
+                        self.state.params, jnp.asarray(o), jnp.asarray(d),
+                        ds.H, ds.W, cfg, occ_grid=self.occ_grid, viewdirs=vd,
+                    ))
                 self._tb.add_image(
                     "val/render", np.clip(img, 0, 1), step, dataformats="HWC"
                 )

@@ -15,14 +15,19 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _expand_config_files(argv, bool_flags=frozenset()):
+def _expand_config_files(argv, bool_flags=frozenset(), negations=None):
     """``--config FILE`` support (the oracle uses configargparse,
     example/run_nerf.py:461-465): FILE holds ``key = value`` lines that are
     expanded into flags, with explicit CLI flags taking precedence.
 
     ``bool_flags``: names of store_true/store_false flags — for those,
     numeric "1"/"0" mean present/absent (configargparse convention); for
-    value flags "1"/"0" stay values (``testskip = 1``)."""
+    value flags "1"/"0" stay values (``testskip = 1``).
+
+    ``negations``: dest -> opt-out flag (e.g. ``use_pallas: --no_pallas``)
+    so a falsy value for a default-True flag emits the opt-out instead of
+    being silently dropped (``use_pallas = False`` must disable pallas)."""
+    negations = negations or {}
     argv = list(sys.argv[1:] if argv is None else argv)
     out = []
     i = 0
@@ -43,6 +48,9 @@ def _expand_config_files(argv, bool_flags=frozenset()):
                     if val.lower() in truthy:
                         pass  # store_true flag
                     elif val.lower() in falsy:
+                        if key in negations:
+                            flag = [negations[key]]
+                            out = flag + out
                         continue
                     else:
                         flag += val.split()
@@ -63,9 +71,21 @@ def _bool_flag_names(parser):
     )
 
 
+def _negation_flags(parser):
+    """dest -> opt-out option for store_false actions (``use_pallas`` ->
+    ``--no_pallas``), so config files can turn default-True flags off."""
+    return {
+        a.dest: a.option_strings[0]
+        for a in parser._actions
+        if a.nargs == 0 and a.const is False and a.option_strings
+    }
+
+
 def parse_args(argv=None):
     p = build_parser()
-    return p.parse_args(_expand_config_files(argv, _bool_flag_names(p)))
+    return p.parse_args(
+        _expand_config_files(argv, _bool_flag_names(p), _negation_flags(p))
+    )
 
 
 def build_parser():
@@ -73,7 +93,11 @@ def build_parser():
     # Reference flags (train.py:180-192).
     p.add_argument("--datadir", type=str, required=True)
     p.add_argument("--split", type=str, default="train")
-    p.add_argument("--img_wh", type=int, nargs=2, default=[1024, 1024])
+    p.add_argument("--img_wh", type=int, nargs=2, default=None,
+                   help="training resolution (default: 1024x1024 blender "
+                        "/ 512x512 deepvoxels like the references; for "
+                        "llff, images_{factor}/'s native size when "
+                        "--factor is set, else 504x378)")
     p.add_argument("--half_res", action="store_true",
                    help="train at half the images' native resolution "
                         "(oracle --half_res; overrides --img_wh)")
@@ -232,7 +256,32 @@ def main(argv=None):
     if args.expname:
         # Oracle experiment layout: <basedir>/<expname> (run_nerf.py:659).
         args.save_dir = os.path.join(args.basedir, args.expname)
-    if args.half_res:
+    if args.img_wh is None:
+        # Per-dataset-type resolution defaults. For llff with --factor the
+        # ORACLE derives the training resolution from the factor (load_llff
+        # returns the minified images at native size, run_nerf.py:548-551)
+        # — probe images_{factor}/ instead of imposing a fixed size.
+        if args.dataset_type == "llff" and args.factor:
+            from PIL import Image
+
+            from nerfmlp_tpu.data.llff import LLFFDataset
+
+            img_dir = LLFFDataset._ensure_factor_dir(args.datadir, args.factor)
+            first = sorted(
+                f for f in os.listdir(img_dir)
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))
+            )[0]
+            with Image.open(os.path.join(img_dir, first)) as im:
+                args.img_wh = [im.width, im.height]
+            print(f"--factor {args.factor}: native resolution "
+                  f"{args.img_wh[0]}x{args.img_wh[1]}")
+        elif args.dataset_type == "llff":
+            args.img_wh = [504, 378]
+        elif args.dataset_type == "deepvoxels":
+            args.img_wh = [512, 512]
+        else:
+            args.img_wh = [1024, 1024]
+    if args.half_res and args.dataset_type == "blender":
         # Train at half the native image resolution (the oracle's
         # load_blender half_res path); probe the first frame for its size.
         import json
@@ -245,6 +294,10 @@ def main(argv=None):
         with Image.open(os.path.join(args.datadir, "train", name + ".png")) as im:
             args.img_wh = [max(1, im.width // 2), max(1, im.height // 2)]
         print(f"--half_res: training at {args.img_wh[0]}x{args.img_wh[1]}")
+    elif args.half_res:
+        # half_res is a blender-only oracle flag (run_nerf.py:546-547, used
+        # only in the load_blender branch); llff downsampling is --factor.
+        print("⚠️  --half_res is blender-only; use --factor for llff — ignored")
 
     if args.img_wh[0] >= 1024 or args.img_wh[1] >= 1024:
         print("⚠️  High resolution training: consider batch_size>=512, lr<=2e-4")

@@ -105,3 +105,40 @@ def test_auto_tune_batch_size_monotone():
     big = auto_tune_batch_size(int(1e6), max_mem_gb=16.0)
     assert small <= big
     assert small >= 256 and big <= 16384
+
+
+def test_ndc_rays_match_published_formula():
+    """Independent oracle for ndc_rays: the NeRF paper's Appendix C
+    projection equations, re-derived here in plain numpy (NOT calling any
+    repo code) — o is first shifted to the near plane (t = -(n+oz)/dz),
+    then
+        o' = (-f/(W/2) ox/oz,  -f/(H/2) oy/oz,  1 + 2n/oz)
+        d' = (-f/(W/2) (dx/dz - ox/oz),  -f/(H/2) (dy/dz - oy/oz),  -2n/oz)
+    """
+    H, W, focal, near = 24, 32, 40.0, 1.0
+    rng = np.random.default_rng(7)
+    o = rng.normal(size=(64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.2  # forward-facing: looking down -z
+    o[:, 2] = np.abs(o[:, 2])
+
+    t = -(near + o[:, 2]) / d[:, 2]
+    os_ = o + t[:, None] * d
+    ox, oy, oz = os_[:, 0], os_[:, 1], os_[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    o_exp = np.stack([
+        -focal / (W / 2.0) * ox / oz,
+        -focal / (H / 2.0) * oy / oz,
+        1.0 + 2.0 * near / oz,
+    ], -1)
+    d_exp = np.stack([
+        -focal / (W / 2.0) * (dx / dz - ox / oz),
+        -focal / (H / 2.0) * (dy / dz - oy / oz),
+        -2.0 * near / oz,
+    ], -1)
+
+    o_got, d_got = ndc_rays(
+        H, W, focal, near, jnp.asarray(o.copy()), jnp.asarray(d)
+    )
+    np.testing.assert_allclose(np.asarray(o_got), o_exp, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_got), d_exp, atol=1e-4)

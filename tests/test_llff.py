@@ -244,3 +244,28 @@ def test_synthetic_llff_360_scene_learns(tmp_path):
         state, m = step(state, jnp.asarray(loader.next_batch()))
         losses.append(float(m["loss"]))
     assert np.mean(losses[-10:]) < 0.5 * np.mean(losses[:10])
+
+
+def test_factor_sets_native_resolution_via_cli(llff_scene, tmp_path):
+    """Oracle --factor semantics: the training resolution comes from
+    images_{factor}/'s native size when --img_wh is omitted
+    (run_nerf.py:548-551 — load_llff returns minified images as-is)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.train import main
+
+    out = str(tmp_path / "f2")
+    main([
+        "--datadir", llff_scene, "--dataset_type", "llff", "--factor", "2",
+        "--batch_size", "64", "--iters", "4", "--save_dir", out,
+        "--quick_val_interval", "4", "--full_val_interval", "0",
+        "--quick_val_res", "20", "15", "--quick_val_subset", "1",
+        "--N_samples", "4", "--N_importance", "0",
+        "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
+        "--i_print", "4",
+    ])
+    with open(os.path.join(out, "args.txt")) as f:
+        args_txt = f.read()
+    # images/ is 40x30 -> images_2/ native 20x15.
+    assert "img_wh = [20, 15]" in args_txt

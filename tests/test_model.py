@@ -155,3 +155,16 @@ def test_custom_arch_falls_back_from_pallas():
     out = render_rays(params, o, jnp.asarray(d), None, cfg)
     assert np.isfinite(np.asarray(out["rgb_map"])).all()
     assert np.isfinite(np.asarray(out["rgb_map_coarse"])).all()
+
+
+def test_skip_index_fixed_like_oracle():
+    """The oracle hardcodes skips=[4] (after-layer-4) for EVERY --netdepth
+    (run_nerf.py:389) == our before-layer-5; depths too short for the TF
+    loop to reach i=4 get none."""
+    from nerfmlp_tpu.config import RenderConfig
+
+    assert RenderConfig(depth=8).model_config().skips == (5,)
+    assert RenderConfig(depth=6).model_config().skips == (5,)
+    assert RenderConfig(depth=10).model_config().skips == (5,)
+    assert RenderConfig(depth=4).model_config().skips == ()
+    assert RenderConfig(depth=8, depth_fine=6).model_config(fine=True).skips == (5,)

@@ -77,3 +77,22 @@ def test_config_file_expansion(tmp_path):
     assert args.lindisp is True
     assert args.coarse_loss is False  # 'false' values are dropped
     assert args.img_wh == [64, 64]
+
+
+def test_config_file_falsy_disables_default_true_flags(tmp_path):
+    """'use_pallas = False' in a --config file must actually disable
+    pallas (default True): the expander emits the --no_pallas opt-out
+    instead of silently dropping the line."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.train import parse_args
+
+    cfg = tmp_path / "opt_out.cfg"
+    cfg.write_text("use_pallas = False\nuse_viewdirs = 0\n")
+    args = parse_args(["--config", str(cfg), "--datadir", "/x"])
+    assert args.use_pallas is False
+    assert args.use_viewdirs is False
+    # Explicit CLI still wins over the config file.
+    args2 = parse_args(["--config", str(cfg), "--datadir", "/x", "--use_viewdirs"])
+    assert args2.use_viewdirs is True
