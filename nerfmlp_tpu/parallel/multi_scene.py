@@ -106,3 +106,51 @@ def make_multi_scene_step(
 
 def scene_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
+
+
+# --------------------------------------------------------------------- #
+# 2-D scene x data scaling: more chips than scenes.
+
+
+def make_scene_mesh(n_scenes: int, n_devices: int = 0) -> Mesh:
+    """A ("scene", "data") mesh: each scene group owns ``n_devices /
+    n_scenes`` chips that data-parallelize its ray batch. Scene axis
+    outermost — per-scene gradient all-reduces ride the contiguous inner
+    (fastest-ICI) axis and never cross scene groups."""
+    import numpy as np
+
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if n % n_scenes:
+        raise ValueError(f"{n} devices not divisible by {n_scenes} scenes")
+    arr = np.asarray(devs[:n]).reshape(n_scenes, n // n_scenes)
+    return Mesh(arr, axis_names=("scene", "data"))
+
+
+def make_multi_scene_dp_step(rc: RenderConfig, tc: TrainConfig, mesh: Mesh):
+    """Jitted step over a ("scene", "data") mesh: stacked states sharded on
+    "scene" (replicated within each scene's data group), batches
+    (n_scenes, B, 9|12) sharded on BOTH axes. Written as a plain vmap of
+    the shared single-scene update rule — GSPMD partitions each scene's
+    batch over its data group and inserts the per-group gradient
+    all-reduce; no hand-written collectives (same math as
+    :func:`make_multi_scene_step`, more chips than scenes)."""
+    step_fn = make_step_fn(rc, tc)
+
+    def step(state_stack, batch_stack):
+        return jax.vmap(lambda s, b: step_fn(s, b, None))(
+            state_stack, batch_stack
+        )
+
+    state_sh = NamedSharding(mesh, P("scene"))
+    batch_sh = NamedSharding(mesh, P("scene", "data"))
+    return (
+        jax.jit(
+            step,
+            in_shardings=(state_sh, batch_sh),
+            out_shardings=(state_sh, state_sh),
+            donate_argnums=(0,),
+        ),
+        state_sh,
+        batch_sh,
+    )

@@ -40,15 +40,18 @@ def main(argv=None):
     from nerfmlp_tpu.parallel.mesh import make_mesh
     from nerfmlp_tpu.parallel.multi_scene import (
         create_multi_scene_state,
+        make_multi_scene_dp_step,
         make_multi_scene_step,
+        make_scene_mesh,
         scene_sharding,
     )
     from nerfmlp_tpu.train.checkpoint import save_checkpoint
 
     n_scenes = len(args.datadirs)
     n_dev = len(jax.devices())
-    if n_scenes % n_dev != 0:
-        p.error(f"{n_scenes} scenes not divisible by {n_dev} devices")
+    if n_scenes % n_dev != 0 and n_dev % n_scenes != 0:
+        p.error(f"{n_scenes} scenes vs {n_dev} devices: need one to divide "
+                f"the other")
 
     datasets = [
         BlenderDataset(d, "train", img_wh=tuple(args.img_wh))
@@ -72,15 +75,25 @@ def main(argv=None):
     )
     tc = TrainConfig(batch_size=args.batch_size, iters=args.iters, lr=args.lr)
 
-    mesh = make_mesh()
-    shard = scene_sharding(mesh)
+    if n_scenes % n_dev == 0:
+        # >= 1 scene per device: shard_map, scenes pinned to chips.
+        mesh = make_mesh()
+        shard = batch_shard = scene_sharding(mesh)
+        step = make_multi_scene_step(rc, tc, mesh)
+    else:
+        # Fewer scenes than chips: ("scene", "data") mesh — each scene
+        # group data-parallelizes its ray batch over n_dev/n_scenes chips.
+        mesh = make_scene_mesh(n_scenes, n_dev)
+        step, shard, batch_shard = make_multi_scene_dp_step(rc, tc, mesh)
+        print(f"scene x data mesh: {n_scenes} x {n_dev // n_scenes}")
     state = jax.device_put(create_multi_scene_state(n_scenes, rc, tc), shard)
-    step = make_multi_scene_step(rc, tc, mesh)
 
     os.makedirs(args.save_dir, exist_ok=True)
     for it in range(1, args.iters + 1):
         batch = np.stack([ld.next_batch() for ld in loaders], axis=0)
-        state, metrics = step(state, jax.device_put(jnp.asarray(batch), shard))
+        state, metrics = step(
+            state, jax.device_put(jnp.asarray(batch), batch_shard)
+        )
         if it % args.log_interval == 0:
             losses = np.asarray(metrics["loss"])
             psnrs = np.asarray(metrics["psnr"])
