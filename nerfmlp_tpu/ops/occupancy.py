@@ -88,8 +88,10 @@ def update_grid(
     # SAME net the occupancy render path queries (render.py: fine when
     # separate_fine, else the shared net), or the grid would track a
     # network that never trains.
+    fine = False
     if "coarse" in params:
         net = params.get("fine") if cfg.separate_fine else None
+        fine = net is not None
         params = net or params["coarse"]
 
     g = grid.resolution
@@ -107,7 +109,10 @@ def update_grid(
         dirs_enc = positional_encoding(const_dir, cfg.dir_enc_L)
         # _query_mlp broadcasts per-ray dirs over samples: give it
         # (N_rays=G^3, S=1) shaped points.
-    raw = _query_mlp(params, pts[:, None, :], dirs_enc, cfg)
+    # fine=True selects the fine net's architecture when the grid's density
+    # source is the fine net (mirrors the render path, render.py:172-176;
+    # the coarse ModelConfig would crash/mismatch custom fine shapes).
+    raw = _query_mlp(params, pts[:, None, :], dirs_enc, cfg, fine=fine)
     sigma = jax.nn.relu(raw[:, 0, 3]).reshape(g, g, g)
     return OccupancyGrid(density=jnp.maximum(grid.density * decay, sigma))
 

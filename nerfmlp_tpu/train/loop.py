@@ -99,6 +99,13 @@ class Trainer:
                     "tensor parallelism + occupancy sampling is not wired; "
                     "drop --use_occupancy or --tensor_parallel"
                 )
+            if rc.use_pallas:
+                # The fused Mosaic kernel has no GSPMD partitioner: with
+                # model-axis-sharded weights it would fail to compile (or
+                # silently all-gather them per step). TP is the XLA path.
+                rc = self.rc = dataclasses.replace(rc, use_pallas=False)
+                print("(tensor parallelism: pallas kernel disabled — "
+                      "sharded weights take the XLA path)")
             from nerfmlp_tpu.parallel.tensor_parallel import (
                 make_tp_train_step,
                 tp_state_sharding,
@@ -176,12 +183,6 @@ class Trainer:
     def _log(self, msg: str) -> None:
         if self.verbose:
             print(msg, flush=True)
-
-    def _put(self, batch: np.ndarray):
-        batch = jnp.asarray(batch)
-        if self._batch_sharding is not None:
-            batch = jax.device_put(batch, self._batch_sharding)
-        return batch
 
     def _lr_at(self, step: int) -> float:
         return float(
@@ -348,10 +349,30 @@ class Trainer:
             # optimizer — the oracle's .npy reload does exactly this
             # (weights only, step from the filename, run_nerf.py:439-456).
             step = ckpt.step_from_filename(path)
-            restored = host_state.replace(
-                params=tree, step=jnp.asarray(step, jnp.int32)
+            # The fresh optimizer's exponential-decay schedule is driven by
+            # ScaleByScheduleState.count, NOT state.step — fast-forward it
+            # or a late-step params-only resume trains at the INITIAL LR
+            # (~5x too hot at 190k/250k) while the log prints the decayed
+            # one. Adam's own count stays 0: zeroed moments need fresh
+            # bias correction. (The oracle restores global_step for its
+            # decay, run_nerf.py:439-456 + :705-709.)
+            is_sched = lambda s: type(s).__name__ == "ScaleByScheduleState"
+            opt_state = jax.tree.map(
+                lambda s: (
+                    s._replace(count=jnp.asarray(step, jnp.int32))
+                    if is_sched(s) else s
+                ),
+                host_state.opt_state,
+                is_leaf=is_sched,
             )
-            self._log(f"⚠️  {path} holds params only — optimizer state reset")
+            restored = host_state.replace(
+                params=tree, step=jnp.asarray(step, jnp.int32),
+                opt_state=opt_state,
+            )
+            self._log(
+                f"⚠️  {path} holds params only — optimizer moments reset, "
+                f"LR schedule fast-forwarded to step {step:,}"
+            )
         else:
             restored = tree
         if self._state_sharding is not None:
@@ -419,11 +440,24 @@ class Trainer:
                 f"first {tc.precrop_iters:,} iters"
             )
 
+        # Double-buffered input: the next host batch is device_put while
+        # the current step runs (data/pipeline.py::prefetch_to_device).
+        from nerfmlp_tpu.data.pipeline import prefetch_to_device
+
+        def _stream():
+            import itertools
+
+            gen = (self.loader.next_batch() for _ in itertools.count())
+            return prefetch_to_device(gen, sharding=self._batch_sharding)
+
+        stream = _stream()
+
         t_prev = time.time()
         for step in range(start_step + 1, iters + 1):
             if tc.precrop_iters > 0 and step == tc.precrop_iters + 1:
                 self.loader.set_precrop(1.0)
                 self._log(f"🎯 precrop off at iter {step:,}")
+                stream = _stream()  # drop the buffered pre-transition batch
             if tc.profile_dir:
                 # Best-effort: remote-device plugins may not support traces.
                 try:
@@ -437,7 +471,7 @@ class Trainer:
                 except Exception as e:
                     self._log(f"(profiler unavailable: {e})")
                     tc = dataclasses.replace(tc, profile_dir="")
-            batch = self._put(self.loader.next_batch())
+            batch = next(stream)
             if self.occ_grid is not None:
                 if (step - 1) % self.rc.occ_update_every == 0:
                     self.occ_grid = self._occ_update(

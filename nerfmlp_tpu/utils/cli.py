@@ -35,6 +35,36 @@ def arch_fields(args) -> Dict[str, int]:
     }
 
 
+def add_llff_flags(p) -> None:
+    """--no_ndc/--spherify/--factor/--llffhold for checkpoint-consuming
+    scripts: the eval/render dataset must be built the way the checkpoint
+    was trained (NDC vs metric rays, spherified poses, image dir, holdout
+    split) or the geometry silently mismatches."""
+    p.add_argument("--no_ndc", action="store_true",
+                   help="metric rays instead of NDC (match training)")
+    p.add_argument("--spherify", action="store_true",
+                   help="LLFF 360 capture (match training)")
+    p.add_argument("--factor", type=int, default=0,
+                   help="LLFF images_{factor}/ directory (match training)")
+    p.add_argument("--llffhold", type=int, default=8,
+                   help="every Nth image is val/test (match training)")
+
+
+def dataset_kwargs(args) -> dict:
+    """Loader kwargs for the parsed --dataset_type + flags (pairs with
+    :func:`dataset_class` / :func:`add_llff_flags`)."""
+    if args.dataset_type == "llff":
+        return {
+            "use_ndc": not args.no_ndc,
+            "spherify": args.spherify,
+            "factor": args.factor,
+            "llffhold": args.llffhold,
+        }
+    if args.dataset_type == "deepvoxels":
+        return {"shape": args.shape}
+    return {}
+
+
 def dataset_class(dataset_type: str):
     """Loader class for an oracle ``--dataset_type`` value
     (llff / blender / deepvoxels, example/run_nerf.py:533-534)."""

@@ -19,6 +19,8 @@ def main(argv=None):
                    choices=["blender", "llff", "deepvoxels"])
     p.add_argument("--shape", type=str, default="greek",
                    help="deepvoxels scene name (oracle --shape)")
+    from nerfmlp_tpu.utils.cli import add_llff_flags
+    add_llff_flags(p)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
     p.add_argument("--ckpt", type=str, required=True, help=".ckpt or .npy")
@@ -55,11 +57,11 @@ def main(argv=None):
     from nerfmlp_tpu.train.metrics import psnr_images, ssim
     from nerfmlp_tpu.utils.image import save_png
 
-    from nerfmlp_tpu.utils.cli import dataset_class
+    from nerfmlp_tpu.utils.cli import dataset_class, dataset_kwargs
 
     DS = dataset_class(args.dataset_type)
-    ds_kw = {"shape": args.shape} if args.dataset_type == "deepvoxels" else {}
-    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh), **ds_kw)
+    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh),
+            **dataset_kwargs(args))
     near, far = ds.dynamic_near_far()
     if args.near is not None:
         near = args.near

@@ -21,6 +21,8 @@ def main(argv=None):
                    choices=["blender", "llff", "deepvoxels"])
     p.add_argument("--shape", type=str, default="greek",
                    help="deepvoxels scene name (oracle --shape)")
+    from nerfmlp_tpu.utils.cli import add_llff_flags
+    add_llff_flags(p)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
     p.add_argument("--ckpt", type=str, required=True,
@@ -63,11 +65,11 @@ def main(argv=None):
     from nerfmlp_tpu.train.checkpoint import load_params_any
 
     os.makedirs(args.out_dir, exist_ok=True)
-    from nerfmlp_tpu.utils.cli import dataset_class
+    from nerfmlp_tpu.utils.cli import dataset_class, dataset_kwargs
 
     DS = dataset_class(args.dataset_type)
-    ds_kw = {"shape": args.shape} if args.dataset_type == "deepvoxels" else {}
-    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh), **ds_kw)
+    ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh),
+            **dataset_kwargs(args))
 
     is_npy = args.ckpt.endswith(".npy")
     n_importance = args.N_importance

@@ -101,7 +101,8 @@ def build_parser():
     p.add_argument("--half_res", action="store_true",
                    help="train at half the images' native resolution "
                         "(oracle --half_res; overrides --img_wh)")
-    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--batch_size", "--N_rand", type=int, default=1024,
+                   help="rays per step (oracle --N_rand)")
     p.add_argument("--iters", type=int, default=200000)
     p.add_argument("--lr", "--lrate", type=float, default=5e-4)
     p.add_argument("--lrate_decay", type=int, default=250,
@@ -151,10 +152,10 @@ def build_parser():
                    help="official two-net scheme instead of the shared net")
     p.add_argument("--coarse_loss", action="store_true",
                    help="add the coarse rgb loss term (official behavior)")
-    p.add_argument("--pos_enc_L", type=int, default=10,
+    p.add_argument("--pos_enc_L", "--multires", type=int, default=10,
                    help="positional-encoding frequencies (oracle --multires); "
                         "0 = identity embedding (oracle --i_embed -1)")
-    p.add_argument("--dir_enc_L", type=int, default=4,
+    p.add_argument("--dir_enc_L", "--multires_views", type=int, default=4,
                    help="view-direction frequencies (oracle --multires_views)")
     p.add_argument("--no_viewdirs", dest="use_viewdirs", action="store_false",
                    default=True)

@@ -377,9 +377,9 @@ def test_train_cli_tensor_parallel(cli_scene, tmp_path):
         "--N_samples", "8", "--N_importance", "8",
         "--quick_val_interval", "20", "--full_val_interval", "0",
         "--quick_val_res", "32", "32", "--quick_val_subset", "1",
-        "--compute_dtype", "float32", "--no_pallas",
+        "--compute_dtype", "float32",
         "--tensor_parallel", "2",
-    ]
+    ]  # note: NO --no_pallas — covers the TP auto-disable of the kernel
     train_main(argv)
     assert os.path.exists(os.path.join(out, "model_final.ckpt"))
     import json

@@ -167,3 +167,31 @@ def test_occupancy_cli_flag(synthetic_scene, tmp_path):
         "--use_occupancy", "--aabb", "-1.5", "-1.5", "-1.2", "1.5", "1.5", "1.5",
     ])
     assert m["step"] == 30
+
+
+def test_update_grid_separate_fine_custom_arch():
+    """The grid's density source is the FINE net under separate_fine
+    (render.py:172-176); update_grid must query it with the fine
+    architecture — a custom --netdepth_fine/--netwidth_fine used to crash
+    with ScopeParamShapeError."""
+    import jax
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.occupancy import create_grid, update_grid
+
+    rc = RenderConfig(
+        N_samples=8, N_importance=8, near=0.5, far=4.0,
+        depth=4, width=32, depth_fine=3, width_fine=16,
+        separate_fine=True, use_occupancy=True,
+        aabb=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0), occ_grid_size=4,
+    )
+    params = {
+        "coarse": init_model(jax.random.PRNGKey(0), rc.model_config()),
+        "fine": init_model(jax.random.PRNGKey(1), rc.model_config(fine=True)),
+    }
+    grid = update_grid(
+        create_grid(rc.occ_grid_size), params, rc, jax.random.PRNGKey(2),
+        decay=0.0,
+    )
+    assert np.isfinite(np.asarray(grid.density)).all()

@@ -170,6 +170,18 @@ def test_params_only_resume(synthetic_scene, tmp_path):
     t2 = _mk_trainer(synthetic_scene, save_dir, iters=60)
     assert t2.resume(path)
     assert int(t2.state.step) == 30
+    # The fresh optimizer's LR schedule must be fast-forwarded to the
+    # resumed step (not restart at the initial LR); Adam's own count stays
+    # 0 for fresh-moment bias correction.
+    flat = jax.tree.leaves(
+        t2.state.opt_state,
+        is_leaf=lambda s: type(s).__name__ in
+        ("ScaleByScheduleState", "ScaleByAdamState"),
+    )
+    scheds = [s for s in flat if type(s).__name__ == "ScaleByScheduleState"]
+    adams = [s for s in flat if type(s).__name__ == "ScaleByAdamState"]
+    assert scheds and all(int(s.count) == 30 for s in scheds)
+    assert adams and all(int(a.count) == 0 for a in adams)
     np.testing.assert_array_equal(
         np.asarray(t1.state.params["coarse"]["pts_0"]["kernel"]),
         np.asarray(t2.state.params["coarse"]["pts_0"]["kernel"]),
