@@ -96,3 +96,54 @@ def test_config_file_falsy_disables_default_true_flags(tmp_path):
     # Explicit CLI still wins over the config file.
     args2 = parse_args(["--config", str(cfg), "--datadir", "/x", "--use_viewdirs"])
     assert args2.use_viewdirs is True
+
+
+def test_canonical_oracle_configs_parse(tmp_path):
+    """The two canonical bmild/nerf config files (blender lego + llff
+    fern), verbatim, must expand and parse — every key is an accepted
+    flag or alias (the oracle's configargparse surface,
+    example/run_nerf.py:461-572)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.train import parse_args
+
+    lego = tmp_path / "lego.txt"
+    lego.write_text(
+        "expname = blender_paper_lego\n"
+        "basedir = ./logs\n"
+        "datadir = ./data/nerf_synthetic/lego\n"
+        "dataset_type = blender\n"
+        "no_batching = True\n"
+        "use_viewdirs = True\n"
+        "white_bkgd = True\n"
+        "lrate_decay = 500\n"
+        "N_samples = 64\n"
+        "N_importance = 128\n"
+        "N_rand = 1024\n"
+        "precrop_iters = 500\n"
+        "precrop_frac = 0.5\n"
+        "half_res = True\n"
+    )
+    a = parse_args(["--config", str(lego)])
+    assert a.expname == "blender_paper_lego"
+    assert a.batch_size == 1024 and a.no_batching and a.half_res
+    assert a.lrate_decay == 500 and a.precrop_iters == 500
+
+    fern = tmp_path / "fern.txt"
+    fern.write_text(
+        "expname = fern_test\n"
+        "basedir = ./logs\n"
+        "datadir = ./data/nerf_llff_data/fern\n"
+        "dataset_type = llff\n"
+        "factor = 8\n"
+        "llffhold = 8\n"
+        "N_rand = 1024\n"
+        "N_samples = 64\n"
+        "N_importance = 64\n"
+        "use_viewdirs = True\n"
+        "raw_noise_std = 1e0\n"
+    )
+    a = parse_args(["--config", str(fern)])
+    assert a.dataset_type == "llff" and a.factor == 8
+    assert a.raw_noise_std == 1.0 and a.batch_size == 1024
