@@ -10,3 +10,11 @@ __all__ = [
     "srgb_to_linear",
     "linear_to_srgb",
 ]
+
+
+def image_viewdirs(dataset, idx: int):
+    """World-space per-pixel view directions for one image, or ``None``
+    for metric datasets (only NDC/LLFF loaders carry them — the view
+    branch must see pre-NDC world directions, run_nerf.py:297-312)."""
+    fn = getattr(dataset, "image_viewdirs", None)
+    return fn(idx) if fn is not None else None

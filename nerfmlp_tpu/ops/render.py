@@ -34,6 +34,14 @@ from nerfmlp_tpu.ops.integrate import composite_rays
 from nerfmlp_tpu.ops.sampling import sample_pdf, stratified_sample
 
 
+def _final_net(params: Dict, cfg: RenderConfig):
+    """(net_params, is_fine) for the network that renders the final image:
+    the fine net under separate_fine, else the shared net (reference
+    renderer.py:76,103 vs run_nerf.py:397-403)."""
+    net = params.get("fine") if cfg.separate_fine else None
+    return (net if net is not None else params["coarse"]), net is not None
+
+
 def _query_mlp(
     params: Dict,
     pts: jnp.ndarray,
@@ -169,11 +177,8 @@ def render_rays(
         # fine net (it renders the final image and is also the grid's
         # density source, ops/occupancy.py::update_grid); the coarse net is
         # unused — its whole job was sample placement, now the grid's.
-        net = params.get("fine") if cfg.separate_fine else None
-        raw = _query_mlp(
-            net if net is not None else params["coarse"],
-            pts, viewdirs_enc_pre, cfg, fine=net is not None,
-        )
+        net, is_fine = _final_net(params, cfg)
+        raw = _query_mlp(net, pts, viewdirs_enc_pre, cfg, fine=is_fine)
         out = composite_rays(
             raw, z_vals, rays_d,
             rng=k_noise_f, raw_noise_std=cfg.raw_noise_std,
@@ -221,11 +226,8 @@ def render_rays(
     )
     pts_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_vals_fine[..., None]
 
-    fine_params = params.get("fine") if cfg.separate_fine else None
-    raw_fine = _query_mlp(
-        fine_params if fine_params is not None else params["coarse"],
-        pts_fine, viewdirs_enc, cfg, fine=fine_params is not None,
-    )
+    fine_params, is_fine = _final_net(params, cfg)
+    raw_fine = _query_mlp(fine_params, pts_fine, viewdirs_enc, cfg, fine=is_fine)
     fine = composite_rays(
         raw_fine, z_vals_fine, rays_d,
         rng=k_noise_f, raw_noise_std=cfg.raw_noise_std,

@@ -70,24 +70,18 @@ def _spec_for(path, leaf, tp: int) -> P:
     def div(dim):
         return dim % tp == 0 and dim >= tp
 
+    is_col = (
+        layer in _COL_HEADS
+        or (layer.startswith("pts_") and int(layer[4:]) % 2 == 0)
+    )
     if kind == "kernel" and len(shape) == 2:
-        is_col = (
-            layer in _COL_HEADS
-            or (layer.startswith("pts_") and int(layer[4:]) % 2 == 0)
-        )
         if is_col and div(shape[1]):
             return P(None, "model")
         if not is_col and div(shape[0]):
             return P("model", None)
-        return P()
-    if kind == "bias" and len(shape) == 1:
-        is_col = (
-            layer in _COL_HEADS
-            or (layer.startswith("pts_") and int(layer[4:]) % 2 == 0)
-        )
+    elif kind == "bias" and len(shape) == 1:
         if is_col and div(shape[0]):
             return P("model")
-        return P()
     return P()
 
 

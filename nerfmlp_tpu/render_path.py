@@ -129,9 +129,9 @@ def render_path(
         disps.append(disp)
         line = f"render_path {i + 1}/{len(poses)}"
         if psnrs is not None:
-            p = -10.0 * np.log10(
-                max(float(np.mean((rgb - gt_images[i]) ** 2)), 1e-12)
-            )
+            from nerfmlp_tpu.train.metrics import psnr_images
+
+            p = psnr_images(rgb, gt_images[i])
             psnrs.append(p)
             line += f" | PSNR {p:.2f}"
         if save_dir:

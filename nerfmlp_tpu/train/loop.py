@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerfmlp_tpu.config import RenderConfig, TrainConfig
+from nerfmlp_tpu.data import image_viewdirs
 from nerfmlp_tpu.data.pipeline import RayBatchLoader
 from nerfmlp_tpu.ops.render import render_image
 from nerfmlp_tpu.parallel.train_step import create_train_state, make_train_step
@@ -197,7 +198,7 @@ class Trainer:
         params = self.state.params
         for i in range(n):
             o, d, gt = dataset.image_rays(i)
-            vd = getattr(dataset, "image_viewdirs", lambda _i: None)(i)
+            vd = image_viewdirs(dataset, i)
             img = np.asarray(
                 render_image(
                     params, jnp.asarray(o), jnp.asarray(d),
@@ -234,7 +235,7 @@ class Trainer:
             # NDC/LLFF datasets carry world-space viewdirs alongside the
             # NDC rays — rendering without them conditions the view branch
             # on NDC-space directions (wrong colors); mirror _validate.
-            vd = getattr(self.val_ds, "image_viewdirs", lambda _i: None)(0)
+            vd = image_viewdirs(self.val_ds, 0)
             img = np.asarray(
                 render_image(
                     self.state.params, jnp.asarray(o), jnp.asarray(d),
@@ -701,7 +702,7 @@ class Trainer:
                         self.rc, perturb=False, raw_noise_std=0.0
                     )
                     o, d, gt = ds.image_rays(0)
-                    vd = getattr(ds, "image_viewdirs", lambda _i: None)(0)
+                    vd = image_viewdirs(ds, 0)
                     img = np.asarray(render_image(
                         self.state.params, jnp.asarray(o), jnp.asarray(d),
                         ds.H, ds.W, cfg, occ_grid=self.occ_grid, viewdirs=vd,

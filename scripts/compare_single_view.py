@@ -52,7 +52,9 @@ def main(argv=None):
     params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
 
     o, d, gt = ds.image_rays(args.view_idx)
-    vd = getattr(ds, "image_viewdirs", lambda _i: None)(args.view_idx)
+    from nerfmlp_tpu.data import image_viewdirs
+
+    vd = image_viewdirs(ds, args.view_idx)
     img = np.asarray(render_image(params, jnp.asarray(o), jnp.asarray(d),
                                   ds.H, ds.W, rc, viewdirs=vd))
     print(f"view {args.view_idx}: PSNR {psnr_images(img, gt):.2f} dB | "

@@ -21,7 +21,10 @@ def main(argv=None):
                    choices=["blender", "llff", "deepvoxels"])
     p.add_argument("--shape", type=str, default="greek",
                    help="deepvoxels scene name (oracle --shape)")
-    from nerfmlp_tpu.utils.cli import add_llff_flags
+    from nerfmlp_tpu.utils.cli import (
+        add_arch_flags, add_llff_flags, arch_fields, dataset_class,
+        dataset_kwargs, params_template,
+    )
     add_llff_flags(p)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
@@ -51,7 +54,6 @@ def main(argv=None):
     p.add_argument("--separate_fine", action="store_true",
                    help="checkpoint holds separate coarse/fine nets")
     p.add_argument("--tile", "--chunk", type=int, default=4096)
-    from nerfmlp_tpu.utils.cli import add_arch_flags, arch_fields, params_template
     add_arch_flags(p)
     args = p.parse_args(argv)
 
@@ -65,7 +67,7 @@ def main(argv=None):
     from nerfmlp_tpu.train.checkpoint import load_params_any
 
     os.makedirs(args.out_dir, exist_ok=True)
-    from nerfmlp_tpu.utils.cli import dataset_class, dataset_kwargs
+    from nerfmlp_tpu.data import image_viewdirs
 
     DS = dataset_class(args.dataset_type)
     ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh),
@@ -101,7 +103,7 @@ def main(argv=None):
     idxs = [args.view_idx] if args.view_idx is not None else list(range(args.num_views))
     for i in idxs:
         o, d, _ = ds.image_rays(i)
-        vd = getattr(ds, "image_viewdirs", lambda _i: None)(i)
+        vd = image_viewdirs(ds, i)
         img = np.asarray(
             render_image(params, jnp.asarray(o), jnp.asarray(d),
                          ds.H, ds.W, rc, tile=args.tile, viewdirs=vd)

@@ -311,26 +311,15 @@ def main(argv=None):
     from nerfmlp_tpu.config import RenderConfig, TrainConfig
     from nerfmlp_tpu.train.loop import Trainer
 
-    if args.dataset_type == "llff":
-        from nerfmlp_tpu.data.llff import LLFFDataset as DS
+    from nerfmlp_tpu.utils.cli import dataset_class, dataset_kwargs
 
+    DS = dataset_class(args.dataset_type)
+    ds_kw = dataset_kwargs(args)
+    if args.dataset_type == "llff":
         # Real forward-facing photos have no alpha: white-background
         # compositing is a blender-synthetic behavior (the oracle enables
         # white_bkgd only for blender data, run_nerf.py:623-628).
         args.no_white_bkgd = True
-    elif args.dataset_type == "deepvoxels":
-        from nerfmlp_tpu.data.deepvoxels import DeepVoxelsDataset as DS
-    else:
-        from nerfmlp_tpu.data.blender import BlenderDataset as DS
-
-    ds_kw = {}
-    if args.dataset_type == "llff":
-        ds_kw = {"spherify": args.spherify, "factor": args.factor,
-                 "llffhold": args.llffhold, "use_ndc": not args.no_ndc}
-    elif args.dataset_type == "deepvoxels":
-        # DeepVoxels pngs have the white background baked in; hemisphere
-        # near/far comes from dynamic_near_far (run_nerf.py:640-642).
-        ds_kw = {"shape": args.shape}
     dataset = DS(args.datadir, split=args.split, img_wh=tuple(args.img_wh),
                  white_bkgd=not args.no_white_bkgd, **ds_kw)
     val_ds = DS(args.datadir, split="val", img_wh=tuple(args.img_wh),
