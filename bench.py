@@ -47,14 +47,19 @@ def _train_throughput(rc, batch: int, iters: int = 100) -> float:
     b = jnp.asarray(b)
 
     occ_args = ()
+    occ_refresh = None
     if rc.use_occupancy:
         import jax
 
         from nerfmlp_tpu.ops.occupancy import create_grid, update_grid
 
-        grid = jax.jit(
-            lambda g, p, r: update_grid(g, p, rc, r, decay=0.0)
-        )(create_grid(rc.occ_grid_size), state.params, jax.random.PRNGKey(1))
+        occ_refresh = jax.jit(
+            lambda g, p, r, dec: update_grid(g, p, rc, r, decay=dec)
+        )
+        grid = occ_refresh(
+            create_grid(rc.occ_grid_size), state.params,
+            jax.random.PRNGKey(1), 0.0,
+        )
         occ_args = (grid,)
 
     for _ in range(3):
@@ -62,7 +67,14 @@ def _train_throughput(rc, batch: int, iters: int = 100) -> float:
     _ = float(m["loss"])
 
     t0 = time.time()
-    for _ in range(iters):
+    for i in range(iters):
+        if occ_refresh is not None and i % rc.occ_update_every == 0:
+            # Pay the periodic grid refresh like real training does
+            # (Trainer refreshes every occ_update_every steps) — without
+            # it the occupancy row overstates steady-state throughput.
+            occ_args = (occ_refresh(
+                occ_args[0], state.params, jax.random.PRNGKey(i), 0.95,
+            ),)
         state, m = step(state, b, *occ_args)
     _ = float(m["loss"])  # forces completion through the tunnel
     return batch / ((time.time() - t0) / iters)
@@ -111,8 +123,13 @@ def _multichip_dryrun_ok() -> bool:
             [sys.executable, "-c", code], env=env, capture_output=True,
             text=True, timeout=1200,
         )
-        return r.returncode == 0 and "occupancy-grid step" in r.stdout
-    except Exception:
+        ok = r.returncode == 0 and "occupancy-grid step" in r.stdout
+        if not ok:
+            print(f"(multichip dryrun failed, rc={r.returncode})\n"
+                  f"{r.stderr[-2000:]}", file=sys.stderr, flush=True)
+        return ok
+    except Exception as e:
+        print(f"(multichip dryrun errored: {e})", file=sys.stderr, flush=True)
         return False
 
 

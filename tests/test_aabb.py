@@ -32,16 +32,22 @@ def test_render_with_aabb_concentrates_samples():
     cfg = RenderConfig(N_samples=16, N_importance=0, near=2.0, far=6.0,
                        perturb=False, aabb=(-1, -1, -1, 1, 1, 1))
     params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
+    # Force positive density everywhere (fresh-init sigma is ~0, which
+    # would leave acc=0 and make the depth assertion vacuous).
+    params["coarse"]["sigma"]["bias"] = (
+        params["coarse"]["sigma"]["bias"] + 5.0
+    )
     o = jnp.asarray(np.array([[0.0, 0.0, 4.0]], np.float32))
     d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
     out = render_rays(params, o, d, None, cfg)
-    # All samples inside [3, 5] along the ray -> depth within those bounds
-    # (up to the background; acc controls) — main check: finite + depth in box.
+    # All samples inside [3, 5] along the ray -> expected depth within
+    # those bounds. With the density floor acc is ~1, so this is a REAL
+    # assertion, not a vacuously-guarded one.
     assert np.isfinite(np.asarray(out["rgb_map"])).all()
     depth = float(out["depth_map"][0])
     acc = float(out["acc_map"][0])
-    if acc > 0.1:
-        assert 3.0 - 1e-3 <= depth / max(acc, 1e-6)
+    assert acc > 0.5, acc
+    assert 3.0 - 1e-3 <= depth / acc <= 5.0 + 1e-3
 
 
 def test_aabb_improves_or_matches_quality():
@@ -82,15 +88,18 @@ def test_aabb_respects_explicit_near_far():
     cfg = RenderConfig(N_samples=8, N_importance=0, near=2.0, far=6.0,
                        perturb=False, aabb=(-1, -1, -1, 1, 1, 1))
     params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
+    params["coarse"]["sigma"]["bias"] = (
+        params["coarse"]["sigma"]["bias"] + 5.0  # density floor: acc ~1
+    )
     o = jnp.asarray(np.array([[10.0, 10.0, 4.0]], np.float32))  # misses box
     d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
     out = render_rays(params, o, d, None, cfg, near=3.5, far=4.5)
-    # Miss -> falls back to the EXPLICIT bounds: depth stays in [3.5, 4.5]
-    # wherever there is any accumulation, and samples never use cfg's 2/6.
+    # Miss -> falls back to the EXPLICIT bounds: depth stays in [3.5, 4.5],
+    # and samples never use cfg's 2/6 (unconditional: acc is forced ~1).
     depth = float(out["depth_map"][0])
     acc = float(out["acc_map"][0])
-    if acc > 1e-3:
-        assert 3.5 - 1e-3 <= depth / acc <= 4.5 + 1e-3
+    assert acc > 0.5, acc
+    assert 3.5 - 1e-3 <= depth / acc <= 4.5 + 1e-3
 
 
 def test_render_image_per_ray_bounds():

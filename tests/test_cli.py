@@ -44,29 +44,41 @@ def test_train_cli_outputs(trained):
     assert os.path.exists(os.path.join(trained, "training_report.png"))
 
 
-def test_train_cli_resume(cli_scene, trained):
+def _copy_run(trained, tmp_path, name):
+    """Private copy of the trained fixture so resume tests can't mutate
+    the shared module-scoped checkpoint (order independence)."""
+    import shutil
+
+    dst = str(tmp_path / name)
+    shutil.copytree(trained, dst)
+    return dst
+
+
+def test_train_cli_resume(cli_scene, trained, tmp_path):
     from scripts.train import main as train_main
 
+    run = _copy_run(trained, tmp_path, "resume")
     m = train_main([
         "--datadir", cli_scene, "--img_wh", "32", "32",
-        "--batch_size", "256", "--iters", "90", "--save_dir", trained,
+        "--batch_size", "256", "--iters", "90", "--save_dir", run,
         "--N_samples", "8", "--N_importance", "8",
         "--quick_val_interval", "30", "--full_val_interval", "0",
         "--quick_val_res", "32", "32", "--quick_val_subset", "1",
         "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
-        "--resume", os.path.join(trained, "metrics_latest.ckpt"),
+        "--resume", os.path.join(run, "metrics_latest.ckpt"),
     ])
     assert m["step"] == 90
 
 
-def test_train_cli_auto_resume(cli_scene, trained, capsys):
+def test_train_cli_auto_resume(cli_scene, trained, tmp_path, capsys):
     """Without --resume, the newest checkpoint in save_dir is discovered
     and resumed automatically (oracle run_nerf.py:439-456)."""
     from scripts.train import main as train_main
 
+    run = _copy_run(trained, tmp_path, "auto")
     m = train_main([
         "--datadir", cli_scene, "--img_wh", "32", "32",
-        "--batch_size", "256", "--iters", "120", "--save_dir", trained,
+        "--batch_size", "256", "--iters", "120", "--save_dir", run,
         "--N_samples", "8", "--N_importance", "8",
         "--quick_val_interval", "30", "--full_val_interval", "0",
         "--quick_val_res", "32", "32", "--quick_val_subset", "1",
@@ -78,12 +90,13 @@ def test_train_cli_auto_resume(cli_scene, trained, capsys):
     assert m["step"] == 120
 
 
-def test_train_cli_no_resume_opt_out(cli_scene, trained, capsys):
+def test_train_cli_no_resume_opt_out(cli_scene, trained, tmp_path, capsys):
     from scripts.train import main as train_main
 
+    run = _copy_run(trained, tmp_path, "noresume")
     train_main([
         "--datadir", cli_scene, "--img_wh", "32", "32",
-        "--batch_size", "256", "--iters", "30", "--save_dir", trained,
+        "--batch_size", "256", "--iters", "30", "--save_dir", run,
         "--N_samples", "8", "--N_importance", "8",
         "--quick_val_interval", "30", "--full_val_interval", "0",
         "--quick_val_res", "32", "32", "--quick_val_subset", "1",
@@ -193,7 +206,7 @@ def test_compare_and_side_by_side_cli(cli_scene, trained, tmp_path):
     assert Image.open(out).size == (64, 32)  # render | gt
 
     out2 = str(tmp_path / "sbs.png")
-    sbs_main(["--rendered", out.replace("cmp.png", "cmp.png"),
+    sbs_main(["--rendered", out,
               "--datadir", cli_scene, "--index", "0", "--out", out2])
     assert os.path.exists(out2)
 

@@ -107,15 +107,17 @@ def test_occupancy_training_end_to_end(synthetic_scene, tmp_path):
     assert np.isfinite(metrics["train_losses"][-1])
 
 
-def test_occupancy_requires_aabb(synthetic_scene):
+def test_occupancy_requires_aabb(synthetic_scene, tmp_path):
     from nerfmlp_tpu.data.blender import BlenderDataset
     from nerfmlp_tpu.train.loop import Trainer
 
     ds = BlenderDataset(synthetic_scene, "train", img_wh=(40, 40))
     rc = RenderConfig(use_occupancy=True, aabb=None)
     try:
+        # tmp_path, not the shared scene fixture: Trainer.__init__ makedirs
+        # save_dir before raising, and the fixture must stay pristine.
         Trainer(rc, TrainConfig(batch_size=64), ds,
-                save_dir=str(synthetic_scene) + "/occx", verbose=False)
+                save_dir=str(tmp_path / "occx"), verbose=False)
         assert False, "expected ValueError"
     except ValueError as e:
         assert "aabb" in str(e)

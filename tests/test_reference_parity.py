@@ -219,10 +219,12 @@ def test_export_roundtrip_through_reference(ref, tmp_path):
         np.asarray(ours["rgb_map"]), theirs["rgb_map"].numpy(), atol=3e-3
     )
 
-    # And our own loader round-trips the same file.
+    # And our own loader round-trips the same file — every leaf, biases
+    # included (a loader that drops/reorders biases must not pass).
     back = load_params_any(npy)
     for name in params:
-        np.testing.assert_array_equal(
-            np.asarray(back["coarse"][name]["kernel"]),
-            np.asarray(params[name]["kernel"]),
-        )
+        for leaf in params[name]:
+            np.testing.assert_array_equal(
+                np.asarray(back["coarse"][name][leaf]),
+                np.asarray(params[name][leaf]),
+            )
