@@ -188,6 +188,41 @@ def blender_render_poses(
     )
 
 
+def flythrough_poses(
+    n_frames: int = 120,
+    radius: float = 4.0,
+    phi_base_deg: float = -30.0,
+    phi_amp_deg: float = 15.0,
+    radius_amp: float = 0.12,
+    target: np.ndarray = None,
+) -> np.ndarray:
+    """Seamlessly-looping fly-through: a full orbit with sinusoidal
+    altitude (2 cycles) and distance (3 cycles) variation, always looking
+    at ``target`` — the reference's planned "Interactive Fly-through Demo"
+    (VIDEOS.md:47-86: orbital motion, altitude variation, look-at center,
+    matching start/end for continuous playback), which that repo never
+    implemented. Integer cycle counts make frame 0 follow continuously
+    from frame n-1.
+    """
+    target = np.zeros(3, dtype=np.float32) if target is None else np.asarray(target)
+    ks = np.arange(n_frames) / n_frames
+    poses = []
+    for k in ks:
+        theta = 2.0 * np.pi * k
+        phi = np.deg2rad(phi_base_deg + phi_amp_deg * np.sin(2.0 * np.pi * 2 * k))
+        r = radius * (1.0 + radius_amp * np.sin(2.0 * np.pi * 3 * k))
+        eye = target + r * np.array(
+            [
+                np.cos(theta) * np.cos(phi),
+                np.sin(theta) * np.cos(phi),
+                -np.sin(phi),
+            ],
+            dtype=np.float32,
+        )
+        poses.append(look_at_matrix(eye, target))
+    return np.stack(poses, axis=0)
+
+
 def spiral_poses(
     radius: float,
     n_frames: int = 120,

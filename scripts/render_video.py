@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--render_test", action="store_true",
                    help="render the test split's poses with per-frame PSNR "
                         "against ground truth instead of a trajectory")
+    p.add_argument("--flythrough", action="store_true",
+                   help="seamlessly-looping orbit with altitude+distance "
+                        "variation (the reference's planned fly-through "
+                        "demo, VIDEOS.md:47-86) instead of the flat orbit")
     p.add_argument("--spherify", action="store_true",
                    help="LLFF 360 capture (circular orbit path)")
     p.add_argument("--factor", type=int, default=0,
@@ -108,6 +112,16 @@ def main(argv=None):
 
     if args.render_test:
         poses, gts, tag = ds.poses, ds.images, "test"
+    elif args.flythrough:
+        import numpy as np
+
+        from nerfmlp_tpu.ops.rays import flythrough_poses
+
+        radius = float(
+            np.linalg.norm(ds.poses[:, :3, 3], axis=-1).mean()
+        )
+        poses = flythrough_poses(n_frames=args.n_frames, radius=radius)
+        gts, tag = None, "flythrough"
     else:
         poses, gts, tag = ds.render_poses(n_frames=args.n_frames), None, "path"
 

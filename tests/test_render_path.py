@@ -249,3 +249,54 @@ def test_rays_for_pose_viewdirs_pose_ndc():
     np.testing.assert_allclose(
         vd, md / np.linalg.norm(md, axis=-1, keepdims=True), atol=1e-6
     )
+
+
+def test_flythrough_poses_loop_and_lookat():
+    """The planned fly-through (reference VIDEOS.md:47-86): always looking
+    at the target, altitude/distance varying with integer cycle counts so
+    frame 0 continues seamlessly from frame n-1."""
+    from nerfmlp_tpu.ops.rays import flythrough_poses
+
+    n = 24
+    poses = flythrough_poses(n_frames=n, radius=4.0)
+    assert poses.shape == (n, 4, 4)
+    eyes = poses[:, :3, 3]
+    radii = np.linalg.norm(eyes, axis=-1)
+    # Distance varies (3 cycles) around the base radius.
+    assert radii.max() - radii.min() > 0.5
+    assert abs(radii.mean() - 4.0) < 0.2
+    # Altitude varies (2 cycles).
+    assert eyes[:, 2].max() - eyes[:, 2].min() > 0.5
+    # Look-at: camera -z axis points at the origin for every frame.
+    for p in poses[::6]:
+        view = -p[:3, 2]
+        to_origin = -p[:3, 3] / np.linalg.norm(p[:3, 3])
+        np.testing.assert_allclose(view, to_origin, atol=1e-5)
+    # Seamless loop: the wrap step (last -> first) is the same size as an
+    # interior step.
+    interior = np.linalg.norm(eyes[1:] - eyes[:-1], axis=-1)
+    wrap = np.linalg.norm(eyes[0] - eyes[-1])
+    assert wrap < 2.0 * interior.max()
+
+
+def test_make_timelapse_cli(tmp_path):
+    """scripts/make_timelapse.py compiles val_{step}.png dumps into a
+    video (the reference's planned training-evolution time-lapse)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from nerfmlp_tpu.utils.image import save_png
+    from scripts.make_timelapse import main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    rng = np.random.default_rng(0)
+    for step in (1000, 2000, 10000):
+        save_png(str(run / f"val_{step:06d}.png"),
+                 rng.uniform(size=(16, 16, 3)).astype(np.float32))
+    out = main(["--run_dir", str(run), "--fps", "5"])
+    assert out is not None and os.path.exists(out)
+    # Empty dir -> graceful no-op.
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert main(["--run_dir", str(empty)]) is None
