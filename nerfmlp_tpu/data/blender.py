@@ -139,10 +139,11 @@ class BlenderDataset:
         elevation -30 deg). Radius is derived from the capture's mean
         camera distance (== the original's hardcoded 4.0 on real Blender
         scenes) so synthetic scenes at other scales orbit correctly."""
-        from nerfmlp_tpu.ops.rays import blender_render_poses
+        from nerfmlp_tpu.ops.rays import blender_render_poses, mean_camera_radius
 
-        radius = float(np.linalg.norm(self.poses[:, :3, 3], axis=-1).mean())
-        return blender_render_poses(n_frames=n_frames, radius=radius)
+        return blender_render_poses(
+            n_frames=n_frames, radius=mean_camera_radius(self.poses)
+        )
 
     def dynamic_near_far(self) -> Tuple[float, float]:
         """Scene bounds heuristic with spherical-camera detection

@@ -167,10 +167,10 @@ class DeepVoxelsDataset:
         (the oracle renders load_dv_data's render_poses, which are the
         dataset's own trajectory; absent that file we synthesize the
         matching hemisphere orbit)."""
-        from nerfmlp_tpu.ops.rays import blender_render_poses
+        from nerfmlp_tpu.ops.rays import blender_render_poses, mean_camera_radius
 
         t = self.poses[:, :3, 3]
-        radius = float(np.linalg.norm(t, axis=-1).mean())
+        radius = mean_camera_radius(self.poses)
         elev = float(
             np.degrees(np.arcsin(np.clip(t[:, 2] / np.maximum(
                 np.linalg.norm(t, axis=-1), 1e-8), -1, 1))).mean()
@@ -182,7 +182,7 @@ class DeepVoxelsDataset:
     def dynamic_near_far(self) -> Tuple[float, float]:
         """Hemisphere bounds: ``R -/+ 1`` with ``R = mean(||t||)``
         (example/run_nerf.py:640-642)."""
-        hemi_r = float(
-            np.linalg.norm(self.poses[:, :3, 3], axis=-1).mean()
-        )
+        from nerfmlp_tpu.ops.rays import mean_camera_radius
+
+        hemi_r = mean_camera_radius(self.poses)
         return max(0.05, hemi_r - 1.0), hemi_r + 1.0

@@ -188,27 +188,38 @@ def blender_render_poses(
     )
 
 
+def mean_camera_radius(poses: np.ndarray) -> float:
+    """Mean distance of (N, 4, 4) c2w camera centers from the origin —
+    the shared orbit-radius heuristic (Blender captures sit at 4.0)."""
+    return float(np.linalg.norm(poses[:, :3, 3], axis=-1).mean())
+
+
 def flythrough_poses(
     n_frames: int = 120,
     radius: float = 4.0,
     phi_base_deg: float = -30.0,
     phi_amp_deg: float = 15.0,
     radius_amp: float = 0.12,
+    speed_amp: float = 0.15,
     target: np.ndarray = None,
 ) -> np.ndarray:
     """Seamlessly-looping fly-through: a full orbit with sinusoidal
-    altitude (2 cycles) and distance (3 cycles) variation, always looking
-    at ``target`` — the reference's planned "Interactive Fly-through Demo"
-    (VIDEOS.md:47-86: orbital motion, altitude variation, look-at center,
-    matching start/end for continuous playback), which that repo never
-    implemented. Integer cycle counts make frame 0 follow continuously
-    from frame n-1.
+    altitude (2 cycles), distance (3 cycles), and angular-speed
+    (2 cycles, ``speed_amp``) variation, always looking at ``target`` —
+    the reference's planned "Interactive Fly-through Demo" (VIDEOS.md:
+    47-86: orbital motion, altitude variation, look-at center, speed
+    variation, matching start/end for continuous playback), which that
+    repo never implemented. Integer cycle counts (and a pure-sinusoid
+    phase offset on theta) make frame 0 follow continuously from frame
+    n-1.
     """
     target = np.zeros(3, dtype=np.float32) if target is None else np.asarray(target)
     ks = np.arange(n_frames) / n_frames
     poses = []
     for k in ks:
-        theta = 2.0 * np.pi * k
+        # theta(0..1) advances one full turn; the sin term modulates the
+        # angular velocity (slow/fast phases) without breaking the loop.
+        theta = 2.0 * np.pi * k + speed_amp * np.sin(2.0 * np.pi * 2 * k)
         phi = np.deg2rad(phi_base_deg + phi_amp_deg * np.sin(2.0 * np.pi * 2 * k))
         r = radius * (1.0 + radius_amp * np.sin(2.0 * np.pi * 3 * k))
         eye = target + r * np.array(

@@ -582,6 +582,12 @@ class Trainer:
         ckpt.save_checkpoint(
             os.path.join(self.save_dir, "model_final.ckpt"), self.state.params
         )
+        if tc.i_img and iters > start_step:
+            # Final-model holdout frame: the in-loop i_img dumps stop one
+            # interval early (step < iters guard), but the time-lapse the
+            # frames feed (scripts/make_timelapse.py; reference
+            # VIDEOS.md:24-31) must END on the converged model.
+            self._save_val_image(iters)
         final = {}
         if self.val_ds is not None:
             final = self.full_validate()

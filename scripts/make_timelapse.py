@@ -43,17 +43,20 @@ def main(argv=None):
                    help="frame filename regex with a step capture group")
     args = p.parse_args(argv)
 
-    import numpy as np
+    from nerfmlp_tpu.utils.image import load_png, write_video
 
-    from nerfmlp_tpu.utils.image import load_png, to8b, write_video
-
+    if not os.path.isdir(args.run_dir):
+        print(f"run_dir not found: {args.run_dir}")
+        return None
     frames = collect_frames(args.run_dir, args.pattern)
     if not frames:
         print(f"no frames matching {args.pattern!r} in {args.run_dir} — "
               f"train with --i_img N to produce them")
         return None
-    imgs = [to8b(np.asarray(load_png(path))) for _, path in frames]
+    # write_video quantizes float frames itself (utils/image.py).
+    imgs = [load_png(path) for _, path in frames]
     base = args.out or os.path.join(args.run_dir, "timelapse")
+    os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
     out = write_video(base, imgs, fps=args.fps)
     print(f"{len(imgs)} frames (steps {frames[0][0]:,} -> {frames[-1][0]:,}) "
           f"-> {out}")

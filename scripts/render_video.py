@@ -113,14 +113,18 @@ def main(argv=None):
     if args.render_test:
         poses, gts, tag = ds.poses, ds.images, "test"
     elif args.flythrough:
-        import numpy as np
+        from nerfmlp_tpu.ops.rays import flythrough_poses, mean_camera_radius
 
-        from nerfmlp_tpu.ops.rays import flythrough_poses
-
-        radius = float(
-            np.linalg.norm(ds.poses[:, :3, 3], axis=-1).mean()
+        if ndc:
+            # A world-space orbit fed through the forward-facing NDC
+            # projection produces out-of-range origins (garbage frames):
+            # NDC assumes cameras looking down -z near the capture rig.
+            p.error("--flythrough needs metric rays: forward-facing NDC "
+                    "LLFF captures can't be orbited (use the default "
+                    "spiral path, or --spherify for 360 captures)")
+        poses = flythrough_poses(
+            n_frames=args.n_frames, radius=mean_camera_radius(ds.poses)
         )
-        poses = flythrough_poses(n_frames=args.n_frames, radius=radius)
         gts, tag = None, "flythrough"
     else:
         poses, gts, tag = ds.render_poses(n_frames=args.n_frames), None, "path"

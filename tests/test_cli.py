@@ -404,3 +404,23 @@ def test_train_cli_tensor_parallel(cli_scene, tmp_path):
     assert m2["step"] == 60
     h2 = json.load(open(os.path.join(out, "metrics_latest.json")))
     assert h2["step"] == 60  # snapshot written AT the quick-val step
+
+
+def test_make_timelapse_cli(tmp_path):
+    """scripts/make_timelapse.py compiles val_{step}.png dumps into a
+    video (the reference's planned training-evolution time-lapse)."""
+    from nerfmlp_tpu.utils.image import save_png
+    from scripts.make_timelapse import main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    rng = np.random.default_rng(0)
+    for step in (1000, 2000, 10000):
+        save_png(str(run / f"val_{step:06d}.png"),
+                 rng.uniform(size=(16, 16, 3)).astype(np.float32))
+    out = main(["--run_dir", str(run), "--fps", "5"])
+    assert out is not None and os.path.exists(out)
+    # Empty dir -> graceful no-op.
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert main(["--run_dir", str(empty)]) is None

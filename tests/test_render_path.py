@@ -278,25 +278,3 @@ def test_flythrough_poses_loop_and_lookat():
     wrap = np.linalg.norm(eyes[0] - eyes[-1])
     assert wrap < 2.0 * interior.max()
 
-
-def test_make_timelapse_cli(tmp_path):
-    """scripts/make_timelapse.py compiles val_{step}.png dumps into a
-    video (the reference's planned training-evolution time-lapse)."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from nerfmlp_tpu.utils.image import save_png
-    from scripts.make_timelapse import main
-
-    run = tmp_path / "run"
-    run.mkdir()
-    rng = np.random.default_rng(0)
-    for step in (1000, 2000, 10000):
-        save_png(str(run / f"val_{step:06d}.png"),
-                 rng.uniform(size=(16, 16, 3)).astype(np.float32))
-    out = main(["--run_dir", str(run), "--fps", "5"])
-    assert out is not None and os.path.exists(out)
-    # Empty dir -> graceful no-op.
-    empty = tmp_path / "empty"
-    empty.mkdir()
-    assert main(["--run_dir", str(empty)]) is None

@@ -93,7 +93,8 @@ def test_in_training_render_events(synthetic_scene, tmp_path):
     tc = TrainConfig(
         batch_size=256, iters=60, quick_val_interval=30,
         full_val_interval=0, quick_val_subset=1, log_interval=20,
-        ckpt_interval=30, i_video=30, i_testset=30, render_factor=2,
+        ckpt_interval=30, i_video=30, i_testset=30, i_img=30,
+        render_factor=2,
     )
     t = Trainer(
         rc, tc, ds, val, val, save_dir=save_dir, verbose=False,
@@ -118,6 +119,11 @@ def test_in_training_render_events(synthetic_scene, tmp_path):
     assert Image.open(os.path.join(tdir, "000.png")).size == (20, 20)
     assert t.history["testset_steps"] == [30]
     assert np.isfinite(t.history["testset_psnrs"][0])
+
+    # i_img holdout dumps: mid-training frame AND the final-model frame
+    # (the time-lapse must end on the converged model, VIDEOS.md:24-31).
+    assert os.path.exists(os.path.join(save_dir, "val_000030.png"))
+    assert os.path.exists(os.path.join(save_dir, "val_000060.png"))
 
 
 def test_iteration_times_ring_buffer(synthetic_scene, tmp_path, monkeypatch):
