@@ -152,6 +152,10 @@ def build_parser():
                    help="official two-net scheme instead of the shared net")
     p.add_argument("--coarse_loss", action="store_true",
                    help="add the coarse rgb loss term (official behavior)")
+    p.add_argument("--i_embed", type=int, default=0,
+                   help="oracle embedding selector (run_nerf.py:516-517): "
+                        "0 = positional encoding, -1 = identity (maps to "
+                        "pos_enc_L/dir_enc_L = 0)")
     p.add_argument("--pos_enc_L", "--multires", type=int, default=10,
                    help="positional-encoding frequencies (oracle --multires); "
                         "0 = identity embedding (oracle --i_embed -1)")
@@ -257,6 +261,13 @@ def main(argv=None):
     if args.expname:
         # Oracle experiment layout: <basedir>/<expname> (run_nerf.py:659).
         args.save_dir = os.path.join(args.basedir, args.expname)
+    if args.i_embed == -1:
+        # Identity embedding for both the point and direction branches
+        # (get_embedder returns tf.identity for i == -1,
+        # run_nerf_helpers.py:59-62, applied to both embedders at
+        # run_nerf.py:381-387).
+        args.pos_enc_L = 0
+        args.dir_enc_L = 0
     if args.img_wh is None:
         # Per-dataset-type resolution defaults. For llff with --factor the
         # ORACLE derives the training resolution from the factor (load_llff

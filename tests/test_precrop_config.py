@@ -147,3 +147,54 @@ def test_canonical_oracle_configs_parse(tmp_path):
     a = parse_args(["--config", str(fern)])
     assert a.dataset_type == "llff" and a.factor == 8
     assert a.raw_noise_std == 1.0 and a.batch_size == 1024
+
+
+def test_oracle_flag_surface_complete(tmp_path):
+    """Every flag the oracle's config_parser defines (run_nerf.py:461-572)
+    is accepted by our train CLI — parsed programmatically from the
+    reference source so new oracle flags can't silently go missing."""
+    import re
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import pytest
+
+    ref_path = "/root/reference/example/run_nerf.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree not mounted")
+    from scripts.train import build_parser
+
+    oracle = set(re.findall(r'parser\.add_argument\("--([A-Za-z_]+)"',
+                            open(ref_path).read()))
+    ours = {o.lstrip("-") for a in build_parser()._actions
+            for o in a.option_strings}
+    assert oracle - ours == set(), sorted(oracle - ours)
+
+
+def test_i_embed_identity(tmp_path):
+    """--i_embed -1 selects identity embeddings for both branches
+    (run_nerf_helpers.py:59-62 via run_nerf.py:381-387): a short train run
+    must work with pos_enc_L = dir_enc_L = 0."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from nerfmlp_tpu.data.synthetic import make_synthetic_scene
+    from scripts.train import main
+
+    scene = str(tmp_path / "sc")
+    make_synthetic_scene(scene, n_train=3, n_val=1, n_test=1, img_wh=(24, 24))
+    out = str(tmp_path / "out")
+    main([
+        "--datadir", scene, "--img_wh", "24", "24",
+        "--batch_size", "64", "--iters", "8", "--save_dir", out,
+        "--quick_val_interval", "8", "--full_val_interval", "0",
+        "--quick_val_res", "24", "24", "--quick_val_subset", "1",
+        "--N_samples", "4", "--N_importance", "0", "--i_embed", "-1",
+        "--compute_dtype", "float32", "--no_pallas", "--n_devices", "1",
+        "--i_print", "8",
+    ])
+    import json
+
+    args_txt = open(os.path.join(out, "args.txt")).read()
+    assert "pos_enc_L = 0" in args_txt and "dir_enc_L = 0" in args_txt
+    assert os.path.exists(os.path.join(out, "metrics_latest.json"))
