@@ -25,12 +25,16 @@ import numpy as np
 def frequency_bands(num_freqs: int, log_sampling: bool = True) -> np.ndarray:
     """Frequency bands as host constants (baked into the jaxpr)."""
     if num_freqs <= 0:
-        return np.zeros((0,), dtype=np.float32)
-    if log_sampling:
+        bands = np.zeros((0,), dtype=np.float32)
+    elif log_sampling:
         bands = 2.0 ** np.linspace(0.0, num_freqs - 1, num_freqs)
     else:
         bands = np.linspace(2.0 ** 0.0, 2.0 ** (num_freqs - 1), num_freqs)
-    return bands.astype(np.float32)
+    bands = bands.astype(np.float32)
+    # The cache hands out the SAME array to every caller: freeze it so an
+    # in-place mutation can't silently corrupt all later encodings.
+    bands.setflags(write=False)
+    return bands
 
 
 def encoded_dim(input_dim: int, num_freqs: int, include_input: bool = True) -> int:

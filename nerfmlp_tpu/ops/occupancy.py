@@ -90,9 +90,9 @@ def update_grid(
     # network that never trains.
     fine = False
     if "coarse" in params:
-        net = params.get("fine") if cfg.separate_fine else None
-        fine = net is not None
-        params = net or params["coarse"]
+        from nerfmlp_tpu.ops.render import _final_net
+
+        params, fine = _final_net(params, cfg)
 
     g = grid.resolution
     k_jit, _ = jax.random.split(rng)

@@ -96,6 +96,9 @@ def _encode_consts(n_freqs: int):
         kind[0, c0 : c0 + 3] = 1
         m[:, c0 + 3 : c0 + 6] = np.eye(3) * f
         kind[0, c0 + 3 : c0 + 6] = 2
+    # Cached + shared: freeze against accidental in-place mutation.
+    m.setflags(write=False)
+    kind.setflags(write=False)
     return m, kind
 
 

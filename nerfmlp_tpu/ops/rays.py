@@ -130,9 +130,11 @@ def look_at_matrix(
     right = np.cross(up, forward)
     if np.linalg.norm(right) < 1e-6:
         # View direction parallel to up (straight top-down/bottom-up
-        # camera): fall back to a perpendicular up axis instead of
-        # producing a degenerate zero-column rotation.
-        up = np.array([0.0, 1.0, 0.0], dtype=np.float32)
+        # camera): fall back to the coordinate axis LEAST aligned with
+        # the view direction (a fixed fallback axis could itself be
+        # parallel, reproducing the degenerate zero-column rotation).
+        up = np.zeros(3, dtype=np.float32)
+        up[int(np.argmin(np.abs(forward)))] = 1.0
         right = np.cross(up, forward)
     right = right / (np.linalg.norm(right) + 1e-12)
     true_up = np.cross(forward, right)

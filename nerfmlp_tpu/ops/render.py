@@ -142,6 +142,13 @@ def render_rays(
 
     viewdirs_enc_pre = None
     if cfg.use_viewdirs:
+        if cfg.ndc and viewdirs is None:
+            raise ValueError(
+                "cfg.ndc with use_viewdirs requires explicit world-space "
+                "viewdirs: normalizing NDC-space rays_d conditions the "
+                "view branch on the wrong directions (the oracle computes "
+                "viewdirs BEFORE the NDC projection, run_nerf.py:297-312)"
+            )
         vd = rays_d if viewdirs is None else viewdirs
         vd = vd / (jnp.linalg.norm(vd, axis=-1, keepdims=True) + 1e-8)
         viewdirs_enc_pre = positional_encoding(vd, cfg.dir_enc_L)
@@ -291,16 +298,21 @@ def render_image_maps(
         viewdirs = jnp.concatenate([jnp.asarray(viewdirs), _down], axis=0)
 
     tile_fn = _tile_render_fn(cfg, tuple(maps))
-    near_arg = near if near is not None else cfg.near
-    far_arg = far if far is not None else cfg.far
 
-    def _bound_slice(b, i, fill):
-        """Per-ray near/far arrays are padded and sliced like the rays
-        (padded lanes get a valid dummy interval); scalars pass through."""
-        b = jnp.asarray(b)
+    def _pad_bound(b, default, fill):
+        """Per-ray near/far arrays are padded ONCE like the rays (padded
+        lanes get a valid dummy interval); scalars pass through."""
+        b = jnp.asarray(b if b is not None else default)
         if b.ndim == 0:
             return b
-        b = jnp.pad(b, (0, pad), constant_values=fill)
+        return jnp.pad(b, (0, pad), constant_values=fill)
+
+    near_arg = _pad_bound(near, cfg.near, 1.0)
+    far_arg = _pad_bound(far, cfg.far, 2.0)
+
+    def _bound_slice(b, i):
+        if b.ndim == 0:
+            return b
         return jax.lax.dynamic_slice_in_dim(b, i * tile, tile)
 
     outs = [
@@ -308,8 +320,8 @@ def render_image_maps(
             params,
             jax.lax.dynamic_slice_in_dim(rays_o, i * tile, tile),
             jax.lax.dynamic_slice_in_dim(rays_d, i * tile, tile),
-            _bound_slice(near_arg, i, 1.0),
-            _bound_slice(far_arg, i, 2.0),
+            _bound_slice(near_arg, i),
+            _bound_slice(far_arg, i),
             occ_grid,
             None if viewdirs is None
             else jax.lax.dynamic_slice_in_dim(viewdirs, i * tile, tile),

@@ -112,9 +112,15 @@ def sample_pdf(
 
     cdf_below = jnp.sum(oh_below * cdf[..., None, :], axis=-1)
     cdf_above = jnp.sum(oh_above * cdf[..., None, :], axis=-1)
-    bins_pad = bins if bins.shape[-1] == m else jnp.concatenate(
-        [bins, bins[..., -1:]], axis=-1
-    )
+    if bins.shape[-1] != m:
+        # The contract is bins (..., M) with weights (..., M-1) -> cdf
+        # width M; a mismatched caller (easy off-by-one) must fail loudly,
+        # not have its top-bin samples silently collapsed to a point.
+        raise ValueError(
+            f"sample_pdf: bins last dim {bins.shape[-1]} must be "
+            f"weights last dim + 1 ({m})"
+        )
+    bins_pad = bins
     bins_below = jnp.sum(oh_below * bins_pad[..., None, :], axis=-1)
     bins_above = jnp.sum(oh_above * bins_pad[..., None, :], axis=-1)
 

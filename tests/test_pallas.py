@@ -114,3 +114,31 @@ def test_train_step_with_pallas_converges():
         params = jax.tree.map(lambda a, u: a + u, params, updates)
     l1 = float(loss_fn(params))
     assert l1 < 0.5 * l0, (l0, l1)
+
+
+def test_pallas_input_grads_are_zero_by_contract():
+    """The fused backward kernel returns ZERO cotangents for pts/dirs
+    (weight-training only — camera/pose refinement needs the XLA path).
+    This pins the documented contract so the silent divergence between
+    the two paths is at least test-visible."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.encoding import positional_encoding
+    from nerfmlp_tpu.ops.pallas_mlp import fused_nerf_mlp
+
+    cfg = RenderConfig(compute_dtype="bfloat16", use_pallas=True)
+    params = init_model(jax.random.PRNGKey(0), cfg.model_config())
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3)), jnp.float32)
+    dirs = positional_encoding(
+        jnp.asarray([[0.0, 0.0, -1.0]] * 8), cfg.dir_enc_L
+    )
+
+    def loss(p):
+        return jnp.sum(fused_nerf_mlp(params, p, dirs, cfg) ** 2)
+
+    g = jax.grad(loss)(pts)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
