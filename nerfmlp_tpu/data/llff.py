@@ -189,6 +189,18 @@ class LLFFDataset:
         )
         hwf = poses[0, :, 4]
         orig_h, orig_w, orig_f = hwf
+        # One scalar focal serves both axes, so the requested resolution
+        # must preserve the capture's aspect ratio — otherwise the
+        # vertical FOV of the rays stops matching the (squashed) resized
+        # GT images and every PSNR/SSIM computed against them is wrong.
+        # Snap height rather than erroring: callers commonly pass square
+        # defaults (e.g. --quick_val_res 256 256) to 4:3 captures.
+        if abs(H / W - orig_h / orig_w) > 0.01:
+            H = max(1, int(round(W * orig_h / orig_w)))
+            self.img_wh = (W, H)
+            self.H = H
+            print(f"(llff: snapped height to preserve the capture's "
+                  f"aspect: {W}x{H})")
         self.focal = float(orig_f * W / orig_w)
 
         c2w = np.tile(np.eye(4, dtype=np.float32), (poses.shape[0], 1, 1))
@@ -238,6 +250,12 @@ class LLFFDataset:
             )
 
         idxs = np.arange(len(files))
+        if llffhold <= 0 and split != "train":
+            raise ValueError(
+                f"llffhold={llffhold} leaves the '{split}' split empty — "
+                f"holdout views come from every Nth image "
+                f"(run_nerf.py:600); use llffhold >= 1"
+            )
         hold = idxs[::llffhold] if llffhold > 0 else idxs[:0]
         keep = (
             np.setdiff1d(idxs, hold) if split == "train" else hold

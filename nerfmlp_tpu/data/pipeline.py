@@ -63,7 +63,6 @@ class RayBatchLoader:
         rgbs: np.ndarray,
         batch_size: int,
         seed: int = 0,
-        drop_last: bool = True,
         image_shape=None,           # (n_images, H, W) — needed for precrop/image mode
         image_mode: bool = False,
         viewdirs=None,              # world-space dirs (NDC datasets): (N, 3)
@@ -81,7 +80,7 @@ class RayBatchLoader:
         self.pool = np.concatenate(cols, axis=-1)  # (N, 9) or (N, 12)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
-        self.drop_last = drop_last
+        self._warned_small_pool = False
         self.image_shape = image_shape
         self.image_mode = image_mode
         self.precrop_frac: float = 1.0
@@ -126,6 +125,16 @@ class RayBatchLoader:
         if self.image_mode or self.precrop_frac < 1.0:
             img_idx = int(self.rng.integers(0, self.image_shape[0]))
             return self.pool[self._crop_indices(img_idx)]
+        if self.pool.shape[0] < self.batch_size:
+            # Tiny scene: sample with replacement so the batch keeps the
+            # REQUESTED size (a short batch breaks mesh sharding and
+            # silently changes the effective batch size).
+            if not self._warned_small_pool:
+                print(f"(ray pool {self.pool.shape[0]} < batch "
+                      f"{self.batch_size}: sampling with replacement)")
+                self._warned_small_pool = True
+            idx = self.rng.integers(0, self.pool.shape[0], self.batch_size)
+            return self.pool[idx]
         if self._perm is None or self._cursor + self.batch_size > len(self._perm):
             self._reshuffle()
         idx = self._perm[self._cursor : self._cursor + self.batch_size]

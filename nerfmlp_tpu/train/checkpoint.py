@@ -29,11 +29,17 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, tree: Any) -> None:
-    """Serialize any pytree (params or full TrainState-as-dict)."""
+    """Serialize any pytree (params or full TrainState-as-dict).
+
+    Atomic (tmp + rename): a crash mid-write must not leave a truncated
+    metrics_latest.ckpt that bricks auto-resume (these files are written
+    every quick-val and can be hundreds of MB)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tree = jax.device_get(tree)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(tree))
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, target: Any) -> Any:

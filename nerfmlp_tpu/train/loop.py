@@ -190,28 +190,39 @@ class Trainer:
             self.tc.lr * self.tc.lr_decay_rate ** (step / self.tc.lr_decay_steps)
         )
 
-    def _validate(self, dataset, n_images: Optional[int] = None) -> Dict[str, float]:
-        """Render whole held-out images; average PSNR/SSIM/MSE over them."""
+    def _render_view(self, dataset, idx: int):
+        """Deterministic render of one held-out view + its GT — the ONE
+        place the eval-render config/tile/viewdirs plumbing lives (shared
+        by validation, i_img dumps, and TB image logging; the copies this
+        replaces had already drifted on tile=)."""
         cfg = dataclasses.replace(self.rc, perturb=False, raw_noise_std=0.0)
-        n = dataset.n_images if n_images is None else min(n_images, dataset.n_images)
-        mses, psnrs, ssims = [], [], []
-        params = self.state.params
-        for i in range(n):
-            o, d, gt = dataset.image_rays(i)
-            vd = image_viewdirs(dataset, i)
-            img = np.asarray(
-                render_image(
-                    params, jnp.asarray(o), jnp.asarray(d),
-                    dataset.H, dataset.W, cfg, tile=self.tc.chunk,
-                    occ_grid=self.occ_grid, viewdirs=vd,
-                )
+        o, d, gt = dataset.image_rays(idx)
+        vd = image_viewdirs(dataset, idx)
+        img = np.asarray(
+            render_image(
+                self.state.params, jnp.asarray(o), jnp.asarray(d),
+                dataset.H, dataset.W, cfg, tile=self.tc.chunk,
+                occ_grid=self.occ_grid, viewdirs=vd,
             )
+        )
+        return img, gt
+
+    def _validate(self, dataset, n_images: Optional[int] = None):
+        """Render whole held-out images; average PSNR/SSIM/MSE over them.
+        Returns None when there is nothing to validate (empty split or
+        subset 0) — NaN means would poison best-checkpoint selection."""
+        n = dataset.n_images if n_images is None else min(n_images, dataset.n_images)
+        if n <= 0:
+            self._last_val_render = None  # never re-log a stale TB image
+            return None
+        mses, psnrs, ssims = [], [], []
+        for i in range(n):
+            img, gt = self._render_view(dataset, i)
             if i == 0:
                 # Cache for _tb_histograms_and_image: the TB holdout image
                 # is this same view, rendered moments later otherwise.
                 self._last_val_render = (dataset, img, gt)
-            mse = float(np.mean((img - gt) ** 2))
-            mses.append(mse)
+            mses.append(float(np.mean((img - gt) ** 2)))
             psnrs.append(psnr_images(img, gt))
             ssims.append(ssim(img, gt))
         return {
@@ -226,23 +237,9 @@ class Trainer:
         if self.val_ds is None:
             return
         try:
-            import dataclasses as _dc
-
             from nerfmlp_tpu.utils.image import save_png
 
-            cfg = _dc.replace(self.rc, perturb=False, raw_noise_std=0.0)
-            o, d, _ = self.val_ds.image_rays(0)
-            # NDC/LLFF datasets carry world-space viewdirs alongside the
-            # NDC rays — rendering without them conditions the view branch
-            # on NDC-space directions (wrong colors); mirror _validate.
-            vd = image_viewdirs(self.val_ds, 0)
-            img = np.asarray(
-                render_image(
-                    self.state.params, jnp.asarray(o), jnp.asarray(d),
-                    self.val_ds.H, self.val_ds.W, cfg, tile=self.tc.chunk,
-                    occ_grid=self.occ_grid, viewdirs=vd,
-                )
-            )
+            img, _ = self._render_view(self.val_ds, 0)
             save_png(os.path.join(self.save_dir, f"val_{step:06d}.png"), img)
         except Exception as e:
             self._log(f"(val image dump skipped: {e})")
@@ -261,7 +258,7 @@ class Trainer:
                 self.state.params, self.render_poses,
                 self._hwf(self.train_ds), self.rc,
                 render_factor=self.tc.render_factor,
-                occ_grid=self.occ_grid, verbose=False,
+                occ_grid=self.occ_grid, verbose=False, tile=self.tc.chunk,
             )
             expname = os.path.basename(os.path.normpath(self.save_dir))
             base = os.path.join(self.save_dir, f"{expname}_spiral_{step:06d}")
@@ -278,6 +275,7 @@ class Trainer:
                     self._hwf(self.train_ds), self.rc,
                     render_factor=self.tc.render_factor,
                     occ_grid=self.occ_grid, verbose=False,
+                    tile=self.tc.chunk,
                     static_cam_pose=np.asarray(self.render_poses)[0],
                 )
                 still_path = write_video(base + "_rgb_still", to8b(stills))
@@ -306,7 +304,7 @@ class Trainer:
             _, _, psnrs = render_path(
                 self.state.params, self.test_ds.poses,
                 (H, W, focal), self.rc,
-                gt_images=gt,
+                gt_images=gt, tile=self.tc.chunk,
                 occ_grid=self.occ_grid, save_dir=out_dir, verbose=False,
             )
             if psnrs:
@@ -342,7 +340,17 @@ class Trainer:
             self._log(f"⚠️  resume checkpoint not found: {path} — starting fresh")
             return False
         host_state = jax.device_get(self.state)
-        tree, params_only = ckpt.load_state_or_params(path, host_state)
+        try:
+            tree, params_only = ckpt.load_state_or_params(path, host_state)
+        except Exception as e:
+            # A corrupt/truncated checkpoint must not brick training
+            # forever (writes are atomic now, but files from older runs or
+            # partial copies exist in the wild). Warn and start fresh —
+            # the reference warns + starts fresh on missing files too
+            # (train.py:292-361).
+            self._log(f"⚠️  resume failed to decode {path} ({e}) — "
+                      f"starting fresh")
+            return False
         if params_only:
             # Auto-discovery can land on a params-only model_{step}.ckpt
             # (e.g. metrics_latest.ckpt was corrupted/removed). Restore the
@@ -537,6 +545,8 @@ class Trainer:
                 and step < iters
             ):
                 fv = self.full_validate()
+                if fv is None:
+                    continue
                 self.history["full_val_losses"].append(fv["loss"])
                 self.history["full_val_psnrs"].append(fv["psnr"])
                 self.history["full_val_ssims"].append(fv["ssim"])
@@ -590,7 +600,7 @@ class Trainer:
             self._save_val_image(iters)
         final = {}
         if self.val_ds is not None:
-            final = self.full_validate()
+            final = self.full_validate() or {}
             self._log(
                 f"🏁 FINAL full validation: loss {final.get('loss', float('nan')):.6f} | "
                 f"PSNR {final.get('psnr', float('nan')):.2f} | "
@@ -611,6 +621,10 @@ class Trainer:
         h["train_psnrs"].append(avg_psnr)
 
         qm = self.quick_validate()
+        if qm is None:
+            self._log(f"Iter {step:,} | quick val skipped (no val images)")
+            self._save_resumable()
+            return
         h["quick_val_losses"].append(qm["loss"])
         h["quick_val_psnrs"].append(qm["psnr"])
         h["quick_val_ssims"].append(qm["ssim"])
@@ -704,15 +718,7 @@ class Trainer:
                     # instead of paying a second full render.
                     _, img, gt = cached
                 else:
-                    cfg = dataclasses.replace(
-                        self.rc, perturb=False, raw_noise_std=0.0
-                    )
-                    o, d, gt = ds.image_rays(0)
-                    vd = image_viewdirs(ds, 0)
-                    img = np.asarray(render_image(
-                        self.state.params, jnp.asarray(o), jnp.asarray(d),
-                        ds.H, ds.W, cfg, occ_grid=self.occ_grid, viewdirs=vd,
-                    ))
+                    img, gt = self._render_view(ds, 0)
                 self._tb.add_image(
                     "val/render", np.clip(img, 0, 1), step, dataformats="HWC"
                 )

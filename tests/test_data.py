@@ -142,3 +142,14 @@ def test_ndc_rays_match_published_formula():
     )
     np.testing.assert_allclose(np.asarray(o_got), o_exp, atol=1e-4)
     np.testing.assert_allclose(np.asarray(d_got), d_exp, atol=1e-4)
+
+
+def test_ray_batch_loader_small_pool_fills_batch():
+    """Pool smaller than batch_size: batches keep the REQUESTED size via
+    with-replacement sampling (a short batch would break mesh sharding)."""
+    n = 100
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    loader = RayBatchLoader(o, o.copy(), o.copy(), batch_size=256, seed=1)
+    b = loader.next_batch()
+    assert b.shape == (256, 9)

@@ -269,3 +269,26 @@ def test_factor_sets_native_resolution_via_cli(llff_scene, tmp_path):
         args_txt = f.read()
     # images/ is 40x30 -> images_2/ native 20x15.
     assert "img_wh = [20, 15]" in args_txt
+
+
+def test_llff_aspect_snap(llff_scene, capsys):
+    """A square img_wh request against a 4:3 capture snaps the height so
+    one scalar focal serves both axes (otherwise quick-val PSNR/SSIM
+    compare aspect-squashed GT against unmatched-FOV renders)."""
+    ds = LLFFDataset(llff_scene, "train", img_wh=(32, 32))
+    # Capture is 40x30 (4:3) -> height snaps to 24.
+    assert (ds.W, ds.H) == (32, 24)
+    assert ds.images.shape[1:3] == (24, 32)
+    # Matching aspect passes through untouched.
+    ds2 = LLFFDataset(llff_scene, "train", img_wh=(40, 30))
+    assert (ds2.W, ds2.H) == (40, 30)
+
+
+def test_llffhold_zero_clear_error(llff_scene):
+    import pytest
+
+    with pytest.raises(ValueError, match="llffhold"):
+        LLFFDataset(llff_scene, "val", img_wh=(20, 15), llffhold=0)
+    # train split with llffhold=0 is fine (all images train).
+    ds = LLFFDataset(llff_scene, "train", img_wh=(20, 15), llffhold=0)
+    assert ds.n_images == 8

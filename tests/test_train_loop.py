@@ -211,3 +211,24 @@ def test_npy_roundtrip_and_latest_discovery(synthetic_scene, tmp_path):
     )
     assert latest_checkpoint(save_dir).endswith("metrics_latest.ckpt")
     assert latest_checkpoint(str(tmp_path / "missing")) is None
+
+
+def test_resume_corrupt_checkpoint_starts_fresh(synthetic_scene, tmp_path):
+    """A truncated/corrupt checkpoint must warn + start fresh, not raise
+    (crash-mid-write recovery; saves are atomic now but old files exist)."""
+    save_dir = str(tmp_path / "cc")
+    t = _mk_trainer(synthetic_scene, save_dir, iters=30)
+    bad = os.path.join(save_dir, "metrics_latest.ckpt")
+    os.makedirs(save_dir, exist_ok=True)
+    with open(bad, "wb") as f:
+        f.write(b"\x93truncated-not-msgpack")
+    assert t.resume(bad) is False
+    assert int(t.history["step"]) == 0  # fresh
+
+
+def test_validate_empty_subset_returns_none(synthetic_scene, tmp_path):
+    """quick_val_subset=0 / empty split: validation returns None instead
+    of NaN metrics that would poison best-checkpoint selection."""
+    t = _mk_trainer(synthetic_scene, str(tmp_path / "ev0"), iters=30)
+    assert t._validate(t.quick_val_ds, n_images=0) is None
+    assert t._last_val_render is None
