@@ -31,17 +31,17 @@ def main(argv=None):
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=64)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
+    p.add_argument("--separate_fine", action="store_true",
+                   help="checkpoint holds separate coarse/fine nets")
+    from nerfmlp_tpu.utils.cli import add_arch_flags, arch_fields, params_template
+    add_arch_flags(p)
     args = p.parse_args(argv)
 
-    import dataclasses
-
-    import jax
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
 
     from nerfmlp_tpu.config import RenderConfig
-    from nerfmlp_tpu.models.mlp import init_model
     from nerfmlp_tpu.ops.rays import get_rays_np, look_at_matrix
     from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
@@ -55,23 +55,32 @@ def main(argv=None):
         cam_angle_x = json.load(f)["camera_angle_x"]
     base_focal = 0.5 * args.size / np.tan(0.5 * cam_angle_x)
 
-    rc0 = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
-                       perturb=False, use_pallas=args.use_pallas)
-    template = init_model(jax.random.PRNGKey(0), rc0.model_config())
-    params = load_params_any(args.ckpt, template, rc0.model_config())
+    # One frozen config -> ONE compiled tile program for all 4 scenarios
+    # (render_image takes per-call near/far at runtime); pallas needs bf16
+    # (render_video.py pairs them the same way — fp32+pallas is guarded
+    # off by the renderer and would silently take the slow path).
+    rc = RenderConfig(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        perturb=False, use_pallas=args.use_pallas,
+        compute_dtype="bfloat16" if args.use_pallas else "float32",
+        separate_fine=args.separate_fine, **arch_fields(args),
+    )
+    params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
 
     for name, eye, fmul in SCENARIOS:
         eye = np.asarray(eye, dtype=np.float32)
         dist = float(np.linalg.norm(eye))
         near, far = max(0.1, dist - 1.5), dist + 1.5
-        pose = look_at_matrix(eye, np.zeros(3))
+        # up=(0,1,0): the reference's look_at convention
+        # (zoom_example.py:21) — the repo default up is z-up, which would
+        # roll the camera relative to the reference's PNGs.
+        pose = look_at_matrix(eye, np.zeros(3), up=np.array([0.0, 1.0, 0.0]))
         o, d = get_rays_np(args.size, args.size, base_focal * fmul, pose)
-        rc = dataclasses.replace(rc0, near=near, far=far)
         img = np.asarray(render_image(
             params,
             jnp.asarray(o.reshape(-1, 3).copy()),
             jnp.asarray(d.reshape(-1, 3)),
-            args.size, args.size, rc,
+            args.size, args.size, rc, near=near, far=far,
         ))
         out = os.path.join(args.out_dir, f"zoom_{name}.png")
         Image.fromarray((np.clip(img, 0, 1) * 255).round().astype(np.uint8)).save(out)
