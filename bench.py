@@ -186,6 +186,14 @@ def main():
     r = _train_throughput(RenderConfig(**flagship), batch=1024)
     rows.append(_row("train_fp32_xla", r, "rays/s (batch 1024, 64+128)",
                      r / BASELINE_RAYS_PER_SEC))
+    r = _train_throughput(
+        RenderConfig(**flagship, compute_dtype="float32",
+                     fp32_precision="high", use_pallas=True),
+        batch=1024,
+    )
+    rows.append(_row("train_fp32_high_pallas", r,
+                     "rays/s (batch 1024, 64+128, bf16x3 in-kernel)",
+                     r / BASELINE_RAYS_PER_SEC))
     occ = RenderConfig(
         N_samples=16, N_importance=48, near=2.0, far=6.0, perturb=True,
         compute_dtype="bfloat16", use_pallas=True, use_occupancy=True,
@@ -204,6 +212,32 @@ def main():
         N_samples=64, N_importance=128, near=2.0, far=6.0, perturb=False,
     ))
     rows.append(_row("render_800px_fp32_xla", s, "s/frame (800x800, 64+128)"))
+
+    # Golden-Lego readiness row: records every round whether the north
+    # star's real-data parity check could fire (it skips while the Lego
+    # assets are not mounted; value = max per-view delta dB when it runs,
+    # -1 when skipped).
+    try:
+        from scripts.golden_lego import find_inputs, main as golden_main
+
+        datadir, weights = find_inputs()
+        if datadir is None or weights is None:
+            rows.append(_row("golden_lego_max_delta_db", -1.0,
+                             "dB (skipped: lego assets not mounted)"))
+        else:
+            rep = golden_main(["--out", "outputs/golden_lego.json",
+                               "--img_wh", "400", "400", "--max_views", "3"])
+            rows.append(_row(
+                "golden_lego_max_delta_db",
+                float(rep.get("max_delta_db", -1.0)),
+                f"dB (status {rep.get('status')}, "
+                f"{rep.get('n_views', 0)} views at 400px)",
+            ))
+    except Exception as e:
+        import sys as _sys
+
+        print(f"(golden lego row errored: {e})", file=_sys.stderr)
+        rows.append(_row("golden_lego_max_delta_db", -1.0, f"dB (error)"))
 
     with open("bench_full.json", "w") as f:
         json.dump(rows, f, indent=2)

@@ -118,6 +118,18 @@ class RenderConfig:
         """
         depth = (self.depth_fine or self.depth) if fine else self.depth
         width = (self.width_fine or self.width) if fine else self.width
+        if depth == 5:
+            # Loud, not just documented: --netdepth 5 is the one depth
+            # whose function diverges from the TF oracle (its skips=[4]
+            # concat lands AFTER the last trunk layer, widening the head
+            # inputs — inexpressible in the before-layer convention).
+            import warnings
+
+            warnings.warn(
+                "netdepth=5 drops the oracle's trailing skip concat: this "
+                "model computes a (slightly) different function than the "
+                "TF reference at depth 5; checkpoints do not interchange"
+            )
         return ModelConfig(
             depth=depth,
             width=width,

@@ -165,6 +165,10 @@ class LLFFDataset:
         recenter: bool = True,
         spherify: bool = False,     # 360 capture (oracle --spherify)
         factor: int = 0,            # explicit images_{factor}/ dir (oracle --factor)
+        keep_aspect: bool = True,   # snap H to the capture's aspect; pass
+                                    # False to honor a deliberately
+                                    # non-native img_wh (rays/GT then use
+                                    # the squashed vertical FOV as-is)
         **_,
     ):
         self.datadir = datadir
@@ -196,11 +200,21 @@ class LLFFDataset:
         # Snap height rather than erroring: callers commonly pass square
         # defaults (e.g. --quick_val_res 256 256) to 4:3 captures.
         if abs(H / W - orig_h / orig_w) > 0.01:
-            H = max(1, int(round(W * orig_h / orig_w)))
-            self.img_wh = (W, H)
-            self.H = H
-            print(f"(llff: snapped height to preserve the capture's "
-                  f"aspect: {W}x{H})")
+            if keep_aspect:
+                H = max(1, int(round(W * orig_h / orig_w)))
+                self.img_wh = (W, H)
+                self.H = H
+                print(f"(llff: snapped height to preserve the capture's "
+                      f"aspect: {W}x{H}; pass keep_aspect=False to force "
+                      f"the requested size)")
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"llff: honoring non-native aspect {W}x{H} "
+                    f"(capture is {int(orig_w)}x{int(orig_h)}) — vertical "
+                    f"FOV will not match the resized GT"
+                )
         self.focal = float(orig_f * W / orig_w)
 
         c2w = np.tile(np.eye(4, dtype=np.float32), (poses.shape[0], 1, 1))

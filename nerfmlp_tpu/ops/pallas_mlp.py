@@ -41,6 +41,18 @@ from jax.experimental import pallas as pl
 from nerfmlp_tpu.config import RenderConfig
 
 
+def _compiler_params(limit_mb: int = 32):
+    """Raise Mosaic's scoped-VMEM budget above the 16MB default (v5e has
+    128MB physical VMEM): the recompute-backward kernel sits at ~16.4MB
+    at tile 1024 and the default budget rejects it. Off-TPU (interpret
+    mode) compiler params don't apply."""
+    if _interpret():
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=limit_mb * 1024 * 1024)
+
+
 # Fixed layer order for flattened weight lists fed to the kernels.
 _TRUNK = [f"pts_{i}" for i in range(8)]
 _HEADS = ["bottleneck", "view", "rgb", "sigma"]
@@ -53,23 +65,67 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flatten_params(params: Dict, skip_dim: int, dtype) -> Tuple[list, list]:
+def _split_bf16(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fp32 -> (hi, lo) bf16 pair with hi + lo ≈ a (the bf16x3 split).
+
+    Three bf16 MXU passes (hi@hi + hi@lo + lo@hi) reproduce an fp32 matmul
+    to ~1e-7 relative — the same scheme XLA uses for
+    ``jax.lax.Precision.HIGH`` on TPU, done by hand here because Mosaic's
+    own fp32-matmul decomposition explodes compile times (~8 min)."""
+    a = a.astype(jnp.float32)
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_dot(hi_lo: bool):
+    """Forward dot: plain single-pass, or 3-pass bf16x3 when ``hi_lo``.
+
+    In hi_lo mode each logical weight is a (hi, lo) bf16 pair and the
+    activation operand is split per call (the compiler CSEs repeated
+    splits of the same value)."""
+    f32 = jnp.float32
+    if not hi_lo:
+        return lambda a, w: jnp.dot(a, w, preferred_element_type=f32)
+
+    def dot3(a, w):
+        w_hi, w_lo = w
+        a_hi, a_lo = _split_bf16(a)
+        return (
+            jnp.dot(a_hi, w_hi, preferred_element_type=f32)
+            + jnp.dot(a_hi, w_lo, preferred_element_type=f32)
+            + jnp.dot(a_lo, w_hi, preferred_element_type=f32)
+        )
+
+    return dot3
+
+
+def _flatten_params(
+    params: Dict, skip_dim: int, dtype, hi_lo: bool = False
+) -> Tuple[list, list]:
     """Params pytree -> ordered [kernels...], [biases...] with the skip and
-    view-layer kernels split into their two operand blocks."""
+    view-layer kernels split into their two operand blocks.
+
+    ``hi_lo=True`` (the fp32_precision="high" kernel mode) emits each
+    logical kernel as a (hi, lo) bf16 pair instead of one array."""
     ks, bs = [], []
+
+    def emit(k):
+        ks.append(_split_bf16(k) if hi_lo else k.astype(dtype))
+
     for name in _TRUNK + _HEADS:
-        k = params[name]["kernel"].astype(dtype)
+        k = params[name]["kernel"]
         b = params[name]["bias"].astype(jnp.float32).reshape(1, -1)
         if name == "pts_5":
-            ks.append(k[:skip_dim])   # encoded-input block
-            ks.append(k[skip_dim:])   # hidden-state block
+            emit(k[:skip_dim])   # encoded-input block
+            emit(k[skip_dim:])   # hidden-state block
             bs.append(b)
         elif name == "view":
-            ks.append(k[:256])        # bottleneck block
-            ks.append(k[256:])        # viewdir block
+            emit(k[:256])        # bottleneck block
+            emit(k[256:])        # viewdir block
             bs.append(b)
         else:
-            ks.append(k)
+            emit(k)
             bs.append(b)
     return ks, bs
 
@@ -106,24 +162,44 @@ def _encode_tile(pts, enc_m, enc_kind, dt):
     """(T, 3) points -> (T, 3+6L) encoded features, in VMEM.
 
     ``enc_m``/``enc_kind`` come in as kernel inputs (Pallas kernels cannot
-    capture array constants)."""
-    a = jnp.dot(
-        pts.astype(jnp.float32), enc_m, preferred_element_type=jnp.float32
-    )
+    capture array constants).
+
+    The frequency matrix holds only 0 / 1 / 2^l — every entry is EXACT in
+    bf16 — and three bf16 pieces cover an f32 mantissa (3 x 8 bits), so
+    p1+p2+p3 == pts exactly (each residual subtraction is Sterbenz-exact)
+    and three bf16 MXU passes against the exact matrix reproduce the fp32
+    matmul to f32-accumulation rounding. Full precision here matters:
+    sin/cos args reach |x|·2^9 ≈ 2048, where even 2^-16 operand error
+    becomes a visible phase error (a 2-piece split measured 3e-2 output
+    error; the pre-fix single f32 matmul was Mosaic-decomposed — correct
+    but the documented ~8-min-compile hazard in fp32 mode)."""
+    m = enc_m.astype(jnp.bfloat16)  # exact: entries are powers of two
+    f32 = jnp.float32
+    p1 = pts.astype(jnp.bfloat16)
+    r1 = pts - p1.astype(f32)
+    p2 = r1.astype(jnp.bfloat16)
+    p3 = (r1 - p2.astype(f32)).astype(jnp.bfloat16)
+    # One (T, 9) @ (9, 63) matmul instead of three (T, 3) passes: the MXU
+    # accumulates all three pieces' products in one f32 accumulator (same
+    # value, tighter rounding) and the kernel holds ONE (T, 63) f32
+    # temporary instead of three — three separate passes pushed the
+    # backward kernel 351KB past the 16MB scoped-VMEM budget at tile 1024.
+    p_cat = jnp.concatenate([p1, p2, p3], axis=1)
+    m_cat = jnp.concatenate([m, m, m], axis=0)
+    a = jnp.dot(p_cat, m_cat, preferred_element_type=f32)
     enc = jnp.where(
         enc_kind == 0, a, jnp.where(enc_kind == 1, jnp.sin(a), jnp.cos(a))
     )
     return enc.astype(dt)
 
 
-def _mlp_tile_math(x, dirs, ks, bs, dt):
+def _mlp_tile_math(x, dirs, ks, bs, dt, hi_lo: bool = False):
     """The full network on one (T, enc) tile; shared by fwd and bwd kernels.
 
     Returns (out, residuals) where residuals are the post-ReLU trunk
     activations + head intermediates needed by the backward pass.
     """
-    f32 = jnp.float32
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+    dot = _make_dot(hi_lo)
 
     hs = []  # post-relu trunk activations h_0..h_7
     h = x
@@ -148,31 +224,47 @@ def _mlp_tile_math(x, dirs, ks, bs, dt):
     return out, (hs, bott, v)
 
 
-def _fwd_kernel(n_weights, dt, pts_ref, d_ref, em_ref, ek_ref, *refs):
-    ks = [refs[i][:] for i in range(n_weights)]
+def _flat_weights(ks: list) -> list:
+    """Logical weight list (arrays or (hi, lo) pairs) -> flat array list."""
+    out = []
+    for k in ks:
+        out.extend(k if isinstance(k, tuple) else (k,))
+    return out
+
+
+def _regroup_weights(raw: list, hi_lo: bool) -> list:
+    """Flat kernel-ref values -> logical list ((hi, lo) pairs in hi_lo)."""
+    if not hi_lo:
+        return raw
+    return [(raw[2 * i], raw[2 * i + 1]) for i in range(len(raw) // 2)]
+
+
+def _fwd_kernel(n_weights, dt, hi_lo, pts_ref, d_ref, em_ref, ek_ref, *refs):
+    ks = _regroup_weights([refs[i][:] for i in range(n_weights)], hi_lo)
     bs = [refs[n_weights + i][:] for i in range(12)]
     out_ref = refs[n_weights + 12]
     x = _encode_tile(pts_ref[:], em_ref[:], ek_ref[:], dt)
-    out, _ = _mlp_tile_math(x, d_ref[:], ks, bs, dt)
+    out, _ = _mlp_tile_math(x, d_ref[:], ks, bs, dt, hi_lo)
     out_ref[:] = out.astype(jnp.float32)
 
 
 def _pallas_forward(
     pts: jnp.ndarray, dirs: jnp.ndarray, ks: list, bs: list,
-    n_freqs: int, dt, tile: int
+    n_freqs: int, dt, tile: int, hi_lo: bool = False
 ) -> jnp.ndarray:
     n = pts.shape[0]
     grid = (n // tile,)
-    n_w = len(ks)
+    ks_flat = _flat_weights(ks)
+    n_w = len(ks_flat)
 
     # Weights are small; full-array blocks resident in VMEM every step.
-    w_specs = [pl.BlockSpec(k.shape, lambda i: (0, 0)) for k in ks]
+    w_specs = [pl.BlockSpec(k.shape, lambda i: (0, 0)) for k in ks_flat]
     b_specs = [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in bs]
 
     em, ek = _encode_consts(n_freqs)
     em, ek = jnp.asarray(em), jnp.asarray(ek)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_w, dt),
+        functools.partial(_fwd_kernel, n_w, dt, hi_lo),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, pts.shape[1]), lambda i: (i, 0)),
@@ -185,20 +277,24 @@ def _pallas_forward(
         out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
         interpret=_interpret(),
-    )(pts, dirs, em, ek, *ks, *bs)
+        compiler_params=_compiler_params(),
+    )(pts, dirs, em, ek, *ks_flat, *bs)
 
 
-def _bwd_kernel(n_weights, dt, pts_ref, d_ref, em_ref, ek_ref, *refs):
+def _bwd_kernel(n_weights, n_logical, dt, hi_lo, pts_ref, d_ref, em_ref,
+                ek_ref, *refs):
     """Recompute-forward backward: accumulates dW/db across grid steps.
 
-    refs = [*ks, *bs, g_ref, *dk_refs, *db_refs]; all dk/db blocks map to
-    block (0, 0) for every grid step, so `+=` accumulates over tiles.
+    refs = [*ks_flat, *bs, g_ref, *dk_refs, *db_refs]; all dk/db blocks map
+    to block (0, 0) for every grid step, so `+=` accumulates over tiles.
+    ``n_weights`` counts flat kernel inputs (2x logical in hi_lo mode);
+    dk outputs are always per LOGICAL weight, in fp32.
     """
-    ks = [refs[i][:] for i in range(n_weights)]
+    ks = _regroup_weights([refs[i][:] for i in range(n_weights)], hi_lo)
     bs = [refs[n_weights + i][:] for i in range(12)]
     g_ref = refs[n_weights + 12]
-    dk_refs = refs[n_weights + 13 : 2 * n_weights + 13]
-    db_refs = refs[2 * n_weights + 13 :]
+    dk_refs = refs[n_weights + 13 : n_weights + 13 + n_logical]
+    db_refs = refs[n_weights + 13 + n_logical :]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -207,18 +303,37 @@ def _bwd_kernel(n_weights, dt, pts_ref, d_ref, em_ref, ek_ref, *refs):
 
     x = _encode_tile(pts_ref[:], em_ref[:], ek_ref[:], dt)
     dirs = d_ref[:]
-    _, (hs, bott, v) = _mlp_tile_math(x, dirs, ks, bs, dt)
+    _, (hs, bott, v) = _mlp_tile_math(x, dirs, ks, bs, dt, hi_lo)
 
     f32 = jnp.float32
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
-    # dW = a^T @ g  — contract over the tile dimension without transposing.
-    dotT = lambda a, g: jax.lax.dot_general(
-        a, g, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )
-    # g @ k^T without materializing a transpose (contract both dim 1).
-    dotKT = lambda g, k: jax.lax.dot_general(
-        g, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
-    )
+    if not hi_lo:
+        # dW = a^T @ g  — contract over the tile dim without transposing.
+        dotT = lambda a, g: jax.lax.dot_general(
+            a, g, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        # g @ k^T without materializing a transpose (contract both dim 1).
+        dotKT = lambda g, k: jax.lax.dot_general(
+            g, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+    else:
+        # bf16x3 variants: split both operands (activations and grads are
+        # fp32 here), 3 MXU passes per logical matmul; kernels arrive
+        # pre-split as (hi, lo) pairs.
+        def dotT(a, g):
+            a_hi, a_lo = _split_bf16(a)
+            g_hi, g_lo = _split_bf16(g)
+            dg = lambda p, q: jax.lax.dot_general(
+                p, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            return dg(a_hi, g_hi) + dg(a_hi, g_lo) + dg(a_lo, g_hi)
+
+        def dotKT(g, k):
+            k_hi, k_lo = k
+            g_hi, g_lo = _split_bf16(g)
+            dg = lambda p, q: jax.lax.dot_general(
+                p, q, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+            return dg(g_hi, k_hi) + dg(g_hi, k_lo) + dg(g_lo, k_hi)
 
     g = g_ref[:]
     g_rgb = g[:, 0:3].astype(dt)
@@ -286,20 +401,26 @@ def _pallas_backward(
     n_freqs: int,
     dt,
     tile: int,
+    hi_lo: bool = False,
 ):
     n = pts.shape[0]
     grid = (n // tile,)
-    n_w = len(ks)
+    ks_flat = _flat_weights(ks)
+    n_w = len(ks_flat)
+    # Grad outputs are per LOGICAL weight (hi/lo pairs share one fp32 grad).
+    logical_shapes = [
+        (k[0].shape if isinstance(k, tuple) else k.shape) for k in ks
+    ]
 
-    w_specs = [pl.BlockSpec(k.shape, lambda i: (0, 0)) for k in ks]
+    w_specs = [pl.BlockSpec(k.shape, lambda i: (0, 0)) for k in ks_flat]
     b_specs = [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in bs]
-    dk_specs = [pl.BlockSpec(k.shape, lambda i: (0, 0)) for k in ks]
+    dk_specs = [pl.BlockSpec(s, lambda i: (0, 0)) for s in logical_shapes]
     db_specs = [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in bs]
 
     em, ek = _encode_consts(n_freqs)
     em, ek = jnp.asarray(em), jnp.asarray(ek)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, n_w, dt),
+        functools.partial(_bwd_kernel, n_w, len(ks), dt, hi_lo),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, pts.shape[1]), lambda i: (i, 0)),
@@ -312,11 +433,12 @@ def _pallas_backward(
         ],
         out_specs=[*dk_specs, *db_specs],
         out_shape=[
-            *[jax.ShapeDtypeStruct(k.shape, jnp.float32) for k in ks],
+            *[jax.ShapeDtypeStruct(s, jnp.float32) for s in logical_shapes],
             *[jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs],
         ],
         interpret=_interpret(),
-    )(pts, dirs, em, ek, *ks, *bs, g)
+        compiler_params=_compiler_params(),
+    )(pts, dirs, em, ek, *ks_flat, *bs, g)
 
 
 def _grads_to_pytree(dks: list, dbs: list, params: Dict) -> Dict:
@@ -349,28 +471,31 @@ def _fwd_tile(n: int, tile: int) -> int:
     return 2 * tile if n % (2 * tile) == 0 and 2 * tile <= 2048 else tile
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_apply(params, pts, dirs, n_freqs: int, dt_name: str, tile: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_apply(params, pts, dirs, n_freqs: int, dt_name: str, tile: int,
+                 hi_lo: bool = False):
     dt = jnp.dtype(dt_name)
     enc_dim = 3 + 6 * n_freqs
-    ks, bs = _flatten_params(params, enc_dim, dt)
+    ks, bs = _flatten_params(params, enc_dim, dt, hi_lo)
+    fwd_tile = tile if hi_lo else _fwd_tile(pts.shape[0], tile)
     return _pallas_forward(
-        pts, dirs.astype(dt), ks, bs, n_freqs, dt, _fwd_tile(pts.shape[0], tile)
+        pts, dirs.astype(dt), ks, bs, n_freqs, dt, fwd_tile, hi_lo
     )
 
 
-def _fused_fwd(params, pts, dirs, n_freqs, dt_name, tile):
-    out = _fused_apply(params, pts, dirs, n_freqs, dt_name, tile)
+def _fused_fwd(params, pts, dirs, n_freqs, dt_name, tile, hi_lo):
+    out = _fused_apply(params, pts, dirs, n_freqs, dt_name, tile, hi_lo)
     return out, (params, pts, dirs)
 
 
-def _fused_bwd(n_freqs, dt_name, tile, res, g):
+def _fused_bwd(n_freqs, dt_name, tile, hi_lo, res, g):
     params, pts, dirs = res
     dt = jnp.dtype(dt_name)
     enc_dim = 3 + 6 * n_freqs
-    ks, bs = _flatten_params(params, enc_dim, dt)
+    ks, bs = _flatten_params(params, enc_dim, dt, hi_lo)
     outs = _pallas_backward(
-        pts, dirs.astype(dt), ks, bs, g.astype(jnp.float32), n_freqs, dt, tile
+        pts, dirs.astype(dt), ks, bs, g.astype(jnp.float32), n_freqs, dt,
+        tile, hi_lo
     )
     dks, dbs = outs[: len(ks)], outs[len(ks) :]
     dparams = _grads_to_pytree(dks, dbs, params)
@@ -417,11 +542,20 @@ def fused_nerf_mlp(
             "(8x256 trunk, skip at 5, 256-wide bottleneck); "
             "set use_pallas=False for custom shapes"
         )
+    # fp32_precision="high" in fp32 mode: hand-rolled bf16x3 (3 bf16 MXU
+    # passes per logical matmul, fp32 accumulation/activations). Mosaic's
+    # own fp32-matmul decomposition is avoided entirely — the renderer
+    # routes fp32 "highest" (6-pass golden parity) to XLA instead.
+    hi_lo = (
+        jnp.dtype(cfg.compute_dtype) == jnp.float32
+        and cfg.fp32_precision == "high"
+    )
     n = pts_flat.shape[0]
     tile = min(tile, max(256, 1 << (n - 1).bit_length()))
     # The backward kernel's stored activations OOM VMEM beyond tile 1024
-    # (the forward pass doubles the tile itself when shapes allow).
-    tile = min(tile, DEFAULT_TILE)
+    # (the forward pass doubles the tile itself when shapes allow). In
+    # hi_lo mode activations are fp32 (2x VMEM) — halve the tile.
+    tile = min(tile, DEFAULT_TILE // 2 if hi_lo else DEFAULT_TILE)
     pad = (-n) % tile
     if pad:
         pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
@@ -429,6 +563,6 @@ def fused_nerf_mlp(
 
     out = _fused_apply(
         params, pts_flat, dirs_enc_flat, cfg.pos_enc_L,
-        str(jnp.dtype(cfg.compute_dtype)), tile,
+        str(jnp.dtype(cfg.compute_dtype)), tile, hi_lo,
     )
     return out[:n]

@@ -61,15 +61,20 @@ def _query_mlp(
     flat = pts.reshape(n_rays * n_samples, 3)
     mc = cfg.model_config(fine=fine)
 
-    # The fused kernel is a bf16 fast path: Mosaic decomposes fp32 matmuls
-    # into multi-pass MXU programs whose compile time explodes (observed
-    # ~8 min vs ~1 min for bf16); fp32 (the parity path) stays on XLA.
+    # The fused kernel covers bf16 (single-pass fast path) and fp32 with
+    # fp32_precision="high" (hand-rolled bf16x3 — 3 bf16 MXU passes with
+    # fp32 accumulation, pallas_mlp.py::_make_dot). fp32 "highest" (the
+    # 6-pass golden-parity mode) stays on XLA: Mosaic's own fp32-matmul
+    # decomposition explodes compile times (~8 min observed).
     # The no-viewdirs architecture and non-canonical trunk shapes also
     # fall back (not worth kernel variants for non-default modes).
     use_pallas = (
         cfg.use_pallas
         and cfg.use_viewdirs
-        and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+        and (
+            jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+            or cfg.fp32_precision == "high"
+        )
         and mc.depth == 8
         and mc.width == 256
     )
@@ -98,6 +103,56 @@ def _query_mlp(
             query = jax.checkpoint(query)
         raw = query(params, flat, dirs)
     return raw.astype(jnp.float32).reshape(n_rays, n_samples, 4)
+
+
+def _merge_by_depth(z_c, raw_c, z_f, raw_f):
+    """Merge (z, raw) pairs into depth order WITHOUT argsort/gather.
+
+    TPU gathers are catastrophically slow (measured 4.6 ms for
+    argsort + take_along_axis at the flagship train shape — half a train
+    step); instead each element's DESTINATION rank in the merged order is
+    a comparison count (z_c is sorted, so z_c[i]'s rank is
+    i + #{z_f < z_c[i]}; z_f[j]'s is #{z_f[:j+1] <= z_f[j]}-1 +
+    #{z_c <= z_f[j]} — tie-broken coarse-first, a stable merge), and the
+    permutation is applied as a one-hot contraction on the MXU (the same
+    trick sample_pdf uses, measured 25x over positional gathers).
+
+    HIGHEST-precision einsum: the one-hot is exact and raw values must
+    pass through bit-exact (default TPU precision would round them
+    through bf16)."""
+    n, c = z_c.shape
+    f = z_f.shape[-1]
+    m = c + f
+    # Destination rank of each element of concat([z_c, z_f]).
+    lt = (z_f[:, None, :] < z_c[:, :, None]).astype(jnp.int32)   # (N, C, F)
+    rank_c = jnp.arange(c, dtype=jnp.int32)[None, :] + lt.sum(-1)
+    le_cf = (z_c[:, :, None] <= z_f[:, None, :]).astype(jnp.int32)
+    # z_f may be unsorted (perturbed sampling): rank among z_f itself is a
+    # comparison count too (strict < plus earlier-index ties).
+    le_ff = (
+        (z_f[:, None, :] < z_f[:, :, None])
+        | (
+            (z_f[:, None, :] == z_f[:, :, None])
+            & (jnp.arange(f)[None, None, :] < jnp.arange(f)[None, :, None])
+        )
+    ).astype(jnp.int32)                                           # (N, F, F)
+    rank_f = le_ff.sum(-1) + le_cf.sum(1)
+    ranks = jnp.concatenate([rank_c, rank_f], axis=-1)            # (N, M)
+    packed = jnp.concatenate(
+        [
+            jnp.concatenate([z_c, z_f], -1)[..., None],
+            jnp.concatenate([raw_c, raw_f], 1),
+        ],
+        axis=-1,
+    )                                                             # (N, M, 5)
+    onehot = (
+        ranks[:, None, :] == jnp.arange(m, dtype=jnp.int32)[None, :, None]
+    ).astype(packed.dtype)                                        # (N, M, M)
+    merged = jnp.einsum(
+        "nkj,njc->nkc", onehot, packed,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return merged[..., 0], merged[..., 1:]
 
 
 def render_rays(
@@ -228,13 +283,33 @@ def render_rays(
     )
     z_samples = jax.lax.stop_gradient(z_samples)  # renderer.py:88 (.detach())
 
-    z_vals_fine = jnp.sort(
-        jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1
-    )
-    pts_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_vals_fine[..., None]
-
     fine_params, is_fine = _final_net(params, cfg)
-    raw_fine = _query_mlp(fine_params, pts_fine, viewdirs_enc, cfg, fine=is_fine)
+    if not is_fine:
+        # Shared coarse/fine net (the reference's default, renderer.py:76,
+        # 103): the coarse raw outputs at z_vals are EXACTLY what the fine
+        # pass would recompute for those depths — reuse them and query the
+        # network only at the N_importance NEW depths, then merge into
+        # sorted order. Bit-identical math (pure CSE: same params, same
+        # points), 25% fewer MLP evals per hierarchical render — in both
+        # the forward and the recompute-backward (autodiff sums the two
+        # uses' cotangents into one backward pass automatically).
+        pts_new = (
+            rays_o[:, None, :] + rays_d[:, None, :] * z_samples[..., None]
+        )
+        raw_new = _query_mlp(fine_params, pts_new, viewdirs_enc, cfg)
+        z_vals_fine, raw_fine = _merge_by_depth(
+            z_vals, raw, z_samples, raw_new
+        )
+    else:
+        z_vals_fine = jnp.sort(
+            jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1
+        )
+        pts_fine = (
+            rays_o[:, None, :] + rays_d[:, None, :] * z_vals_fine[..., None]
+        )
+        raw_fine = _query_mlp(
+            fine_params, pts_fine, viewdirs_enc, cfg, fine=is_fine
+        )
     fine = composite_rays(
         raw_fine, z_vals_fine, rays_d,
         rng=k_noise_f, raw_noise_std=cfg.raw_noise_std,
@@ -248,6 +323,7 @@ def render_rays(
         "acc_map": fine["acc_map"],
         "rgb_map_coarse": coarse["rgb_map"],
         "depth_map_coarse": coarse["depth_map"],
+        "disp_map_coarse": coarse["disp_map"],  # oracle's 'disp0' TB image
         "acc_map_coarse": coarse["acc_map"],
         "z_std": jnp.std(z_samples, axis=-1),  # official extra (run_nerf.py:237)
     }

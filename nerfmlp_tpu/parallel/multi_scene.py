@@ -70,34 +70,45 @@ def make_multi_scene_grid_update(rc: RenderConfig, mesh: Mesh, axis: str = "data
 
 
 def make_multi_scene_step(
-    rc: RenderConfig, tc: TrainConfig, mesh: Mesh, axis: str = "data"
+    rc: RenderConfig, tc: TrainConfig, mesh: Mesh, axis: str = "data",
+    with_bounds: bool = False,
 ):
     """Jitted step over stacked states + (n_scenes, B, 9|12) batches.
 
     ``n_scenes`` must be divisible by the mesh size; each device holds
     ``n_scenes / n_devices`` scenes and vmaps the shared single-scene
     update rule over its local stack. With ``rc.use_occupancy`` the step
-    takes a third stacked-grids argument.
+    takes a third stacked-grids argument. With ``with_bounds`` the step
+    takes a TRAILING (n_scenes, 2) [near, far] stack so every scene
+    samples its own depth range (the config's scalars are ignored) —
+    scenes of different dataset types/scales can batch together.
     """
     step_fn = make_step_fn(rc, tc)
 
-    if rc.use_occupancy:
-        def local_step(state_stack, batch_stack, grid_stack):
-            return jax.vmap(step_fn)(state_stack, batch_stack, grid_stack)
-
-        in_specs = (P(axis), P(axis), P(axis))
+    one = lambda s, b, g, bd: step_fn(s, b, g, bd)
+    if rc.use_occupancy and with_bounds:
+        local_step = lambda ss, bs, gs, bds: jax.vmap(one)(ss, bs, gs, bds)
+        n_in = 4
+    elif rc.use_occupancy:
+        local_step = lambda ss, bs, gs: jax.vmap(
+            lambda s, b, g: one(s, b, g, None)
+        )(ss, bs, gs)
+        n_in = 3
+    elif with_bounds:
+        local_step = lambda ss, bs, bds: jax.vmap(
+            lambda s, b, bd: one(s, b, None, bd)
+        )(ss, bs, bds)
+        n_in = 3
     else:
-        def local_step(state_stack, batch_stack):  # noqa: E306
-            return jax.vmap(lambda s, b: step_fn(s, b, None))(
-                state_stack, batch_stack
-            )
-
-        in_specs = (P(axis), P(axis))
+        local_step = lambda ss, bs: jax.vmap(
+            lambda s, b: one(s, b, None, None)
+        )(ss, bs)
+        n_in = 2
 
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=in_specs,
+        in_specs=tuple(P(axis) for _ in range(n_in)),
         out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
@@ -127,27 +138,37 @@ def make_scene_mesh(n_scenes: int, n_devices: int = 0) -> Mesh:
     return Mesh(arr, axis_names=("scene", "data"))
 
 
-def make_multi_scene_dp_step(rc: RenderConfig, tc: TrainConfig, mesh: Mesh):
+def make_multi_scene_dp_step(
+    rc: RenderConfig, tc: TrainConfig, mesh: Mesh, with_bounds: bool = False
+):
     """Jitted step over a ("scene", "data") mesh: stacked states sharded on
     "scene" (replicated within each scene's data group), batches
     (n_scenes, B, 9|12) sharded on BOTH axes. Written as a plain vmap of
     the shared single-scene update rule — GSPMD partitions each scene's
     batch over its data group and inserts the per-group gradient
     all-reduce; no hand-written collectives (same math as
-    :func:`make_multi_scene_step`, more chips than scenes)."""
+    :func:`make_multi_scene_step`, more chips than scenes).
+    ``with_bounds``: trailing (n_scenes, 2) per-scene [near, far] stack."""
     step_fn = make_step_fn(rc, tc)
 
-    def step(state_stack, batch_stack):
-        return jax.vmap(lambda s, b: step_fn(s, b, None))(
-            state_stack, batch_stack
-        )
+    if with_bounds:
+        def step(state_stack, batch_stack, bounds_stack):
+            return jax.vmap(lambda s, b, bd: step_fn(s, b, None, bd))(
+                state_stack, batch_stack, bounds_stack
+            )
+    else:
+        def step(state_stack, batch_stack):
+            return jax.vmap(lambda s, b: step_fn(s, b, None))(
+                state_stack, batch_stack
+            )
 
     state_sh = NamedSharding(mesh, P("scene"))
     batch_sh = NamedSharding(mesh, P("scene", "data"))
+    in_sh = (state_sh, batch_sh) + ((state_sh,) if with_bounds else ())
     return (
         jax.jit(
             step,
-            in_shardings=(state_sh, batch_sh),
+            in_shardings=in_sh,
             out_shardings=(state_sh, state_sh),
             donate_argnums=(0,),
         ),

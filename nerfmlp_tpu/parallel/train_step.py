@@ -76,14 +76,23 @@ def loss_and_metrics(
     rc: RenderConfig,
     tc: TrainConfig,
     occ_grid=None,
+    bounds=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """batch: (B, 9) = [rays_o | rays_d | rgb] — or (B, 12) with an extra
-    world-viewdirs column for NDC datasets ([o | d_ndc | viewdir | rgb])."""
+    world-viewdirs column for NDC datasets ([o | d_ndc | viewdir | rgb]).
+
+    ``bounds``: optional (2,) [near, far] overriding the config's scalars —
+    the multi-scene trainer vmaps a per-scene bounds stack through here so
+    each scene samples its own depth range."""
     rays_o, rays_d = batch[:, 0:3], batch[:, 3:6]
     viewdirs = batch[:, 6:9] if batch.shape[1] == 12 else None
     target = batch[:, -3:]
+    near = far = None
+    if bounds is not None:
+        near, far = bounds[0], bounds[1]
     out = render_rays(
-        params, rays_o, rays_d, rng, rc, occ_grid=occ_grid, viewdirs=viewdirs
+        params, rays_o, rays_d, rng, rc, near=near, far=far,
+        occ_grid=occ_grid, viewdirs=viewdirs,
     )
     loss_fine = jnp.mean((out["rgb_map"] - target) ** 2)
     loss = loss_fine
@@ -99,12 +108,13 @@ def make_step_fn(rc: RenderConfig, tc: TrainConfig):
     trainer (which vmaps it over a stacked scene axis)."""
     optimizer = make_optimizer(tc)
 
-    def step_fn(state: TrainState, batch: jnp.ndarray, occ_grid=None):
+    def step_fn(state: TrainState, batch: jnp.ndarray, occ_grid=None,
+                bounds=None):
         rng, rng_step = jax.random.split(state.rng)
         rng_step = jax.random.fold_in(rng_step, state.step)
         (loss, metrics), grads = jax.value_and_grad(
             loss_and_metrics, has_aux=True
-        )(state.params, batch, rng_step, rc, tc, occ_grid)
+        )(state.params, batch, rng_step, rc, tc, occ_grid, bounds)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)

@@ -28,6 +28,15 @@ import numpy as np
 from flax import serialization
 
 
+class CheckpointCorruptError(Exception):
+    """The file exists but cannot be decoded (truncated/corrupt msgpack).
+
+    Distinct from a structure/shape mismatch (which raises through
+    ``from_state_dict``): corruption is recoverable by starting fresh,
+    an architecture mismatch is a user error that must fail loudly —
+    silently discarding a resumable run would overwrite its checkpoints."""
+
+
 def save_checkpoint(path: str, tree: Any) -> None:
     """Serialize any pytree (params or full TrainState-as-dict).
 
@@ -78,16 +87,22 @@ def save_params_npy(path: str, params: Dict, cfg=None) -> None:
 
 
 def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None):
-    """Load params from either a .npy official weight list or a .ckpt
-    msgpack file — mirrors render_example.py:166-207's dual loading.
+    """Load params from a .npy official weight list, a torch reference
+    ``.pth`` checkpoint, or a .ckpt msgpack file — the superset of
+    render_example.py:166-207's dual loading.
 
     Returns the renderer-shaped dict ``{"coarse": ..., ["fine": ...]}``
     regardless of whether the file stored bare model params or the full
-    coarse/fine dict (``.npy`` weight lists are always one network)."""
+    coarse/fine dict (``.npy``/``.pth`` checkpoints are always one
+    network — the reference shares it for coarse+fine, renderer.py:76)."""
     if path.endswith(".npy"):
         from nerfmlp_tpu.models.import_tf import load_npy_weights, params_from_numpy
 
         return {"coarse": params_from_numpy(load_npy_weights(path), cfg)}
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from nerfmlp_tpu.models.import_torch import load_pth
+
+        return {"coarse": load_pth(path, cfg)}
     if template_params is None:
         raise ValueError(".ckpt loading requires a template param pytree")
     if "coarse" in template_params:
@@ -123,12 +138,60 @@ def load_state_or_params(path: str, template_state: Any):
     """Single-decode restore: ``(TrainState, False)`` when the file holds a
     full train state, ``(params, True)`` for a bare params checkpoint —
     avoids parsing the msgpack twice (is_params_only + load_checkpoint)
-    on every resume of a multi-hundred-MB state."""
-    with open(path, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
+    on every resume of a multi-hundred-MB state.
+
+    Raises :class:`CheckpointCorruptError` when the bytes cannot be
+    decoded; template mismatches propagate as flax's own errors."""
+    try:
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+    except Exception as e:
+        raise CheckpointCorruptError(f"cannot decode {path}: {e}") from e
+    if not isinstance(raw, dict):
+        raise CheckpointCorruptError(
+            f"{path} decoded to {type(raw).__name__}, expected a dict"
+        )
+    template = template_state if "opt_state" in raw else template_state.params
+    # flax restore ignores EXTRA state keys (a deeper checkpoint silently
+    # loses layers into a shallower template) and never checks leaf SHAPES
+    # (wrong --netwidth restores garbage that fails far away, if at all).
+    # Compare the serialized structures explicitly so architecture
+    # mismatches fail HERE, loudly.
+    want = serialization.to_state_dict(jax.device_get(template))
+    flat_raw = dict(_flatten_state_dict(raw))
+    flat_want = dict(_flatten_state_dict(want))
+    extra = sorted(set(flat_raw) - set(flat_want))
+    missingk = sorted(set(flat_want) - set(flat_raw))
+    if extra or missingk:
+        raise ValueError(
+            f"{path}: checkpoint structure does not match this architecture "
+            f"(checkpoint-only keys: {extra[:4]}, template-only keys: "
+            f"{missingk[:4]}) — pass the run's original "
+            f"--netdepth/--netwidth/--separate_fine flags"
+        )
+    for key, a in flat_raw.items():
+        b = flat_want[key]
+        if (
+            hasattr(a, "shape") and hasattr(b, "shape")
+            and np.shape(a) != np.shape(b)
+        ):
+            raise ValueError(
+                f"{path}: checkpoint leaf {key} has shape {np.shape(a)}, "
+                f"this architecture expects {np.shape(b)} — pass the run's "
+                f"original --netdepth/--netwidth flags"
+            )
     if "opt_state" in raw:
         return serialization.from_state_dict(template_state, raw), False
     return serialization.from_state_dict(template_state.params, raw), True
+
+
+def _flatten_state_dict(d: Any, prefix: str = ""):
+    """Yield (dotted-path, leaf) pairs from a nested state dict."""
+    if isinstance(d, dict):
+        for k, v in d.items():
+            yield from _flatten_state_dict(v, f"{prefix}{k}/")
+    else:
+        yield prefix.rstrip("/"), d
 
 
 def step_from_filename(path: str) -> int:

@@ -190,22 +190,38 @@ class Trainer:
             self.tc.lr * self.tc.lr_decay_rate ** (step / self.tc.lr_decay_steps)
         )
 
-    def _render_view(self, dataset, idx: int):
+    def _render_view_maps(self, dataset, idx: int, maps=("rgb_map",)):
         """Deterministic render of one held-out view + its GT — the ONE
         place the eval-render config/tile/viewdirs plumbing lives (shared
         by validation, i_img dumps, and TB image logging; the copies this
-        replaces had already drifted on tile=)."""
+        replaces had already drifted on tile=). Returns ({map: HW...}, gt)."""
+        from nerfmlp_tpu.ops.render import render_image_maps
+
         cfg = dataclasses.replace(self.rc, perturb=False, raw_noise_std=0.0)
         o, d, gt = dataset.image_rays(idx)
         vd = image_viewdirs(dataset, idx)
-        img = np.asarray(
-            render_image(
-                self.state.params, jnp.asarray(o), jnp.asarray(d),
-                dataset.H, dataset.W, cfg, tile=self.tc.chunk,
-                occ_grid=self.occ_grid, viewdirs=vd,
-            )
+        out = render_image_maps(
+            self.state.params, jnp.asarray(o), jnp.asarray(d),
+            dataset.H, dataset.W, cfg, tile=self.tc.chunk,
+            occ_grid=self.occ_grid, viewdirs=vd, maps=tuple(maps),
         )
-        return img, gt
+        return {k: np.asarray(v) for k, v in out.items()}, gt
+
+    def _tb_extra_maps(self) -> tuple:
+        """The oracle's coarse-pass TB extras (run_nerf.py:905-921): only
+        meaningful when a fine pass exists (occupancy mode replaces the
+        coarse pass with the grid and renders no coarse maps)."""
+        if (
+            self._tb is not None
+            and self.rc.N_importance > 0
+            and not self.rc.use_occupancy
+        ):
+            return ("rgb_map_coarse", "disp_map_coarse", "z_std")
+        return ()
+
+    def _render_view(self, dataset, idx: int):
+        out, gt = self._render_view_maps(dataset, idx)
+        return out["rgb_map"], gt
 
     def _validate(self, dataset, n_images: Optional[int] = None):
         """Render whole held-out images; average PSNR/SSIM/MSE over them.
@@ -214,14 +230,22 @@ class Trainer:
         n = dataset.n_images if n_images is None else min(n_images, dataset.n_images)
         if n <= 0:
             self._last_val_render = None  # never re-log a stale TB image
+            self._last_val_maps = None
             return None
         mses, psnrs, ssims = [], [], []
         for i in range(n):
-            img, gt = self._render_view(dataset, i)
             if i == 0:
-                # Cache for _tb_histograms_and_image: the TB holdout image
-                # is this same view, rendered moments later otherwise.
+                # View 0 also feeds _tb_histograms_and_image: render the
+                # coarse-pass TB extras (rgb0/disp0/z_std) in the SAME
+                # pass and cache everything — no second render.
+                out, gt = self._render_view_maps(
+                    dataset, 0, ("rgb_map",) + self._tb_extra_maps()
+                )
+                img = out["rgb_map"]
                 self._last_val_render = (dataset, img, gt)
+                self._last_val_maps = out
+            else:
+                img, gt = self._render_view(dataset, i)
             mses.append(float(np.mean((img - gt) ** 2)))
             psnrs.append(psnr_images(img, gt))
             ssims.append(ssim(img, gt))
@@ -342,12 +366,15 @@ class Trainer:
         host_state = jax.device_get(self.state)
         try:
             tree, params_only = ckpt.load_state_or_params(path, host_state)
-        except Exception as e:
+        except (ckpt.CheckpointCorruptError, OSError) as e:
             # A corrupt/truncated checkpoint must not brick training
             # forever (writes are atomic now, but files from older runs or
             # partial copies exist in the wild). Warn and start fresh —
             # the reference warns + starts fresh on missing files too
-            # (train.py:292-361).
+            # (train.py:292-361). Structure/shape mismatches (wrong
+            # --netdepth/--netwidth/--separate_fine against an existing
+            # run) propagate instead: silently starting fresh would
+            # overwrite the prior run's checkpoints.
             self._log(f"⚠️  resume failed to decode {path} ({e}) — "
                       f"starting fresh")
             return False
@@ -545,17 +572,20 @@ class Trainer:
                 and step < iters
             ):
                 fv = self.full_validate()
-                if fv is None:
-                    continue
-                self.history["full_val_losses"].append(fv["loss"])
-                self.history["full_val_psnrs"].append(fv["psnr"])
-                self.history["full_val_ssims"].append(fv["ssim"])
-                self.history["full_val_steps"].append(step)
-                self._log(
-                    f"📋 FULL VAL @ {step:,}: loss {fv['loss']:.6f} | "
-                    f"PSNR {fv['psnr']:.2f} | SSIM {fv['ssim']:.4f}"
-                )
-                self._save_val_image(step)
+                # Guarded block, NOT `continue`: an empty val split (fv is
+                # None) must never skip the checkpoint/render events below
+                # for a coinciding step (with the defaults full_val_interval
+                # == ckpt_interval multiples coincide constantly).
+                if fv is not None:
+                    self.history["full_val_losses"].append(fv["loss"])
+                    self.history["full_val_psnrs"].append(fv["psnr"])
+                    self.history["full_val_ssims"].append(fv["ssim"])
+                    self.history["full_val_steps"].append(step)
+                    self._log(
+                        f"📋 FULL VAL @ {step:,}: loss {fv['loss']:.6f} | "
+                        f"PSNR {fv['psnr']:.2f} | SSIM {fv['ssim']:.4f}"
+                    )
+                    self._save_val_image(step)
                 t_prev = time.time()
 
             if step % tc.ckpt_interval == 0:
@@ -605,6 +635,21 @@ class Trainer:
                 f"🏁 FINAL full validation: loss {final.get('loss', float('nan')):.6f} | "
                 f"PSNR {final.get('psnr', float('nan')):.2f} | "
                 f"SSIM {final.get('ssim', float('nan')):.4f}"
+            )
+            # Post-full-val companion checkpoint (reference train.py:576-585
+            # saves model+optimizer+final metrics as model_full_val_final.pth):
+            # the full TrainState, with the final-val numbers in the history
+            # sidecar it shares the basename with.
+            path = os.path.join(self.save_dir, "model_full_val_final.ckpt")
+            ckpt.save_checkpoint(path, jax.device_get(self.state))
+            ckpt.save_metrics_json(
+                path.rsplit(".", 1)[0] + ".history.json",
+                dict(
+                    self.history,
+                    full_val_loss=final.get("loss"),
+                    full_val_psnr=final.get("psnr"),
+                    full_val_ssim=final.get("ssim"),
+                ),
             )
         self._save_resumable()
         comprehensive = dict(self.history, final_val=final, config=self._config_dict())
@@ -712,17 +757,37 @@ class Trainer:
             if self.quick_val_ds is not None:
                 ds = self.quick_val_ds
                 cached = getattr(self, "_last_val_render", None)
+                maps = None
                 if cached is not None and cached[0] is ds:
                     # The quick-val that triggered this logging just
                     # rendered view 0 of the same dataset — reuse it
                     # instead of paying a second full render.
                     _, img, gt = cached
+                    maps = getattr(self, "_last_val_maps", None)
                 else:
-                    img, gt = self._render_view(ds, 0)
+                    extra = self._tb_extra_maps()
+                    maps, gt = self._render_view_maps(
+                        ds, 0, ("rgb_map",) + extra
+                    )
+                    img = maps["rgb_map"]
                 self._tb.add_image(
                     "val/render", np.clip(img, 0, 1), step, dataformats="HWC"
                 )
                 self._tb.add_image("val/gt", gt, step, dataformats="HWC")
+                if maps and "rgb_map_coarse" in maps:
+                    # The oracle's coarse-pass extras (run_nerf.py:905-921):
+                    # rgb0/disp0 holdout images + the fine-sample z_std
+                    # histogram (sampling-concentration diagnostic).
+                    self._tb.add_image(
+                        "val/rgb0", np.clip(maps["rgb_map_coarse"], 0, 1),
+                        step, dataformats="HWC",
+                    )
+                    disp0 = maps["disp_map_coarse"]
+                    disp0 = disp0 / max(float(np.max(disp0)), 1e-8)
+                    self._tb.add_image(
+                        "val/disp0", disp0[..., None], step, dataformats="HWC"
+                    )
+                    self._tb.add_histogram("val/z_std", maps["z_std"], step)
         except Exception as e:
             self._log(f"(tensorboard histogram/image logging failed: {e})")
 

@@ -100,6 +100,131 @@ def create_progress_plot(metrics_path, out_path=None, show=False):
     return out_path
 
 
+def create_comprehensive_report(metrics_path, out_path=None):
+    """The reference's end-of-run 3x3 comprehensive figure
+    (scripts/train.py:587-695): loss + PSNR convergence up top, then
+    overfitting gap, LR schedule, SSIM, iter times, and the full-val
+    loss/PSNR series. (The reference plots a CONSTANT lr line and lets
+    two top panels overlap — subplot(3,3,(1,2)) vs (1,3); here the grid
+    is laid out cleanly and the lr curve is the real decay schedule from
+    the run's recorded config.)"""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    with open(metrics_path) as f:
+        m = json.load(f)
+    steps = m.get("val_steps", [])
+    tl, tp = m.get("train_losses", []), m.get("train_psnrs", [])
+    ql, qp, qs = (
+        m.get("quick_val_losses", []),
+        m.get("quick_val_psnrs", []),
+        m.get("quick_val_ssims", []),
+    )
+    fvl, fvp, fvs, fsteps = (
+        m.get("full_val_losses", []),
+        m.get("full_val_psnrs", []),
+        m.get("full_val_ssims", []),
+        m.get("full_val_steps", []),
+    )
+
+    fig = plt.figure(figsize=(20, 16))
+
+    ax = plt.subplot(3, 3, (1, 2))
+    if tl:
+        ax.plot(steps[: len(tl)], tl, "o-", ms=4, color="tab:blue",
+                alpha=0.8, label="Training Loss")
+    if ql:
+        ax.plot(steps[: len(ql)], ql, "s-", ms=4, color="tab:red",
+                alpha=0.8, label="Validation Loss")
+    ax.set_xlabel("Iteration"); ax.set_ylabel("Loss"); ax.set_yscale("log")
+    ax.set_title("Training vs Validation Loss Convergence", fontweight="bold")
+    ax.legend(); ax.grid(True, alpha=0.3)
+
+    ax = plt.subplot(3, 3, 3)
+    if tp:
+        ax.plot(steps[: len(tp)], tp, "o-", ms=4, color="tab:green",
+                alpha=0.8, label="Training PSNR")
+    if qp:
+        ax.plot(steps[: len(qp)], qp, "s-", ms=4, color="tab:orange",
+                alpha=0.8, label="Validation PSNR")
+    ax.set_xlabel("Iteration"); ax.set_ylabel("PSNR (dB)")
+    ax.set_title("Training vs Validation PSNR", fontweight="bold")
+    ax.legend(); ax.grid(True, alpha=0.3)
+
+    ax = plt.subplot(3, 3, 4)
+    if tl and ql:
+        n = min(len(tl), len(ql))
+        ax.plot(steps[:n], [abs(a - b) for a, b in zip(tl[:n], ql[:n])],
+                "o-", ms=3, color="tab:purple", alpha=0.8)
+        ax.set_yscale("log")
+    ax.set_xlabel("Iteration"); ax.set_ylabel("|Train - Val Loss|")
+    ax.set_title("Overfitting Indicator", fontweight="bold")
+    ax.grid(True, alpha=0.3)
+
+    ax = plt.subplot(3, 3, 5)
+    cfg_train = m.get("config", {}).get("train", {})
+    lr0 = cfg_train.get("lr", 5e-4)
+    rate = cfg_train.get("lr_decay_rate", 0.1)
+    dsteps = max(cfg_train.get("lr_decay_steps", 250_000), 1)
+    if steps:
+        ax.plot(steps, [lr0 * rate ** (s / dsteps) for s in steps],
+                "o-", ms=3, color="tab:brown", alpha=0.8)
+        ax.set_yscale("log")
+    ax.set_xlabel("Iteration"); ax.set_ylabel("Learning Rate")
+    ax.set_title("Learning Rate Schedule", fontweight="bold")
+    ax.grid(True, alpha=0.3)
+
+    ax = plt.subplot(3, 3, 6)
+    if qs:
+        ax.plot(steps[: len(qs)], qs, "s-", ms=3, color="tab:green",
+                alpha=0.8, label="Quick Val SSIM")
+    if fvs:
+        ax.plot(fsteps[: len(fvs)], fvs, "^-", ms=4, color="tab:orange",
+                alpha=0.8, label="Full Val SSIM")
+    ax.set_xlabel("Iteration"); ax.set_ylabel("SSIM")
+    ax.set_title("SSIM Progress", fontweight="bold")
+    ax.legend(); ax.grid(True, alpha=0.3)
+
+    ax = plt.subplot(3, 3, 7)
+    it = m.get("iteration_times", [])
+    if it:
+        ax.plot(np.asarray(it[-1000:]), alpha=0.6, color="tab:purple")
+    ax.set_xlabel("Recent Iterations"); ax.set_ylabel("Time (seconds)")
+    ax.set_title("Training Time per Iteration", fontweight="bold")
+    ax.grid(True, alpha=0.3)
+
+    ax = plt.subplot(3, 3, 8)
+    if fvl:
+        ax.plot(fsteps[: len(fvl)], fvl, "^-", ms=4, color="tab:red",
+                alpha=0.8, label="Full Val Loss")
+        ax.set_yscale("log")
+        ax.legend()
+    ax.set_xlabel("Iteration"); ax.set_ylabel("Loss")
+    ax.set_title("Full Validation Loss", fontweight="bold")
+    ax.grid(True, alpha=0.3)
+
+    ax = plt.subplot(3, 3, 9)
+    if fvp:
+        ax.plot(fsteps[: len(fvp)], fvp, "^-", ms=4, color="tab:orange",
+                alpha=0.8, label="Full Val PSNR")
+        ax.legend()
+    ax.set_xlabel("Iteration"); ax.set_ylabel("PSNR (dB)")
+    ax.set_title("Full Validation PSNR", fontweight="bold")
+    ax.grid(True, alpha=0.3)
+
+    plt.tight_layout()
+    out_path = out_path or os.path.join(
+        os.path.dirname(metrics_path), "comprehensive_metrics.png"
+    )
+    plt.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close()
+    print(f"wrote {out_path}")
+    return out_path
+
+
 def create_convergence_plot(metrics_path, out_path=None):
     """Focused 2-panel loss/PSNR convergence figure (the reference's
     end-of-training companion to the comprehensive report,

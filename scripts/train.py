@@ -478,9 +478,11 @@ def main(argv=None):
     metrics = trainer.train()
 
     # End-of-run report figures (reference: train.py:587-707 produces a
-    # comprehensive grid + a focused 2-panel convergence figure).
+    # 3x3 comprehensive grid + a focused 2-panel convergence figure; the
+    # 6-panel progress report is this framework's own addition).
     try:
         from scripts.plot_training_progress import (
+            create_comprehensive_report,
             create_convergence_plot,
             create_progress_plot,
         )
@@ -493,6 +495,13 @@ def main(argv=None):
         create_convergence_plot(
             metrics_json,
             out_path=os.path.join(args.save_dir, "convergence.png"),
+        )
+        # The comprehensive report reads the END-OF-RUN snapshot (it has
+        # the full-val series + the recorded config for the lr panel).
+        comp_json = os.path.join(args.save_dir, "comprehensive_metrics.json")
+        create_comprehensive_report(
+            comp_json if os.path.exists(comp_json) else metrics_json,
+            out_path=os.path.join(args.save_dir, "comprehensive_metrics.png"),
         )
     except Exception as e:  # plotting is best-effort
         print(f"(plotting skipped: {e})")

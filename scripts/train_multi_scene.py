@@ -28,6 +28,16 @@ def main(argv=None):
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
+    p.add_argument("--dataset_types", type=str, nargs="+", default=["blender"],
+                   choices=["blender", "llff", "deepvoxels"],
+                   help="one value for all scenes, or one per --datadir "
+                        "(oracle --dataset_type, per scene)")
+    p.add_argument("--spherify", action="store_true",
+                   help="LLFF scenes: 360 capture (metric rays)")
+    p.add_argument("--factor", type=int, default=0,
+                   help="LLFF scenes: images_{factor}/ directory")
+    p.add_argument("--shape", type=str, default="cube",
+                   help="DeepVoxels scenes: object shape")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -35,7 +45,6 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from nerfmlp_tpu.config import RenderConfig, TrainConfig
-    from nerfmlp_tpu.data.blender import BlenderDataset
     from nerfmlp_tpu.data.pipeline import RayBatchLoader
     from nerfmlp_tpu.parallel.mesh import make_mesh
     from nerfmlp_tpu.parallel.multi_scene import (
@@ -46,31 +55,50 @@ def main(argv=None):
         scene_sharding,
     )
     from nerfmlp_tpu.train.checkpoint import save_checkpoint
+    from nerfmlp_tpu.utils.cli import dataset_class
 
     n_scenes = len(args.datadirs)
     n_dev = len(jax.devices())
     if n_scenes % n_dev != 0 and n_dev % n_scenes != 0:
         p.error(f"{n_scenes} scenes vs {n_dev} devices: need one to divide "
                 f"the other")
+    types = args.dataset_types
+    if len(types) == 1:
+        types = types * n_scenes
+    if len(types) != n_scenes:
+        p.error(f"--dataset_types: got {len(types)} values for "
+                f"{n_scenes} scenes (pass 1 or {n_scenes})")
 
-    datasets = [
-        BlenderDataset(d, "train", img_wh=tuple(args.img_wh))
-        for d in args.datadirs
-    ]
+    def load_scene(datadir, dtype):
+        kwargs = {}
+        if dtype == "llff":
+            kwargs = {"spherify": args.spherify, "factor": args.factor}
+        elif dtype == "deepvoxels":
+            kwargs = {"shape": args.shape}
+        return dataset_class(dtype)(
+            datadir, "train", img_wh=tuple(args.img_wh), **kwargs
+        )
+
+    datasets = [load_scene(d, t) for d, t in zip(args.datadirs, types)]
     loaders = [
         RayBatchLoader.from_dataset(ds, args.batch_size, seed=i)
         for i, ds in enumerate(datasets)
     ]
-    # One shared [near, far] envelope (per-scene bounds via cfg.aabb could
-    # refine this; scenes here share the Blender-synthetic convention).
-    bounds = [ds.dynamic_near_far() for ds in datasets]
-    near = min(b[0] for b in bounds)
-    far = max(b[1] for b in bounds)
-    print(f"{n_scenes} scenes on {n_dev} devices | near/far {near:.2f}/{far:.2f}")
+    # Per-scene [near, far]: each scene samples its own depth range (the
+    # render path takes per-call bounds, ops/render.py:108-141 — a scene
+    # with tight bounds must not waste samples on another's envelope, and
+    # NDC LLFF scenes live in [0, 1] while blender scenes sit at 2-6).
+    bounds = np.asarray(
+        [ds.dynamic_near_far() for ds in datasets], np.float32
+    )
+    for d, t, (nr, fr) in zip(args.datadirs, types, bounds):
+        print(f"  {t:10s} {d}: near/far {nr:.2f}/{fr:.2f}")
+    print(f"{n_scenes} scenes on {n_dev} devices")
 
     rc = RenderConfig(
         N_samples=args.N_samples, N_importance=args.N_importance,
-        near=near, far=far, perturb=True,
+        near=float(bounds[:, 0].min()), far=float(bounds[:, 1].max()),
+        perturb=True,
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
     )
     tc = TrainConfig(batch_size=args.batch_size, iters=args.iters, lr=args.lr)
@@ -79,20 +107,38 @@ def main(argv=None):
         # >= 1 scene per device: shard_map, scenes pinned to chips.
         mesh = make_mesh()
         shard = batch_shard = scene_sharding(mesh)
-        step = make_multi_scene_step(rc, tc, mesh)
+        step = make_multi_scene_step(rc, tc, mesh, with_bounds=True)
+        bounds_shard = shard
     else:
         # Fewer scenes than chips: ("scene", "data") mesh — each scene
         # group data-parallelizes its ray batch over n_dev/n_scenes chips.
         mesh = make_scene_mesh(n_scenes, n_dev)
-        step, shard, batch_shard = make_multi_scene_dp_step(rc, tc, mesh)
+        step, shard, batch_shard = make_multi_scene_dp_step(
+            rc, tc, mesh, with_bounds=True
+        )
+        bounds_shard = shard
         print(f"scene x data mesh: {n_scenes} x {n_dev // n_scenes}")
     state = jax.device_put(create_multi_scene_state(n_scenes, rc, tc), shard)
+    bounds_dev = jax.device_put(jnp.asarray(bounds), bounds_shard)
+
+    # Mixed loaders can emit (B, 9) [o|d|rgb] and (B, 12) [o|d|viewdir|rgb]
+    # rows; widen 9-col scenes with viewdirs = normalize(d) (exactly what
+    # the step computes for them anyway) so the stack is rectangular.
+    widen = any(ld.pool.shape[-1] == 12 for ld in loaders)
+
+    def scene_batch(ld):
+        b = ld.next_batch()
+        if widen and b.shape[-1] == 9:
+            d = b[:, 3:6]
+            vd = d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+            b = np.concatenate([b[:, :6], vd, b[:, 6:]], axis=-1)
+        return b
 
     os.makedirs(args.save_dir, exist_ok=True)
     for it in range(1, args.iters + 1):
-        batch = np.stack([ld.next_batch() for ld in loaders], axis=0)
+        batch = np.stack([scene_batch(ld) for ld in loaders], axis=0)
         state, metrics = step(
-            state, jax.device_put(jnp.asarray(batch), batch_shard)
+            state, jax.device_put(jnp.asarray(batch), batch_shard), bounds_dev
         )
         if it % args.log_interval == 0:
             losses = np.asarray(metrics["loss"])

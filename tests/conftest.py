@@ -39,3 +39,44 @@ def synthetic_scene(tmp_path_factory):
 @pytest.fixture()
 def rng_np():
     return np.random.default_rng(0)
+
+
+# ---- Fast lane (`pytest -m "not slow"`, <5 min) ------------------------- #
+# Everything below ~9s measured wall-clock gets the fast lane; end-to-end
+# CLI trainings, Trainer loops, and the heaviest multi-device suites are
+# marked slow centrally here (pytest.ini declares the marker). The FULL
+# suite remains the CI gate.
+
+_SLOW_MODULES = {
+    "test_cli",          # end-to-end CLI trainings
+    "test_train_loop",   # Trainer end-to-end loops
+    "test_multi_scene",  # 8-fake-device multi-scene suites
+    "test_aabb",         # quality A/B trainings
+}
+_SLOW_TESTS = {
+    "test_synthetic_llff_360_scene_learns",
+    "test_occupancy_training_end_to_end",
+    "test_occupancy_cli_flag",
+    "test_occupancy_resume_rebuilds_grid",
+    "test_render_with_occupancy_shapes",
+    "test_train_step_with_pallas_converges",
+    "test_full_render_with_pallas_matches_reference_path",
+    "test_graft_entry_contract",
+    "test_tensorboard_writes_events",
+    "test_remat_matches_plain",
+    "test_gradients_flow",
+    "test_deterministic_when_no_perturb",
+    "test_render_image_tiling_matches_direct",
+    "test_separate_fine_net",
+    "test_full_render_parity",
+    "test_export_roundtrip_through_reference",
+    "test_i_embed_identity",
+    "test_train_cli_deepvoxels_smoke",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES or item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -36,11 +36,12 @@ def test_golden_lego_psnr_parity(tmp_path):
         "--img_wh", "800", "800",
     ])
     assert report["status"] == "ok"
-    assert "delta_db" in report, "torch reference unavailable for comparison"
+    assert "max_delta_db" in report, "torch reference unavailable for comparison"
     assert report["within_tolerance"], (
-        f"PSNR gap {report['delta_db']} dB exceeds 0.1 dB "
-        f"(ours {report['psnr_ours_vs_gt']}, "
-        f"reference {report['psnr_reference_vs_gt']})"
+        f"per-view PSNR gap up to {report['max_delta_db']} dB exceeds 0.1 dB "
+        f"(ours {report['mean_psnr_ours_vs_gt']}, "
+        f"reference {report['mean_psnr_reference_vs_gt']}; "
+        f"per-view: {report['per_view']})"
     )
 
 

@@ -179,3 +179,94 @@ def test_multi_scene_cli_scene_dp(tmp_path):
     ])
     assert os.path.exists(os.path.join(out, "model_scene0_final.ckpt"))
     assert os.path.exists(os.path.join(out, "model_scene1_final.ckpt"))
+
+
+def test_multi_scene_per_scene_bounds():
+    """with_bounds=True: every scene samples ITS OWN [near, far] — scene
+    i's params must match a solo run whose config carries scene i's
+    bounds (not the shared envelope)."""
+    from nerfmlp_tpu.parallel.multi_scene import make_multi_scene_step
+    from nerfmlp_tpu.parallel.train_step import create_train_state, make_train_step
+
+    rc = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                      perturb=True)
+    tc = TrainConfig(batch_size=32, seed=0)
+    mesh = make_mesh(n_devices=8)
+    batches = _batches(8, 32, seed=7)
+    per_scene = np.stack(
+        [[2.0 + 0.25 * i, 6.0 - 0.25 * i] for i in range(8)]
+    ).astype(np.float32)
+
+    state = jax.device_put(
+        create_multi_scene_state(8, rc, tc), scene_sharding(mesh)
+    )
+    step = make_multi_scene_step(rc, tc, mesh, with_bounds=True)
+    state, m = step(
+        state,
+        jax.device_put(jnp.asarray(batches), scene_sharding(mesh)),
+        jax.device_put(jnp.asarray(per_scene), scene_sharding(mesh)),
+    )
+    assert np.isfinite(np.asarray(m["loss"])).all()
+
+    for scene in (0, 3):
+        rc_i = RenderConfig(
+            N_samples=8, N_importance=8, perturb=True,
+            near=float(per_scene[scene, 0]), far=float(per_scene[scene, 1]),
+        )
+        solo = create_train_state(
+            rc_i, tc, rng=jax.random.PRNGKey(tc.seed + 1000 * scene)
+        )
+        solo, _ = make_train_step(rc_i, tc)(solo, jnp.asarray(batches[scene]))
+        a = np.asarray(jax.tree.leaves(state.params)[0])[scene]
+        b = np.asarray(jax.tree.leaves(solo.params)[0])
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+    # Control: scene 3 must NOT match a solo run on the SHARED envelope
+    # (otherwise this test would pass with bounds silently ignored).
+    solo = create_train_state(rc, tc, rng=jax.random.PRNGKey(tc.seed + 3000))
+    solo, _ = make_train_step(rc, tc)(solo, jnp.asarray(batches[3]))
+    a = np.asarray(jax.tree.leaves(state.params)[0])[3]
+    b = np.asarray(jax.tree.leaves(solo.params)[0])
+    assert np.abs(a - b).max() > 1e-6
+
+
+def test_multi_scene_cli_mixed_datasets(tmp_path, capsys):
+    """Blender + LLFF (NDC) scenes batched together: visibly different
+    per-scene bounds (2-6 vs 0-1), 9-col batches widened to match the
+    NDC scene's 12-col rows, per-scene checkpoints written."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from nerfmlp_tpu.data.synthetic import (
+        make_synthetic_llff_scene,
+        make_synthetic_scene,
+    )
+    from scripts.train_multi_scene import main
+
+    d_blender = str(tmp_path / "blender_scene")
+    make_synthetic_scene(d_blender, n_train=3, n_val=1, n_test=1,
+                         img_wh=(24, 24), seed=0)
+    d_llff = str(tmp_path / "llff_scene")
+    make_synthetic_llff_scene(d_llff, n_images=6, img_wh=(24, 24),
+                              style="forward", seed=1)
+    out = str(tmp_path / "mixed_out")
+    main([
+        "--datadirs", d_blender, d_llff,
+        "--dataset_types", "blender", "llff",
+        "--img_wh", "24", "24",
+        "--batch_size", "64", "--iters", "4", "--save_dir", out,
+        "--N_samples", "4", "--N_importance", "4",
+        "--log_interval", "2", "--compute_dtype", "float32", "--no_pallas",
+    ])
+    stdout = capsys.readouterr().out
+    assert "blender" in stdout and "llff" in stdout
+    # The NDC scene's bounds are [0, 1]; the blender scene's are not.
+    import re
+
+    nf = re.findall(r"near/far (\d+\.\d+)/(\d+\.\d+)", stdout)
+    assert len(nf) == 2
+    assert [float(a) for a in nf[1]] == [0.0, 1.0]
+    assert float(nf[0][0]) > 1.0
+    assert os.path.exists(os.path.join(out, "model_blender_scene_final.ckpt"))
+    assert os.path.exists(os.path.join(out, "model_llff_scene_final.ckpt"))

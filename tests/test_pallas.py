@@ -142,3 +142,81 @@ def test_pallas_input_grads_are_zero_by_contract():
 
     g = jax.grad(loss)(pts)
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_forward_high_precision_matches_xla_fp32():
+    """fp32_precision="high" inside the kernel (hand-rolled bf16x3, 3 bf16
+    MXU passes per matmul) must agree with the XLA fp32 path to ~1e-5
+    relative — fp32-grade output, unlike the single-pass bf16 mode."""
+    cfg, params, pts, dirs_enc = _setup()
+    hi = dataclasses.replace(
+        cfg, compute_dtype="float32", fp32_precision="high", use_pallas=True
+    )
+    got = np.asarray(fused_nerf_mlp(params, pts, dirs_enc, hi, tile=128))
+    want = np.asarray(_xla_raw(params, pts, dirs_enc, cfg))
+    scale = np.abs(want).max()
+    # The CPU oracle here is EXACT fp32 (stricter than TPU XLA-HIGH, which
+    # is itself bf16x3): measured max normalized error 1.3e-5 through the
+    # 8-layer chain.
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
+
+    # And it must be *much* closer than the single-pass bf16 kernel.
+    bf = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    got_bf = np.asarray(fused_nerf_mlp(params, pts, dirs_enc, bf, tile=128))
+    err_hi = np.abs(got - want).max()
+    err_bf = np.abs(got_bf - want).max()
+    assert err_hi < err_bf / 20, (err_hi, err_bf)
+
+
+def test_grads_high_precision_match_xla():
+    """Backward bf16x3: weight grads from the high-precision kernel agree
+    with XLA fp32 grads to ~1e-4 relative (vs ~5e-3 for bf16)."""
+    cfg, params, pts, dirs_enc = _setup(n=256)
+    hi = dataclasses.replace(
+        cfg, compute_dtype="float32", fp32_precision="high", use_pallas=True
+    )
+
+    def loss(p, c):
+        raw = fused_nerf_mlp(p, pts, dirs_enc, c, tile=128)
+        return jnp.mean(jax.nn.sigmoid(raw[:, :3]) ** 2) + jnp.mean(
+            jax.nn.relu(raw[:, 3]) * 1e-2
+        )
+
+    def loss_xla(p):
+        raw = _xla_raw(p, pts, dirs_enc, cfg)
+        return jnp.mean(jax.nn.sigmoid(raw[:, :3]) ** 2) + jnp.mean(
+            jax.nn.relu(raw[:, 3]) * 1e-2
+        )
+
+    g_hi = jax.grad(lambda p: loss(p, hi))(params)
+    g_xla = jax.grad(loss_xla)(params)
+    for name in g_xla:
+        for leaf in ("kernel", "bias"):
+            a = np.asarray(g_hi[name][leaf])
+            b = np.asarray(g_xla[name][leaf])
+            scale = max(np.abs(b).max(), 1e-8)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=1e-4,
+                err_msg=f"{name}/{leaf}",
+            )
+
+
+def test_render_rays_routes_fp32_high_to_pallas():
+    """The renderer engages the fused kernel for fp32_precision="high"
+    (and the result matches the XLA fp32 render closely)."""
+    from nerfmlp_tpu.ops.render import render_rays
+
+    cfg = RenderConfig(N_samples=16, N_importance=8, perturb=False,
+                       raw_noise_std=0.0)
+    params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
+    rng = np.random.default_rng(3)
+    o = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (16, 1))
+    d = rng.normal(size=(16, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+
+    base = render_rays(params, jnp.asarray(o), jnp.asarray(d), None, cfg)
+    hi = dataclasses.replace(cfg, use_pallas=True, fp32_precision="high")
+    got = render_rays(params, jnp.asarray(o), jnp.asarray(d), None, hi)
+    np.testing.assert_allclose(
+        np.asarray(got["rgb_map"]), np.asarray(base["rgb_map"]), atol=1e-4
+    )

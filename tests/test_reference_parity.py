@@ -228,3 +228,96 @@ def test_export_roundtrip_through_reference(ref, tmp_path):
                 np.asarray(back["coarse"][name][leaf]),
                 np.asarray(params[name][leaf]),
             )
+
+
+def test_pth_import_through_reference(ref, tmp_path):
+    """The mirror of the export round-trip: a REFERENCE ``.pth`` checkpoint
+    (both the bare state_dict and the composite training-dict formats,
+    scripts/train.py:453,468-472) loads here and our render matches the
+    torch render of the same model to 1e-4 (coarse map — no importance
+    resampling, so no error amplification)."""
+    import torch
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.ops.render import render_rays
+    from nerfmlp_tpu.train.checkpoint import load_params_any
+
+    torch.manual_seed(11)
+    ref_model = ref.NeRFMLP()
+    ref_model.eval()
+
+    bare = str(tmp_path / "model_best.pth")
+    torch.save(ref_model.state_dict(), bare)
+    composite = str(tmp_path / "metrics_latest.pth")
+    torch.save(
+        {
+            "model_state_dict": ref_model.state_dict(),
+            "optimizer_state_dict": torch.optim.Adam(
+                ref_model.parameters()
+            ).state_dict(),
+            "metrics": {"step": 7, "train_losses": [0.5, 0.25]},
+        },
+        composite,
+    )
+
+    cfg = RenderConfig(N_samples=24, N_importance=0, near=2.0, far=6.0,
+                       white_bkgd=True, perturb=False, raw_noise_std=0.0)
+    ref_renderer = ref.NeRFRenderer(
+        ref_model, torch.device("cpu"), N_samples=24, N_importance=0,
+        near=2.0, far=6.0, white_bkgd=True, perturb=0.0, raw_noise_std=0.0,
+    )
+
+    rng = np.random.default_rng(6)
+    o = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (16, 1))
+    d = rng.normal(size=(16, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    with torch.no_grad():
+        want = ref_renderer._render_rays(torch.from_numpy(o), torch.from_numpy(d))
+
+    for path in (bare, composite):
+        params = load_params_any(path, cfg=cfg.model_config())
+        assert set(params) == {"coarse"}
+        got = render_rays(params, jnp.asarray(o), jnp.asarray(d), None, cfg)
+        np.testing.assert_allclose(
+            np.asarray(got["rgb_map"]), want["rgb_map"].numpy(), atol=1e-4
+        )
+
+    # Architecture mismatch fails loudly, not silently (a wrong --netdepth
+    # must not produce a garbage model).
+    import pytest as _pytest
+
+    wrong = RenderConfig(depth=4).model_config()
+    with _pytest.raises(ValueError, match="missing layers|does not"):
+        load_params_any(bare, cfg=wrong)
+
+
+def test_pth_export_loads_in_reference(ref, tmp_path):
+    """Our torch-format export is loadable by the reference's own render
+    CLI path (model.load_state_dict(torch.load(...)),
+    scripts/render_example.py:207) and computes the same function."""
+    import torch
+    import jax
+
+    from nerfmlp_tpu.config import ModelConfig
+    from nerfmlp_tpu.models.mlp import init_model, apply_model
+    from nerfmlp_tpu.models.import_torch import params_to_torch_state_dict
+
+    cfg = ModelConfig()
+    params = init_model(jax.random.PRNGKey(9), cfg)
+    path = str(tmp_path / "export.pth")
+    torch.save(params_to_torch_state_dict(params, cfg), path)
+
+    ref_model = ref.NeRFMLP()
+    ref_model.load_state_dict(torch.load(path, map_location="cpu"))
+    ref_model.eval()
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(32, 63)).astype(np.float32)
+    v = rng.normal(size=(32, 27)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x), torch.from_numpy(v)).numpy()
+    import jax.numpy as jnp
+
+    got = np.asarray(apply_model(params, jnp.asarray(x), jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, atol=2e-4)

@@ -232,3 +232,72 @@ def test_validate_empty_subset_returns_none(synthetic_scene, tmp_path):
     t = _mk_trainer(synthetic_scene, str(tmp_path / "ev0"), iters=30)
     assert t._validate(t.quick_val_ds, n_images=0) is None
     assert t._last_val_render is None
+
+
+def test_empty_full_val_still_checkpoints(synthetic_scene, tmp_path):
+    """When full_validate() returns None (empty val split) at a step that
+    is also a ckpt_interval multiple, the periodic model_{step}.ckpt must
+    still land (regression: a `continue` used to skip it)."""
+    save_dir = str(tmp_path / "efv")
+    ds = BlenderDataset(synthetic_scene, "train", img_wh=(40, 40))
+    val = BlenderDataset(synthetic_scene, "val", img_wh=(40, 40))
+    near, far = ds.dynamic_near_far()
+    rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far)
+    tc = TrainConfig(
+        batch_size=256, iters=60, quick_val_interval=60,
+        full_val_interval=30, quick_val_subset=1, log_interval=60,
+        ckpt_interval=30,
+    )
+    t = Trainer(rc, tc, ds, val, val, save_dir=save_dir, verbose=False)
+    t.full_validate = lambda: None  # empty-split behavior, every call
+    t.train()
+    assert os.path.exists(os.path.join(save_dir, "model_30.ckpt"))
+    assert os.path.exists(os.path.join(save_dir, "model_60.ckpt"))
+    assert t.history["full_val_psnrs"] == []
+
+
+def test_resume_architecture_mismatch_raises(synthetic_scene, tmp_path):
+    """Wrong --netdepth/--netwidth against an existing run must raise, not
+    silently start fresh and overwrite the run's checkpoints (only
+    corrupt/truncated files get the warn-and-fresh treatment)."""
+    import pytest
+
+    save_dir = str(tmp_path / "mm")
+    t1 = _mk_trainer(synthetic_scene, save_dir, iters=30)
+    t1.train()
+
+    ds = BlenderDataset(synthetic_scene, "train", img_wh=(40, 40))
+    val = BlenderDataset(synthetic_scene, "val", img_wh=(40, 40))
+    near, far = ds.dynamic_near_far()
+    # Different depth: checkpoint has pts_0..7, template expects pts_0..3.
+    rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far, depth=4)
+    tc = TrainConfig(batch_size=256, iters=60, quick_val_interval=30,
+                     full_val_interval=0, quick_val_subset=1,
+                     log_interval=20, ckpt_interval=30)
+    t2 = Trainer(rc, tc, ds, val, val, save_dir=save_dir, verbose=False)
+    with pytest.raises((ValueError, KeyError)):
+        t2.resume(os.path.join(save_dir, "metrics_latest.ckpt"))
+
+    # Different width: keys match, shapes differ — must ALSO raise.
+    rc3 = RenderConfig(N_samples=8, N_importance=8, near=near, far=far,
+                       width=128)
+    t3 = Trainer(rc3, tc, ds, val, val, save_dir=save_dir, verbose=False)
+    with pytest.raises(ValueError, match="shape"):
+        t3.resume(os.path.join(save_dir, "metrics_latest.ckpt"))
+
+
+def test_netdepth5_warns():
+    """--netdepth 5 diverges from the TF oracle (its trailing skip concat
+    is inexpressible here) — must warn loudly, not just document."""
+    import warnings
+
+    from nerfmlp_tpu.config import RenderConfig
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        RenderConfig(depth=5).model_config()
+    assert any("netdepth=5" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        RenderConfig(depth=8).model_config()
+    assert not w
