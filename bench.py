@@ -212,6 +212,14 @@ def main():
         N_samples=64, N_importance=128, near=2.0, far=6.0, perturb=False,
     ))
     rows.append(_row("render_800px_fp32_xla", s, "s/frame (800x800, 64+128)"))
+    # The recommended eval recipe (docs/RESULTS.md): fp32-grade renders at
+    # a fraction of HIGHEST's cost, now through the bf16x3 fused kernel.
+    s = _render_seconds(RenderConfig(
+        N_samples=64, N_importance=128, near=2.0, far=6.0, perturb=False,
+        compute_dtype="float32", fp32_precision="high", use_pallas=True,
+    ))
+    rows.append(_row("render_800px_fp32_high_pallas", s,
+                     "s/frame (800x800, 64+128, bf16x3 in-kernel)"))
 
     # Golden-Lego readiness row: records every round whether the north
     # star's real-data parity check could fire (it skips while the Lego
