@@ -424,3 +424,23 @@ def test_make_timelapse_cli(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert main(["--run_dir", str(empty)]) is None
+
+
+def test_train_cli_fp32_high_pallas(cli_scene, tmp_path):
+    """The fp32-grade kernel path at the CLI (--compute_dtype float32
+    --fp32_precision high with pallas on): the renderer routes it through
+    the bf16x3 fused kernel (interpreted on CPU) instead of falling back."""
+    from scripts.train import main as train_main
+
+    out = str(tmp_path / "hi")
+    m = train_main([
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--batch_size", "128", "--iters", "6", "--save_dir", out,
+        "--N_samples", "8", "--N_importance", "8",
+        "--quick_val_interval", "3", "--full_val_interval", "0",
+        "--quick_val_res", "16", "16", "--quick_val_subset", "1",
+        "--compute_dtype", "float32", "--fp32_precision", "high",
+        "--n_devices", "1",
+    ])
+    assert np.isfinite(m["train_losses"][-1])
+    assert os.path.exists(os.path.join(out, "model_final.ckpt"))
