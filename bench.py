@@ -235,12 +235,22 @@ def main():
         else:
             rep = golden_main(["--out", "outputs/golden_lego.json",
                                "--img_wh", "400", "400", "--max_views", "3"])
-            rows.append(_row(
-                "golden_lego_max_delta_db",
-                float(rep.get("max_delta_db", -1.0)),
-                f"dB (status {rep.get('status')}, "
-                f"{rep.get('n_views', 0)} views at 400px)",
-            ))
+            if "max_delta_db" in rep:
+                rows.append(_row(
+                    "golden_lego_max_delta_db",
+                    float(rep["max_delta_db"]),
+                    f"dB (status {rep.get('status')}, "
+                    f"{rep.get('n_views', 0)} views at 400px)",
+                ))
+            else:
+                # Assets mounted but /root/reference absent: our renders
+                # ran, no torch baseline to delta against — distinct from
+                # the assets-missing skip above.
+                rows.append(_row(
+                    "golden_lego_max_delta_db", -1.0,
+                    f"dB (no torch reference for comparison; "
+                    f"ours-vs-gt mean {rep.get('mean_psnr_ours_vs_gt')})",
+                ))
     except Exception as e:
         import sys as _sys
 

@@ -83,11 +83,15 @@ def params_from_torch_state_dict(
             v = v.detach().cpu().numpy()
         return np.asarray(v, dtype=np.float32)
 
-    missing = [k for k in names if f"{k}.weight" not in state_dict]
+    missing = [
+        k for k in names
+        if f"{k}.weight" not in state_dict or f"{k}.bias" not in state_dict
+    ]
     if missing:
         raise ValueError(
-            f"torch state_dict is missing layers {missing} for this "
-            f"architecture (depth={cfg.depth}, use_viewdirs={cfg.use_viewdirs}); "
+            f"torch state_dict is missing layers (or their biases) "
+            f"{missing} for this architecture (depth={cfg.depth}, "
+            f"use_viewdirs={cfg.use_viewdirs}); "
             f"present keys: {sorted(state_dict.keys())[:8]}..."
         )
     extra = {

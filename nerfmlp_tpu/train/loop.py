@@ -220,7 +220,12 @@ class Trainer:
         return ()
 
     def _render_view(self, dataset, idx: int):
-        out, gt = self._render_view_maps(dataset, idx)
+        # Same canonical maps tuple as _validate: every Trainer render
+        # shares ONE compiled tile program per config (a second tuple
+        # would jit a second whole-image program, ~40s on the chip).
+        out, gt = self._render_view_maps(
+            dataset, idx, ("rgb_map",) + self._tb_extra_maps()
+        )
         return out["rgb_map"], gt
 
     def _validate(self, dataset, n_images: Optional[int] = None):
@@ -232,20 +237,21 @@ class Trainer:
             self._last_val_render = None  # never re-log a stale TB image
             self._last_val_maps = None
             return None
+        # ONE maps tuple for EVERY view: the tile renderer compiles per
+        # (cfg, maps) pair, so rendering view 0 with TB extras and the
+        # rest with rgb-only would pay a second whole-image jit compile
+        # (~40s on the chip, 5-10x worse under host load) — the extras
+        # are assembled from values render_rays computes anyway.
+        maps = ("rgb_map",) + self._tb_extra_maps()
         mses, psnrs, ssims = [], [], []
         for i in range(n):
+            out, gt = self._render_view_maps(dataset, i, maps)
+            img = out["rgb_map"]
             if i == 0:
-                # View 0 also feeds _tb_histograms_and_image: render the
-                # coarse-pass TB extras (rgb0/disp0/z_std) in the SAME
-                # pass and cache everything — no second render.
-                out, gt = self._render_view_maps(
-                    dataset, 0, ("rgb_map",) + self._tb_extra_maps()
-                )
-                img = out["rgb_map"]
+                # View 0 also feeds _tb_histograms_and_image: cache the
+                # full map set — no second render there either.
                 self._last_val_render = (dataset, img, gt)
                 self._last_val_maps = out
-            else:
-                img, gt = self._render_view(dataset, i)
             mses.append(float(np.mean((img - gt) ** 2)))
             psnrs.append(psnr_images(img, gt))
             ssims.append(ssim(img, gt))

@@ -14,6 +14,14 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _xy(steps, ys):
+    """Align x/y lengths: histories can outrun val_steps when quick-val
+    was skipped (empty split) — a mismatched plot call raises ValueError
+    and the best-effort caller swallows the whole figure."""
+    n = min(len(steps), len(ys))
+    return steps[:n], ys[:n]
+
+
 def _create_plots_on_axes(axes, m):
     import numpy as np
 
@@ -27,31 +35,31 @@ def _create_plots_on_axes(axes, m):
 
     ax = axes[0]
     if tl:
-        ax.semilogy(val_steps[: len(tl)], tl, label="train")
+        ax.semilogy(*_xy(val_steps, tl), label="train")
     if ql:
-        ax.semilogy(val_steps[: len(ql)], ql, label="quick val")
+        ax.semilogy(*_xy(val_steps, ql), label="quick val")
     ax.set_title("Loss (log)"); ax.set_xlabel("iter"); ax.legend()
 
     ax = axes[1]
     if tp:
-        ax.plot(val_steps[: len(tp)], tp, label="train")
+        ax.plot(*_xy(val_steps, tp), label="train")
     if qp:
-        ax.plot(val_steps[: len(qp)], qp, label="quick val")
+        ax.plot(*_xy(val_steps, qp), label="quick val")
     fvp, fvs = m.get("full_val_psnrs", []), m.get("full_val_steps", [])
     if fvp:
-        ax.plot(fvs[: len(fvp)], fvp, "o-", label="full val")
+        ax.plot(*_xy(fvs, fvp), "o-", label="full val")
     ax.set_title("PSNR (dB)"); ax.set_xlabel("iter"); ax.legend()
 
     ax = axes[2]
     if qs:
-        ax.plot(val_steps[: len(qs)], qs)
+        ax.plot(*_xy(val_steps, qs))
     ax.set_title("SSIM (quick val)"); ax.set_xlabel("iter")
 
     ax = axes[3]
     if tl and ql:
         n = min(len(tl), len(ql))
         gap = [abs(a - b) for a, b in zip(tl[:n], ql[:n])]
-        ax.semilogy(val_steps[:n], gap)
+        ax.semilogy(*_xy(val_steps, gap))
     ax.set_title("|train - val| loss gap (overfitting)"); ax.set_xlabel("iter")
 
     ax = axes[4]
@@ -134,10 +142,10 @@ def create_comprehensive_report(metrics_path, out_path=None):
 
     ax = plt.subplot(3, 3, (1, 2))
     if tl:
-        ax.plot(steps[: len(tl)], tl, "o-", ms=4, color="tab:blue",
+        ax.plot(*_xy(steps, tl), "o-", ms=4, color="tab:blue",
                 alpha=0.8, label="Training Loss")
     if ql:
-        ax.plot(steps[: len(ql)], ql, "s-", ms=4, color="tab:red",
+        ax.plot(*_xy(steps, ql), "s-", ms=4, color="tab:red",
                 alpha=0.8, label="Validation Loss")
     ax.set_xlabel("Iteration"); ax.set_ylabel("Loss"); ax.set_yscale("log")
     ax.set_title("Training vs Validation Loss Convergence", fontweight="bold")
@@ -145,10 +153,10 @@ def create_comprehensive_report(metrics_path, out_path=None):
 
     ax = plt.subplot(3, 3, 3)
     if tp:
-        ax.plot(steps[: len(tp)], tp, "o-", ms=4, color="tab:green",
+        ax.plot(*_xy(steps, tp), "o-", ms=4, color="tab:green",
                 alpha=0.8, label="Training PSNR")
     if qp:
-        ax.plot(steps[: len(qp)], qp, "s-", ms=4, color="tab:orange",
+        ax.plot(*_xy(steps, qp), "s-", ms=4, color="tab:orange",
                 alpha=0.8, label="Validation PSNR")
     ax.set_xlabel("Iteration"); ax.set_ylabel("PSNR (dB)")
     ax.set_title("Training vs Validation PSNR", fontweight="bold")
@@ -157,7 +165,7 @@ def create_comprehensive_report(metrics_path, out_path=None):
     ax = plt.subplot(3, 3, 4)
     if tl and ql:
         n = min(len(tl), len(ql))
-        ax.plot(steps[:n], [abs(a - b) for a, b in zip(tl[:n], ql[:n])],
+        ax.plot(*_xy(steps, [abs(a - b) for a, b in zip(tl[:n], ql[:n])]),
                 "o-", ms=3, color="tab:purple", alpha=0.8)
         ax.set_yscale("log")
     ax.set_xlabel("Iteration"); ax.set_ylabel("|Train - Val Loss|")
@@ -179,10 +187,10 @@ def create_comprehensive_report(metrics_path, out_path=None):
 
     ax = plt.subplot(3, 3, 6)
     if qs:
-        ax.plot(steps[: len(qs)], qs, "s-", ms=3, color="tab:green",
+        ax.plot(*_xy(steps, qs), "s-", ms=3, color="tab:green",
                 alpha=0.8, label="Quick Val SSIM")
     if fvs:
-        ax.plot(fsteps[: len(fvs)], fvs, "^-", ms=4, color="tab:orange",
+        ax.plot(*_xy(fsteps, fvs), "^-", ms=4, color="tab:orange",
                 alpha=0.8, label="Full Val SSIM")
     ax.set_xlabel("Iteration"); ax.set_ylabel("SSIM")
     ax.set_title("SSIM Progress", fontweight="bold")
@@ -198,7 +206,7 @@ def create_comprehensive_report(metrics_path, out_path=None):
 
     ax = plt.subplot(3, 3, 8)
     if fvl:
-        ax.plot(fsteps[: len(fvl)], fvl, "^-", ms=4, color="tab:red",
+        ax.plot(*_xy(fsteps, fvl), "^-", ms=4, color="tab:red",
                 alpha=0.8, label="Full Val Loss")
         ax.set_yscale("log")
         ax.legend()
@@ -208,7 +216,7 @@ def create_comprehensive_report(metrics_path, out_path=None):
 
     ax = plt.subplot(3, 3, 9)
     if fvp:
-        ax.plot(fsteps[: len(fvp)], fvp, "^-", ms=4, color="tab:orange",
+        ax.plot(*_xy(fsteps, fvp), "^-", ms=4, color="tab:orange",
                 alpha=0.8, label="Full Val PSNR")
         ax.legend()
     ax.set_xlabel("Iteration"); ax.set_ylabel("PSNR (dB)")
@@ -239,15 +247,14 @@ def create_convergence_plot(metrics_path, out_path=None):
     steps = m.get("val_steps", [])
     fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
     if m.get("train_losses"):
-        a1.semilogy(steps[: len(m["train_losses"])], m["train_losses"], label="train")
+        a1.semilogy(*_xy(steps, m["train_losses"]), label="train")
     if m.get("quick_val_losses"):
-        a1.semilogy(steps[: len(m["quick_val_losses"])], m["quick_val_losses"],
-                    label="val")
+        a1.semilogy(*_xy(steps, m["quick_val_losses"]), label="val")
     a1.set_title("Convergence: loss"); a1.set_xlabel("iter"); a1.legend()
     if m.get("train_psnrs"):
-        a2.plot(steps[: len(m["train_psnrs"])], m["train_psnrs"], label="train")
+        a2.plot(*_xy(steps, m["train_psnrs"]), label="train")
     if m.get("quick_val_psnrs"):
-        a2.plot(steps[: len(m["quick_val_psnrs"])], m["quick_val_psnrs"], label="val")
+        a2.plot(*_xy(steps, m["quick_val_psnrs"]), label="val")
     a2.set_title("Convergence: PSNR (dB)"); a2.set_xlabel("iter"); a2.legend()
     fig.tight_layout()
     out_path = out_path or metrics_path.replace(".json", "_convergence.png")

@@ -21,6 +21,7 @@ from scripts.golden_lego import find_inputs  # noqa: E402
 _datadir, _weights = find_inputs()
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(
     _datadir is None or _weights is None,
     reason="nerf_synthetic/lego dataset or official fine weights not mounted",
@@ -30,10 +31,11 @@ def test_golden_lego_psnr_parity(tmp_path):
 
     report = main([
         "--out", str(tmp_path / "golden.json"),
-        # Full 800x800 through torch-CPU takes many minutes; the harness is
-        # only exercised when real data is mounted, where fidelity matters
-        # more than runtime.
-        "--img_wh", "800", "800",
+        # Full 800x800 through torch-CPU takes many minutes PER VIEW; the
+        # pytest gate samples 2 views so the suite stays bounded when the
+        # assets mount — the full all-views sweep is the standalone
+        # harness's job (scripts/golden_lego.py, no cap by default).
+        "--img_wh", "800", "800", "--max_views", "2",
     ])
     assert report["status"] == "ok"
     assert "max_delta_db" in report, "torch reference unavailable for comparison"

@@ -1,6 +1,13 @@
 """The gather-free depth merge behind coarse-eval reuse
 (ops/render.py::_merge_by_depth) — must reproduce a stable argsort merge
-exactly, including ties, and the reuse path must equal full re-evaluation."""
+exactly, including ties, and the reuse path must equal full re-evaluation.
+
+Oracle note (CLAUDE.md convention): the merge itself is checked against an
+independent numpy stable-argsort below; the reuse-vs-full-reeval tests are
+SELF-consistency checks (both sides are our code) — the independent oracle
+for the full reuse render is tests/test_reference_parity.py::
+test_full_render_parity, which drives the reuse path (shared-net default)
+against the live torch reference."""
 
 import dataclasses
 
