@@ -233,8 +233,16 @@ def main():
             rows.append(_row("golden_lego_max_delta_db", -1.0,
                              "dB (skipped: lego assets not mounted)"))
         else:
-            rep = golden_main(["--out", "outputs/golden_lego.json",
-                               "--img_wh", "400", "400", "--max_views", "3"])
+            # golden_main prints its own report JSON to stdout; bench's
+            # stdout must carry exactly ONE JSON line (driver contract),
+            # so route the harness's prints to stderr with the progress.
+            import contextlib
+            import sys as _sys
+
+            with contextlib.redirect_stdout(_sys.stderr):
+                rep = golden_main(["--out", "outputs/golden_lego.json",
+                                   "--img_wh", "400", "400",
+                                   "--max_views", "3"])
             if "max_delta_db" in rep:
                 rows.append(_row(
                     "golden_lego_max_delta_db",

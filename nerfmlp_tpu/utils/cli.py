@@ -48,6 +48,11 @@ def add_llff_flags(p) -> None:
                    help="LLFF images_{factor}/ directory (match training)")
     p.add_argument("--llffhold", type=int, default=8,
                    help="every Nth image is val/test (match training)")
+    p.add_argument("--no_aspect_snap", action="store_true",
+                   help="honor a non-native-aspect --img_wh exactly instead "
+                        "of snapping height to the capture's aspect (the "
+                        "vertical FOV will then mismatch the resized GT — "
+                        "only for reproducing metrics computed that way)")
 
 
 def dataset_kwargs(args) -> dict:
@@ -59,6 +64,7 @@ def dataset_kwargs(args) -> dict:
             "spherify": args.spherify,
             "factor": args.factor,
             "llffhold": args.llffhold,
+            "keep_aspect": not getattr(args, "no_aspect_snap", False),
         }
     if args.dataset_type == "deepvoxels":
         return {"shape": args.shape}

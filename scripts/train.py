@@ -242,6 +242,10 @@ def build_parser():
     p.add_argument("--no_ndc", action="store_true",
                    help="LLFF: metric-space rays instead of NDC "
                         "(oracle --no_ndc; required for --spherify captures)")
+    p.add_argument("--no_aspect_snap", action="store_true",
+                   help="LLFF: honor a non-native-aspect --img_wh exactly "
+                        "instead of snapping height to the capture's aspect "
+                        "(vertical FOV then mismatches the resized GT)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize MLP activations (XLA path): bigger batches")
     p.add_argument("--aabb", type=float, nargs=6, default=None,

@@ -284,6 +284,34 @@ def test_llff_aspect_snap(llff_scene, capsys):
     assert (ds2.W, ds2.H) == (40, 30)
 
 
+def test_llff_aspect_snap_opt_out(llff_scene):
+    """keep_aspect=False (CLI --no_aspect_snap) honors a deliberately
+    non-native img_wh — warn-and-honor per ADVICE r2 — and the flag is
+    actually threaded through dataset_kwargs."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds = LLFFDataset(llff_scene, "train", img_wh=(32, 32),
+                         keep_aspect=False)
+    assert (ds.W, ds.H) == (32, 32)
+    assert ds.images.shape[1:3] == (32, 32)
+    assert any("non-native aspect" in str(x.message) for x in w)
+
+    # The CLI flag reaches the loader kwargs (was dead API, r3 review).
+    import argparse
+
+    from nerfmlp_tpu.utils.cli import add_llff_flags, dataset_kwargs
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_type", default="llff")
+    add_llff_flags(p)
+    kw = dataset_kwargs(p.parse_args(["--no_aspect_snap"]))
+    assert kw["keep_aspect"] is False
+    kw = dataset_kwargs(p.parse_args([]))
+    assert kw["keep_aspect"] is True
+
+
 def test_llffhold_zero_clear_error(llff_scene):
     import pytest
 
