@@ -221,52 +221,55 @@ def main():
     rows.append(_row("render_800px_fp32_high_pallas", s,
                      "s/frame (800x800, 64+128, bf16x3 in-kernel)"))
 
-    # Golden-Lego readiness row: records every round whether the north
-    # star's real-data parity check could fire (it skips while the Lego
-    # assets are not mounted; value = max per-view delta dB when it runs,
-    # -1 when skipped).
+    rows.append(_golden_lego_row())
+
+    with open("bench_full.json", "w") as f:
+        json.dump(rows, f, indent=2)
+    _emit_full_head(rows)
+
+
+def _golden_lego_row() -> dict:
+    """Golden-Lego readiness row: records every round whether the north
+    star's real-data parity check could fire (skips while the Lego assets
+    are not mounted; value = max per-view delta dB when it runs, -1 when
+    skipped). MUST NOT write to stdout — bench's stdout carries exactly
+    ONE JSON line (driver contract); the harness's own prints (including
+    its report JSON) are routed to stderr."""
+    import contextlib
+    import sys as _sys
+
     try:
         from scripts.golden_lego import find_inputs, main as golden_main
 
         datadir, weights = find_inputs()
         if datadir is None or weights is None:
-            rows.append(_row("golden_lego_max_delta_db", -1.0,
-                             "dB (skipped: lego assets not mounted)"))
-        else:
-            # golden_main prints its own report JSON to stdout; bench's
-            # stdout must carry exactly ONE JSON line (driver contract),
-            # so route the harness's prints to stderr with the progress.
-            import contextlib
-            import sys as _sys
-
-            with contextlib.redirect_stdout(_sys.stderr):
-                rep = golden_main(["--out", "outputs/golden_lego.json",
-                                   "--img_wh", "400", "400",
-                                   "--max_views", "3"])
-            if "max_delta_db" in rep:
-                rows.append(_row(
-                    "golden_lego_max_delta_db",
-                    float(rep["max_delta_db"]),
-                    f"dB (status {rep.get('status')}, "
-                    f"{rep.get('n_views', 0)} views at 400px)",
-                ))
-            else:
-                # Assets mounted but /root/reference absent: our renders
-                # ran, no torch baseline to delta against — distinct from
-                # the assets-missing skip above.
-                rows.append(_row(
-                    "golden_lego_max_delta_db", -1.0,
-                    f"dB (no torch reference for comparison; "
-                    f"ours-vs-gt mean {rep.get('mean_psnr_ours_vs_gt')})",
-                ))
+            return _row("golden_lego_max_delta_db", -1.0,
+                        "dB (skipped: lego assets not mounted)")
+        with contextlib.redirect_stdout(_sys.stderr):
+            rep = golden_main(["--out", "outputs/golden_lego.json",
+                               "--img_wh", "400", "400",
+                               "--max_views", "3"])
+        if "max_delta_db" in rep:
+            return _row(
+                "golden_lego_max_delta_db",
+                float(rep["max_delta_db"]),
+                f"dB (status {rep.get('status')}, "
+                f"{rep.get('n_views', 0)} views at 400px)",
+            )
+        # Assets mounted but /root/reference absent: our renders ran, no
+        # torch baseline to delta against — distinct from the
+        # assets-missing skip above.
+        return _row(
+            "golden_lego_max_delta_db", -1.0,
+            f"dB (no torch reference for comparison; "
+            f"ours-vs-gt mean {rep.get('mean_psnr_ours_vs_gt')})",
+        )
     except Exception as e:
-        import sys as _sys
-
         print(f"(golden lego row errored: {e})", file=_sys.stderr)
-        rows.append(_row("golden_lego_max_delta_db", -1.0, f"dB (error)"))
+        return _row("golden_lego_max_delta_db", -1.0, "dB (error)")
 
-    with open("bench_full.json", "w") as f:
-        json.dump(rows, f, indent=2)
+
+def _emit_full_head(rows: list) -> None:
     # The single stdout JSON line (same schema as the default mode), with
     # the full row set attached; per-row progress went to stderr.
     head = next(r for r in rows if r["metric"] == "train_bf16_pallas")

@@ -1,0 +1,93 @@
+"""scripts/convert_checkpoint.py — every format pair round-trips to the
+same weights. Oracle: numerical identity of the leaves across conversion
+chains (the per-format mappings themselves are oracled independently in
+test_import_tf.py / test_import_torch.py against the official layouts)."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nerfmlp_tpu.config import RenderConfig  # noqa: E402
+from nerfmlp_tpu.models.mlp import init_model  # noqa: E402
+from nerfmlp_tpu.train.checkpoint import (  # noqa: E402
+    load_params_any, save_checkpoint,
+)
+from scripts.convert_checkpoint import main as convert  # noqa: E402
+
+
+def _leaves_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32), np.asarray(y, np.float32),
+            rtol=0, atol=0,
+        )
+
+
+@pytest.fixture
+def params():
+    return {"coarse": init_model(jax.random.PRNGKey(3),
+                                 RenderConfig().model_config())}
+
+
+def test_ckpt_pth_npy_chain(tmp_path, params):
+    """ckpt -> pth -> ckpt -> npy -> (load) all carry identical weights."""
+    src = str(tmp_path / "a.ckpt")
+    save_checkpoint(src, params)
+    pth = convert(["--in", src, "--out", str(tmp_path / "b.pth")])
+    ck2 = convert(["--in", pth, "--out", str(tmp_path / "c.ckpt")])
+    npy = convert(["--in", ck2, "--out", str(tmp_path / "d.npy")])
+
+    cfg = RenderConfig().model_config()
+    for path in (pth, ck2, npy):
+        rt = load_params_any(path, params, cfg)
+        _leaves_equal(rt["coarse"], params["coarse"])
+
+
+def test_full_state_params_extracted(tmp_path, params):
+    """A metrics_latest.ckpt-style full training state converts by
+    extracting its params (optimizer moments have no .pth/.npy analog)."""
+    state = {
+        "step": 7,
+        "params": params,
+        "opt_state": {"m": np.zeros(3)},
+        "rng": np.zeros(2, np.uint32),
+    }
+    src = str(tmp_path / "metrics_latest.ckpt")
+    save_checkpoint(src, state)
+    out = convert(["--in", src, "--out", str(tmp_path / "params.ckpt")])
+    rt = load_params_any(out, params, RenderConfig().model_config())
+    _leaves_equal(rt["coarse"], params["coarse"])
+
+
+def test_separate_fine_net_selection(tmp_path):
+    """--net fine exports the fine net of a two-net checkpoint; asking for
+    a fine net that is not there fails loudly."""
+    rc = RenderConfig(separate_fine=True, width_fine=128)
+    k = jax.random.PRNGKey(0)
+    two = {
+        "coarse": init_model(k, rc.model_config()),
+        "fine": init_model(k, rc.model_config(fine=True)),
+    }
+    src = str(tmp_path / "two.ckpt")
+    save_checkpoint(src, two)
+    out = convert(["--in", src, "--out", str(tmp_path / "fine.pth"),
+                   "--net", "fine", "--separate_fine",
+                   "--netwidth_fine", "128"])
+    from nerfmlp_tpu.models.import_torch import load_pth
+
+    rt = load_pth(out, rc.model_config(fine=True))
+    _leaves_equal(rt, two["fine"])
+
+    coarse_only = str(tmp_path / "one.ckpt")
+    save_checkpoint(coarse_only, {"coarse": two["coarse"]})
+    with pytest.raises(SystemExit, match="no separate fine"):
+        convert(["--in", coarse_only, "--out", str(tmp_path / "x.pth"),
+                 "--net", "fine"])
