@@ -299,15 +299,38 @@ class LLFFDataset:
         imagemagick; PIL-LANCZOS is the dependency-free equivalent)."""
         out_dir = os.path.join(datadir, f"images_{factor}")
         src_dir = os.path.join(datadir, "images")
-        if os.path.isdir(out_dir) and os.listdir(out_dir):
-            return out_dir
+
+        def _n_imgs(d):
+            return sum(
+                f.lower().endswith((".png", ".jpg", ".jpeg"))
+                for f in os.listdir(d)
+            )
+
+        if os.path.isdir(out_dir) and _n_imgs(out_dir):
+            # Complete = same image count as the source (a dir left by a
+            # killed pre-r3 minify run is partial and must be rebuilt);
+            # with no images/ source it is a pre-minified capture — trust it.
+            if not os.path.isdir(src_dir) or _n_imgs(out_dir) == _n_imgs(src_dir):
+                return out_dir
+            print(f"(llff: {out_dir} has {_n_imgs(out_dir)} images vs "
+                  f"{_n_imgs(src_dir)} in {src_dir} — rebuilding)")
         if not os.path.isdir(src_dir):
             raise FileNotFoundError(
                 f"--factor {factor}: neither {out_dir} nor {src_dir} exists"
             )
         from PIL import Image
 
-        os.makedirs(out_dir, exist_ok=True)
+        # Minify into a temp dir and rename on completion: a killed run
+        # must not leave a partial images_{factor}/ that every later load
+        # would treat as complete (it would fail the images-vs-poses count
+        # check with no hint that deleting the dir fixes it).
+        import shutil
+
+        tmp_dir = out_dir + ".tmp"
+        for stale in (tmp_dir, out_dir):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        os.makedirs(tmp_dir)
         for f in sorted(os.listdir(src_dir)):
             if not f.lower().endswith((".png", ".jpg", ".jpeg")):
                 continue
@@ -316,7 +339,8 @@ class LLFFDataset:
                     (im.size[0] // factor, im.size[1] // factor),
                     Image.Resampling.LANCZOS,
                 )
-                im.save(os.path.join(out_dir, f))
+                im.save(os.path.join(tmp_dir, f))
+        os.replace(tmp_dir, out_dir)
         return out_dir
 
     def render_poses(self, n_frames: int = 120) -> np.ndarray:
@@ -383,10 +407,11 @@ class LLFFDataset:
                 o, d = np.asarray(o_n), np.asarray(d_n)
             ro.append(o)
             rd.append(d)
-            rgb.append(self.images[k].reshape(-1, 3).astype(np.float32))
         self.all_rays_o = np.concatenate(ro, axis=0)
         self.all_rays_d = np.concatenate(rd, axis=0)
-        self.all_rgbs = np.concatenate(rgb, axis=0)
+        # Zero-copy view over the contiguous float32 stack (same layout as
+        # the ray pool) — a copy here doubles RGB host RAM (blender.py:115).
+        self.all_rgbs = self.images.reshape(-1, 3)
         # World-space view directions (None when rays are already metric).
         self.all_viewdirs = np.concatenate(vds, axis=0) if vds else None
 

@@ -77,6 +77,10 @@ class RayBatchLoader:
             # the train step detects the width and slices accordingly.
             cols.append(viewdirs.astype(np.float32))
         cols.append(rgbs.astype(np.float32))
+        if image_mode and image_shape is None:
+            # Fail at construction like set_precrop does, not with a
+            # TypeError deep inside next_batch.
+            raise ValueError("image_mode requires image_shape (use from_dataset)")
         self.pool = np.concatenate(cols, axis=-1)  # (N, 9) or (N, 12)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
@@ -108,17 +112,26 @@ class RayBatchLoader:
             raise ValueError("precrop requires image_shape (use from_dataset)")
         self.precrop_frac = float(frac)
 
+    def _sample_pixels(self, n: int) -> np.ndarray:
+        """batch_size draws from range(n) WITHOUT replacement like the
+        oracle (np.random.choice(coords, N_rand, replace=False),
+        run_nerf.py:780); with replacement only when the batch exceeds the
+        pixel pool (tiny images — a short batch would break sharding)."""
+        if self.batch_size <= n:
+            return self.rng.choice(n, self.batch_size, replace=False)
+        return self.rng.integers(0, n, self.batch_size)
+
     def _crop_indices(self, img_idx: int) -> np.ndarray:
         n_imgs, H, W = self.image_shape
         if self.precrop_frac >= 1.0:
-            return img_idx * H * W + self.rng.integers(0, H * W, self.batch_size)
-        # Clamp to >=1: tiny images/fractions would otherwise make
-        # rng.integers(H//2, H//2) raise instead of degrading to the
-        # single central pixel.
+            return img_idx * H * W + self._sample_pixels(H * W)
+        # Clamp to >=1: tiny images/fractions would otherwise degenerate
+        # to an empty crop instead of the single central pixel.
         dh = max(1, int(H // 2 * self.precrop_frac))
         dw = max(1, int(W // 2 * self.precrop_frac))
-        rows = self.rng.integers(H // 2 - dh, H // 2 + dh, self.batch_size)
-        cols = self.rng.integers(W // 2 - dw, W // 2 + dw, self.batch_size)
+        flat = self._sample_pixels(2 * dh * 2 * dw)
+        rows = H // 2 - dh + flat // (2 * dw)
+        cols = W // 2 - dw + flat % (2 * dw)
         return img_idx * H * W + rows * W + cols
 
     def next_batch(self) -> np.ndarray:

@@ -73,7 +73,10 @@ def _query_mlp(
         and cfg.use_viewdirs
         and (
             jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
-            or cfg.fp32_precision == "high"
+            or (
+                jnp.dtype(cfg.compute_dtype) == jnp.float32
+                and cfg.fp32_precision == "high"
+            )
         )
         and mc.depth == 8
         and mc.width == 256
@@ -212,6 +215,17 @@ def render_rays(
     # The coarse MLP pass is replaced by a density-grid lookup over dense
     # stratified depths; all real samples go into occupied space and the
     # network runs once.
+    if cfg.use_occupancy and occ_grid is None:
+        # Falling back to the hierarchical path here would be silently
+        # WRONG under separate_fine: occupancy training never trains the
+        # coarse net (its job is the grid's), so coarse-driven fine-sample
+        # placement renders garbage with no error. To render without the
+        # grid, pass a cfg with use_occupancy=False explicitly.
+        raise ValueError(
+            "cfg.use_occupancy=True but no occ_grid was passed — build one "
+            "with ops.occupancy.create_grid/update_grid, or render with "
+            "dataclasses.replace(cfg, use_occupancy=False)"
+        )
     if cfg.use_occupancy and occ_grid is not None:
         from nerfmlp_tpu.ops.occupancy import occupancy_weights
 

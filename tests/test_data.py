@@ -153,3 +153,43 @@ def test_ray_batch_loader_small_pool_fills_batch():
     loader = RayBatchLoader(o, o.copy(), o.copy(), batch_size=256, seed=1)
     b = loader.next_batch()
     assert b.shape == (256, 9)
+
+
+def test_image_mode_requires_image_shape():
+    import pytest
+
+    n = 100
+    o = np.zeros((n, 3), np.float32)
+    with pytest.raises(ValueError, match="image_shape"):
+        RayBatchLoader(o, o.copy(), o.copy(), batch_size=16, image_mode=True)
+
+
+def test_per_image_sampling_without_replacement():
+    """Per-image/precrop batches draw pixels WITHOUT replacement like the
+    oracle (np.random.choice(..., replace=False), run_nerf.py:780)."""
+    H = W = 16
+    n = 2 * H * W
+    o = np.zeros((n, 3), np.float32)
+    loader = RayBatchLoader(
+        o, o.copy(), o.copy(), batch_size=200, seed=0,
+        image_shape=(2, H, W), image_mode=True,
+    )
+    idx = loader._crop_indices(1)
+    assert idx.min() >= H * W and idx.max() < 2 * H * W  # stays in-image
+    assert len(np.unique(idx)) == 200  # no duplicate pixels
+
+    # Precrop: unique within the central crop, still no duplicates while
+    # the crop holds >= batch pixels.
+    loader.batch_size = 64
+    loader.set_precrop(0.6)
+    idx = loader._crop_indices(0)
+    assert len(np.unique(idx)) == 64
+    rows, cols = (idx // W) % H, idx % W
+    dh = max(1, int(H // 2 * 0.6))
+    assert rows.min() >= H // 2 - dh and rows.max() < H // 2 + dh
+    assert cols.min() >= W // 2 - dh and cols.max() < W // 2 + dh
+
+    # Batch larger than the pixel pool: degrades to replacement, keeps size.
+    loader.batch_size = H * W + 7
+    loader.precrop_frac = 1.0
+    assert loader._crop_indices(0).shape == (H * W + 7,)

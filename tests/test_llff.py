@@ -320,3 +320,34 @@ def test_llffhold_zero_clear_error(llff_scene):
     # train split with llffhold=0 is fine (all images train).
     ds = LLFFDataset(llff_scene, "train", img_wh=(20, 15), llffhold=0)
     assert ds.n_images == 8
+
+
+def test_partial_factor_dir_rebuilt(llff_scene):
+    """A killed minify run must not poison later loads: a partial
+    images_{factor}/ (fewer files than images/) is detected and rebuilt;
+    minification itself is crash-safe (tmp dir + rename, r3 review)."""
+    import shutil
+
+    fdir = os.path.join(llff_scene, "images_4")
+    shutil.rmtree(fdir, ignore_errors=True)
+    # Simulate a crash: build it fully, then delete half the files.
+    LLFFDataset._ensure_factor_dir(llff_scene, 4)
+    files = sorted(os.listdir(fdir))
+    assert len(files) == 8
+    for f in files[4:]:
+        os.remove(os.path.join(fdir, f))
+    out = LLFFDataset._ensure_factor_dir(llff_scene, 4)
+    assert out == fdir and len(os.listdir(fdir)) == 8
+    assert not os.path.isdir(fdir + ".tmp")
+
+
+def test_llff_rgb_pool_zero_copy(llff_scene):
+    """all_rgbs must be a view over the image stack, not a copy (the copy
+    doubles RGB host RAM; blender.py:115 sets the convention)."""
+    ds = LLFFDataset(llff_scene, "train", img_wh=(40, 30))
+    assert ds.all_rgbs.base is ds.images or np.shares_memory(
+        ds.all_rgbs, ds.images
+    )
+    np.testing.assert_array_equal(
+        ds.all_rgbs.reshape(ds.images.shape), ds.images
+    )

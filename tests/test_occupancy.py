@@ -197,3 +197,17 @@ def test_update_grid_separate_fine_custom_arch():
         decay=0.0,
     )
     assert np.isfinite(np.asarray(grid.density)).all()
+
+
+def test_missing_grid_raises_not_silent_fallback():
+    """use_occupancy render without a grid must fail loudly: under
+    separate_fine the coarse net is untrained in occupancy mode, so the
+    silent hierarchical fallback would render garbage (r3 review)."""
+    import pytest
+
+    cfg = _cfg()
+    params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (4, 1))
+    with pytest.raises(ValueError, match="occ_grid"):
+        render_rays(params, o, d, None, cfg)
