@@ -149,6 +149,15 @@ def make_multi_scene_dp_step(
     all-reduce; no hand-written collectives (same math as
     :func:`make_multi_scene_step`, more chips than scenes).
     ``with_bounds``: trailing (n_scenes, 2) per-scene [near, far] stack."""
+    if rc.use_occupancy:
+        # The sibling make_multi_scene_step threads per-scene grids; this
+        # 2-D path does not (yet) — fail here with the right fix instead
+        # of deep inside tracing with render_rays' missing-grid error.
+        raise NotImplementedError(
+            "use_occupancy is not supported on the (scene, data) 2-D mesh "
+            "path — use one scene per device (make_multi_scene_step) or "
+            "drop --use_occupancy"
+        )
     step_fn = make_step_fn(rc, tc)
 
     if with_bounds:

@@ -118,6 +118,11 @@ def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None)
     # fine network from a separate-fine checkpoint.
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and "opt_state" in raw:
+        # A full TrainState (metrics_latest.ckpt — the file auto-resume
+        # prefers): extract its params so every render/eval CLI can point
+        # at it directly (optimizer moments are irrelevant to rendering).
+        raw = raw["params"]
     if "coarse" in raw:  # {"coarse": ..., ["fine": ...]}
         template = {
             k: (fine_t if k == "fine" else coarse_t) for k in raw.keys()
@@ -126,19 +131,11 @@ def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None)
     return {"coarse": serialization.from_state_dict(coarse_t, raw)}
 
 
-def is_params_only(path: str) -> bool:
-    """True when the serialized tree is a bare params dict ({"coarse", ...})
-    rather than a full TrainState ({"step", "params", "opt_state", "rng"})."""
-    with open(path, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    return "opt_state" not in raw
-
-
 def load_state_or_params(path: str, template_state: Any):
     """Single-decode restore: ``(TrainState, False)`` when the file holds a
     full train state, ``(params, True)`` for a bare params checkpoint —
-    avoids parsing the msgpack twice (is_params_only + load_checkpoint)
-    on every resume of a multi-hundred-MB state.
+    one msgpack parse per resume of a multi-hundred-MB state (a separate
+    kind-probe helper would decode it twice).
 
     Raises :class:`CheckpointCorruptError` when the bytes cannot be
     decoded; template mismatches propagate as flax's own errors."""

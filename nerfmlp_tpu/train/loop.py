@@ -24,7 +24,6 @@ import numpy as np
 from nerfmlp_tpu.config import RenderConfig, TrainConfig
 from nerfmlp_tpu.data import image_viewdirs
 from nerfmlp_tpu.data.pipeline import RayBatchLoader
-from nerfmlp_tpu.ops.render import render_image
 from nerfmlp_tpu.parallel.train_step import create_train_state, make_train_step
 from nerfmlp_tpu.train import checkpoint as ckpt
 from nerfmlp_tpu.train.metrics import (
@@ -61,7 +60,10 @@ class Trainer:
         self.tc = tc
         self.train_ds = train_ds
         self.val_ds = val_ds
-        self.quick_val_ds = quick_val_ds or val_ds
+        # `or` would treat a provided-but-empty split (len 0, falsy) as
+        # absent and silently substitute FULL-res validation every
+        # quick-val interval; only an omitted argument falls back.
+        self.quick_val_ds = quick_val_ds if quick_val_ds is not None else val_ds
         self.save_dir = save_dir
         self.mesh = mesh
         self.verbose = verbose
@@ -197,7 +199,9 @@ class Trainer:
         replaces had already drifted on tile=). Returns ({map: HW...}, gt)."""
         from nerfmlp_tpu.ops.render import render_image_maps
 
-        cfg = dataclasses.replace(self.rc, perturb=False, raw_noise_std=0.0)
+        # render_image_maps forces perturb=False/raw_noise_std=0 itself
+        # (ops/render.py) — no per-caller replace needed.
+        cfg = self.rc
         o, d, gt = dataset.image_rays(idx)
         vd = image_viewdirs(dataset, idx)
         out = render_image_maps(
@@ -391,6 +395,18 @@ class Trainer:
             # optimizer — the oracle's .npy reload does exactly this
             # (weights only, step from the filename, run_nerf.py:439-456).
             step = ckpt.step_from_filename(path)
+            if step == 0 and os.path.basename(path) != "model_0.ckpt":
+                # model_final/model_best/foreign names carry no step: the
+                # LR schedule restarts at the INITIAL (hottest) rate and
+                # the run renumbers from 0 — usually NOT what a user
+                # resuming a converged model wants. Be loud about it.
+                self._log(
+                    f"⚠️  cannot infer the training step from "
+                    f"'{os.path.basename(path)}' — resuming at step 0 with "
+                    f"the initial learning rate. To preserve the schedule, "
+                    f"resume a model_{{step}}.ckpt or a full "
+                    f"metrics_latest.ckpt state instead."
+                )
             # The fresh optimizer's exponential-decay schedule is driven by
             # ScaleByScheduleState.count, NOT state.step — fast-forward it
             # or a late-step params-only resume trains at the INITIAL LR
@@ -467,6 +483,7 @@ class Trainer:
         run_psnr = jnp.zeros(())
         run_count = 0
         pending = None  # (device_metrics, step) for async readback
+        trace_active = False  # an open jax.profiler trace (closed post-loop)
 
         self._log(
             f"Training: {len(self.train_ds):,} rays | batch {tc.batch_size} | "
@@ -502,16 +519,23 @@ class Trainer:
                 stream = _stream()  # drop the buffered pre-transition batch
             if tc.profile_dir:
                 # Best-effort: remote-device plugins may not support traces.
+                # Trigger on steps RELATIVE to this call (a resumed run at
+                # start_step >= 10 would otherwise silently never profile);
+                # an open trace is closed after the loop if the run is
+                # shorter than the trace window.
                 try:
-                    if step == 10:
+                    if step - start_step == 10:
                         jax.profiler.start_trace(tc.profile_dir)
-                    elif step == 30:
+                        trace_active = True
+                    elif step - start_step == 30 and trace_active:
                         jax.profiler.stop_trace()
+                        trace_active = False
                         self._log(
                             f"🧪 profiler trace (steps 10-30) -> {tc.profile_dir}"
                         )
                 except Exception as e:
                     self._log(f"(profiler unavailable: {e})")
+                    trace_active = False
                     tc = dataclasses.replace(tc, profile_dir="")
             batch = next(stream)
             if self.occ_grid is not None:
@@ -624,6 +648,15 @@ class Trainer:
                 self._save_val_image(step)
                 t_prev = time.time()
 
+        if trace_active:
+            # Run ended inside the trace window — close it so the profile
+            # is written instead of left open/corrupt.
+            try:
+                jax.profiler.stop_trace()
+                self._log(f"🧪 profiler trace (short run) -> {tc.profile_dir}")
+            except Exception as e:
+                self._log(f"(profiler stop failed: {e})")
+
         # Final saves + full validation (train.py:563-585).
         ckpt.save_checkpoint(
             os.path.join(self.save_dir, "model_final.ckpt"), self.state.params
@@ -662,6 +695,11 @@ class Trainer:
         ckpt.save_metrics_json(
             os.path.join(self.save_dir, "comprehensive_metrics.json"), comprehensive
         )
+        if self._tb is not None:
+            # The installed EventFileWriter has no atexit hook and its
+            # writer thread is a daemon (flush_secs=120): without an
+            # explicit flush, short runs lose most of their TB events.
+            self._tb.flush()
         return comprehensive
 
     def _quick_val_block(self, step, iters, start_time, run_loss, run_psnr, run_count):

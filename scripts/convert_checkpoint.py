@@ -42,24 +42,11 @@ def _fmt(path: str) -> str:
 
 
 def _load_params(path: str, template, cfg):
-    """Any format -> {"coarse": ..., ["fine": ...]} params pytree."""
-    from flax import serialization
-
+    """Any format -> {"coarse": ..., ["fine": ...]} params pytree
+    (load_params_any also extracts params from full TrainState files —
+    optimizer moments have no analog in .npy/.pth)."""
     from nerfmlp_tpu.train.checkpoint import load_params_any
 
-    if _fmt(path) == ".ckpt":
-        with open(path, "rb") as f:
-            raw = serialization.msgpack_restore(f.read())
-        if isinstance(raw, dict) and "opt_state" in raw:
-            # Full training state (metrics_latest.ckpt): convert its
-            # params; optimizer moments have no analog in .npy/.pth.
-            return serialization.from_state_dict(
-                template, raw["params"]
-            ) if "coarse" in raw.get("params", {}) else {
-                "coarse": serialization.from_state_dict(
-                    template["coarse"], raw["params"]
-                )
-            }
     return load_params_any(path, template, cfg)
 
 

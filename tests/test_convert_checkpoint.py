@@ -91,3 +91,19 @@ def test_separate_fine_net_selection(tmp_path):
     with pytest.raises(SystemExit, match="no separate fine"):
         convert(["--in", coarse_only, "--out", str(tmp_path / "x.pth"),
                  "--net", "fine"])
+
+
+def test_load_params_any_full_state(tmp_path, params):
+    """load_params_any extracts params from a full TrainState file
+    directly — `--ckpt metrics_latest.ckpt` works in every render CLI
+    (r3 review: it previously crashed with a flax structure error)."""
+    state = {
+        "step": 3,
+        "params": params,
+        "opt_state": {"m": np.zeros(3)},
+        "rng": np.zeros(2, np.uint32),
+    }
+    path = str(tmp_path / "metrics_latest.ckpt")
+    save_checkpoint(path, state)
+    rt = load_params_any(path, params, RenderConfig().model_config())
+    _leaves_equal(rt["coarse"], params["coarse"])

@@ -270,3 +270,23 @@ def test_multi_scene_cli_mixed_datasets(tmp_path, capsys):
     assert float(nf[0][0]) > 1.0
     assert os.path.exists(os.path.join(out, "model_blender_scene_final.ckpt"))
     assert os.path.exists(os.path.join(out, "model_llff_scene_final.ckpt"))
+
+
+def test_dp_step_rejects_occupancy_clearly():
+    """The (scene, data) 2-D path has no occupancy grid plumbing; it must
+    say so up front, not fail deep inside tracing (r3 review)."""
+    import dataclasses
+
+    import pytest
+
+    from nerfmlp_tpu.parallel.multi_scene import (
+        make_multi_scene_dp_step, make_scene_mesh,
+    )
+
+    rc = RenderConfig(
+        N_samples=8, N_importance=8, near=2.0, far=6.0, perturb=True,
+        use_occupancy=True, aabb=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
+    )
+    mesh = make_scene_mesh(n_scenes=2, n_devices=4)
+    with pytest.raises(NotImplementedError, match="scene, data"):
+        make_multi_scene_dp_step(rc, TrainConfig(batch_size=32), mesh)

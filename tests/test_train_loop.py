@@ -162,14 +162,12 @@ def test_metrics_step_snapshots_written_and_pruned(synthetic_scene, tmp_path):
 def test_params_only_resume(synthetic_scene, tmp_path):
     """Auto-discovery can land on a params-only model_{step}.ckpt; resume
     restores weights, takes the step from the filename, resets Adam."""
-    from nerfmlp_tpu.train.checkpoint import is_params_only, step_from_filename
+    from nerfmlp_tpu.train.checkpoint import step_from_filename
 
     save_dir = str(tmp_path / "po")
     t1 = _mk_trainer(synthetic_scene, save_dir, iters=30)
     t1.train()
     path = os.path.join(save_dir, "model_30.ckpt")
-    assert is_params_only(path)
-    assert not is_params_only(os.path.join(save_dir, "metrics_latest.ckpt"))
     assert step_from_filename(path) == 30
     assert step_from_filename("whatever/metrics_latest.ckpt") == 0
 
@@ -301,3 +299,32 @@ def test_netdepth5_warns():
         warnings.simplefilter("always")
         RenderConfig(depth=8).model_config()
     assert not w
+
+
+def test_empty_quick_val_ds_not_replaced(synthetic_scene, tmp_path):
+    """A provided-but-empty quick-val dataset must NOT be silently swapped
+    for the full-res val_ds (truthiness on __len__==0 did that, r3
+    review) — quick-val should skip instead of full-res rendering every
+    interval."""
+
+    class _EmptyDs:
+        n_images = 0
+        H = W = 8
+
+        def __len__(self):
+            return 0
+
+    ds = BlenderDataset(synthetic_scene, "train", img_wh=(40, 40))
+    val = BlenderDataset(synthetic_scene, "val", img_wh=(40, 40))
+    near, far = ds.dynamic_near_far()
+    rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far)
+    tc = TrainConfig(batch_size=256, iters=10)
+    empty = _EmptyDs()
+    t = Trainer(rc, tc, ds, val, empty, save_dir=str(tmp_path / "eq"),
+                verbose=False)
+    assert t.quick_val_ds is empty
+    assert t.quick_validate() is None  # skips, no full-res fallback
+    # Omitting the argument still falls back to val_ds.
+    t2 = Trainer(rc, tc, ds, val, save_dir=str(tmp_path / "eq2"),
+                 verbose=False)
+    assert t2.quick_val_ds is val
