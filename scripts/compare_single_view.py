@@ -47,6 +47,11 @@ def main(argv=None):
     rc = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
                       near=near, far=far, perturb=False,
                       use_pallas=args.use_pallas, separate_fine=args.separate_fine,
+                      # The kernel gate requires bf16 (or fp32-high): the
+                      # RenderConfig default fp32/highest would silently
+                      # route to XLA and make --no_pallas a no-op (same
+                      # pairing as render_video.py:108).
+                      compute_dtype="bfloat16" if args.use_pallas else "float32",
                       white_bkgd=args.dataset_type != "llff",
                       **arch_fields(args))
     params = load_params_any(args.ckpt, params_template(rc), rc.model_config())

@@ -280,7 +280,12 @@ def animate_progress(metrics_path, interval_s=5.0):
             pass  # caught mid-write; the next poll sees the complete file
         except KeyboardInterrupt:
             return
-        time.sleep(interval_s)
+        try:
+            # Nearly all wall-time is spent here — Ctrl-C must exit
+            # cleanly from the sleep too, not only mid-plot.
+            time.sleep(interval_s)
+        except KeyboardInterrupt:
+            return
 
 
 def main(argv=None):

@@ -33,8 +33,12 @@ def main(argv=None):
     p.add_argument("--out_dir", type=str, default="outputs/renders")
     p.add_argument("--num_views", type=int, default=1)
     p.add_argument("--view_idx", type=int, default=None)
-    p.add_argument("--near", type=float, default=2.0)
-    p.add_argument("--far", type=float, default=6.0)
+    p.add_argument("--near", type=float, default=None,
+                   help="explicit near bound (default: 2.0 for blender — "
+                        "reference :120-124 — else the dataset's)")
+    p.add_argument("--far", type=float, default=None,
+                   help="explicit far bound (default: 6.0 for blender, "
+                        "else the dataset's)")
     p.add_argument("--dynamic_bounds", action="store_true",
                    help="derive near/far from camera poses instead of 2/6")
     p.add_argument("--coord_scale", type=float, default=1.0)
@@ -80,12 +84,18 @@ def main(argv=None):
         # custom checkpoints default to 128 (reference :212-223).
         n_importance = 64 if is_npy else 128
 
-    near, far = (args.near, args.far)
+    near, far = 2.0, 6.0  # the reference's training-consistent blender default
     if args.dynamic_bounds or args.dataset_type in ("llff", "deepvoxels"):
         # LLFF rays are in NDC (depth in [0, 1]) and deepvoxels uses
         # hemisphere bounds R-/+1 (run_nerf.py:640-642) — never the
-        # blender 2/6 defaults; always take the dataset's bounds there.
+        # blender 2/6 defaults; take the dataset's bounds there.
         near, far = ds.dynamic_near_far()
+    # Explicit flags win over BOTH defaults (the docstring's contract —
+    # they were previously ignored for llff/deepvoxels).
+    if args.near is not None:
+        near = args.near
+    if args.far is not None:
+        far = args.far
     print(f"bounds: near={near:.3f} far={far:.3f} | "
           f"samples {args.N_samples}+{n_importance}")
 

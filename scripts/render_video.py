@@ -40,18 +40,21 @@ def main(argv=None):
                    help="seamlessly-looping orbit with altitude+distance "
                         "variation (the reference's planned fly-through "
                         "demo, VIDEOS.md:47-86) instead of the flat orbit")
-    p.add_argument("--spherify", action="store_true",
-                   help="LLFF 360 capture (circular orbit path)")
-    p.add_argument("--factor", type=int, default=0,
-                   help="LLFF images_{factor}/ directory")
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=64)
     p.add_argument("--near", type=float, default=None)
     p.add_argument("--far", type=float, default=None)
     p.add_argument("--separate_fine", action="store_true")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
-    from nerfmlp_tpu.utils.cli import add_arch_flags, arch_fields, params_template
+    from nerfmlp_tpu.utils.cli import (
+        add_arch_flags, add_llff_flags, arch_fields, params_template,
+    )
     add_arch_flags(p)
+    # Full LLFF surface (--no_ndc/--spherify/--factor/--llffhold/
+    # --no_aspect_snap): the render dataset must be built the way the
+    # checkpoint was trained — a metric-ray checkpoint rendered through
+    # NDC geometry produces wrong frames with no error.
+    add_llff_flags(p)
     args = p.parse_args(argv)
 
 
@@ -66,7 +69,9 @@ def main(argv=None):
         ds = LLFFDataset(
             args.datadir, "test" if args.render_test else "train",
             img_wh=(args.size, args.size),
-            spherify=args.spherify, factor=args.factor,
+            use_ndc=not args.no_ndc, spherify=args.spherify,
+            factor=args.factor, llffhold=args.llffhold,
+            keep_aspect=not args.no_aspect_snap,
         )
         ndc = ds.use_ndc
     elif args.dataset_type == "deepvoxels":

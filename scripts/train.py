@@ -33,6 +33,8 @@ def _expand_config_files(argv, bool_flags=frozenset(), negations=None):
     i = 0
     while i < len(argv):
         if argv[i] == "--config":
+            if i + 1 >= len(argv):
+                raise SystemExit("--config requires a file path argument")
             path = argv[i + 1]
             i += 2
             with open(path) as f:
@@ -43,11 +45,15 @@ def _expand_config_files(argv, bool_flags=frozenset(), negations=None):
                     key, _, val = line.partition("=")
                     key, val = key.strip(), val.strip()
                     flag = [f"--{key}"]
-                    truthy = ("true", "yes") + (("1",) if key in bool_flags else ())
-                    falsy = ("false", "no") + (("0",) if key in bool_flags else ())
-                    if val.lower() in truthy:
+                    # True/False literals are only a presence/absence
+                    # encoding for BOOLEAN flags; for value-typed flags
+                    # the text passes through verbatim (previously
+                    # `somefloat = false` was silently DROPPED and
+                    # `someflag = yes` emitted a bare value-less flag).
+                    is_bool = key in bool_flags or key in negations
+                    if is_bool and val.lower() in ("true", "yes", "1"):
                         pass  # store_true flag
-                    elif val.lower() in falsy:
+                    elif is_bool and val.lower() in ("false", "no", "0"):
                         if key in negations:
                             flag = [negations[key]]
                             out = flag + out

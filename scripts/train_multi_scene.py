@@ -14,6 +14,28 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def unique_scene_names(names):
+    """Disambiguate duplicate scene basenames (e.g. /v1/lego and /v2/lego)
+    so no per-scene checkpoint silently clobbers another's. Suffix
+    candidates are checked against the ORIGINAL list and all assigned
+    names — a rename must not collide with a literal pre-existing name
+    either (dirs a_0, a, a once produced two "a_0" entries)."""
+    orig = list(names)
+    used = set()
+    out = []
+    for name in orig:
+        cand = name
+        if orig.count(name) > 1 or cand in used:
+            k = 0
+            cand = f"{name}_{k}"
+            while cand in used or cand in orig:
+                k += 1
+                cand = f"{name}_{k}"
+        used.add(cand)
+        out.append(cand)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Train one NeRF per scene, sharded")
     p.add_argument("--datadirs", type=str, nargs="+", required=True)
@@ -95,10 +117,21 @@ def main(argv=None):
         print(f"  {t:10s} {d}: near/far {nr:.2f}/{fr:.2f}")
     print(f"{n_scenes} scenes on {n_dev} devices")
 
+    # white_bkgd is structural (one shared RenderConfig): white composite
+    # for blender/deepvoxels, off for LLFF real photos (the single-scene
+    # CLI and oracle run_nerf.py:623-628 semantics). Mixed batches take
+    # the LLFF setting — warn, since blender scenes then train without
+    # their white background.
+    white_bkgd = all(t != "llff" for t in types)
+    if not white_bkgd and any(t != "llff" for t in types):
+        print("⚠️  mixed llff + synthetic scenes share one white_bkgd "
+              "setting: using white_bkgd=False (llff semantics) for ALL "
+              "scenes — synthetic scenes will train without their white "
+              "background composite")
     rc = RenderConfig(
         N_samples=args.N_samples, N_importance=args.N_importance,
         near=float(bounds[:, 0].min()), far=float(bounds[:, 1].max()),
-        perturb=True,
+        perturb=True, white_bkgd=white_bkgd,
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
     )
     tc = TrainConfig(batch_size=args.batch_size, iters=args.iters, lr=args.lr)
@@ -149,16 +182,10 @@ def main(argv=None):
 
     # Per-scene final checkpoints (unstack the scene axis).
     host_state = jax.device_get(state)
-    names = [os.path.basename(os.path.normpath(d)) or f"scene_{i}"
-             for i, d in enumerate(args.datadirs)]
-    # Disambiguate duplicate basenames (e.g. /v1/lego and /v2/lego) so no
-    # scene's checkpoint silently clobbers another's.
-    seen = {}
-    for i, name in enumerate(names):
-        if names.count(name) > 1:
-            seen[name] = seen.get(name, 0)
-            names[i] = f"{name}_{seen[name]}"
-            seen[name] += 1
+    names = unique_scene_names([
+        os.path.basename(os.path.normpath(d)) or f"scene_{i}"
+        for i, d in enumerate(args.datadirs)
+    ])
     for i, name in enumerate(names):
         scene_params = jax.tree.map(lambda x, i=i: x[i], host_state.params)
         save_checkpoint(

@@ -34,8 +34,13 @@ def display_progress(m):
     qs = m.get("quick_val_ssims", [])
     tl = m.get("train_losses", [])
     if qp:
-        print(f"latest quick val:    loss {ql[-1]:.6f} | PSNR {qp[-1]:.2f} | "
-              f"SSIM {qs[-1]:.4f}" if qs else f"latest PSNR {qp[-1]:.2f}")
+        # Each segment gated on ITS OWN list: legacy/hand-edited files can
+        # have these histories at different lengths.
+        parts = [f"loss {ql[-1]:.6f}"] if ql else []
+        parts.append(f"PSNR {qp[-1]:.2f}")
+        if qs:
+            parts.append(f"SSIM {qs[-1]:.4f}")
+        print("latest quick val:    " + " | ".join(parts))
     if len(qp) > 1:
         print(f"PSNR improvement:    {qp[-1] - qp[0]:+.2f} dB since first validation")
 

@@ -198,3 +198,38 @@ def test_i_embed_identity(tmp_path):
     args_txt = open(os.path.join(out, "args.txt")).read()
     assert "pos_enc_L = 0" in args_txt and "dir_enc_L = 0" in args_txt
     assert os.path.exists(os.path.join(out, "metrics_latest.json"))
+
+
+def test_config_value_flags_pass_literal_text(tmp_path):
+    """Bool-literal text is presence/absence ONLY for boolean flags; a
+    value-typed flag's text passes through verbatim (r3 review:
+    `perturb = false` was silently dropped, training with perturb=1)."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.train import parse_args
+
+    cfg = tmp_path / "v.cfg"
+    cfg.write_text("perturb = 0\nraw_noise_std = 0\n")
+    args = parse_args(["--config", str(cfg), "--datadir", "/x"])
+    assert args.perturb == 0.0          # reached the float flag as a value
+    assert args.raw_noise_std == 0.0
+
+    # --config with no path exits with a clear message, not IndexError.
+    with pytest.raises(SystemExit):
+        parse_args(["--datadir", "/x", "--config"])
+
+
+def test_multi_scene_name_dedup_no_collision():
+    """Checkpoint-name dedup must not collide a rename with a literal
+    pre-existing name (dirs a_0, a, a once produced two a_0 entries)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.train_multi_scene import unique_scene_names
+
+    assert unique_scene_names(["a_0", "a", "a"]) == ["a_0", "a_1", "a_2"]
+    assert unique_scene_names(["lego", "lego"]) == ["lego_0", "lego_1"]
+    assert unique_scene_names(["x", "y"]) == ["x", "y"]
