@@ -6,6 +6,11 @@ across 8 host-platform devices. Must run before the first ``import jax``.
 """
 
 import os
+import sys
+
+# One repo-root insert for every test module (they import scripts.* and
+# nerfmlp_tpu.*); per-test inserts previously grew sys.path on every call.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")

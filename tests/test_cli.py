@@ -9,7 +9,6 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
 @pytest.fixture(scope="module")
@@ -400,7 +399,9 @@ def test_train_cli_tensor_parallel(cli_scene, tmp_path):
     h = json.load(open(os.path.join(out, "metrics_latest.json")))
     assert h["quick_val_psnrs"] and h["quick_val_psnrs"][-1] > 5.0
     # Auto-resume continues under the same TP layout.
-    m2 = train_main([a if a != "40" else "60" for a in argv])
+    argv2 = list(argv)
+    argv2[argv2.index("--iters") + 1] = "60"
+    m2 = train_main(argv2)
     assert m2["step"] == 60
     h2 = json.load(open(os.path.join(out, "metrics_latest.json")))
     assert h2["step"] == 60  # snapshot written AT the quick-val step

@@ -23,8 +23,11 @@ _datadir, _weights = find_inputs()
 
 @pytest.mark.slow
 @pytest.mark.skipif(
-    _datadir is None or _weights is None,
-    reason="nerf_synthetic/lego dataset or official fine weights not mounted",
+    _datadir is None or _weights is None
+    or not os.path.isdir("/root/reference/nerfmlp"),
+    reason="nerf_synthetic/lego dataset, official fine weights, or the "
+           "torch reference not mounted (all three are required for the "
+           "delta-dB comparison)",
 )
 def test_golden_lego_psnr_parity(tmp_path):
     from scripts.golden_lego import main

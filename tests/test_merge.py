@@ -51,8 +51,11 @@ def test_merge_handles_exact_ties():
     rng = np.random.default_rng(1)
     N, C, F = 4, 8, 8
     z_c = np.sort(rng.uniform(2, 6, (N, C)).astype(np.float32), -1)
-    z_f = z_c.copy()  # every fine depth ties a coarse depth
-    z_f[:, ::2] = z_c[:, ::2]  # keep plenty of exact ties
+    # Even indices tie coarse depths EXACTLY; odd indices are random
+    # (and unsorted) — the realistic det-sampling mix of ties and
+    # non-ties a rank-merge bug could misorder.
+    z_f = z_c.copy()
+    z_f[:, 1::2] = rng.uniform(2, 6, (N, F // 2)).astype(np.float32)
     raw_c = rng.normal(size=(N, C, 4)).astype(np.float32)
     raw_f = rng.normal(size=(N, F, 4)).astype(np.float32)
     z_m, raw_m = _merge_by_depth(

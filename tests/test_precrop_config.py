@@ -29,9 +29,10 @@ def test_precrop_restricts_to_center():
         row = (flat % 100) // 10
         col = flat % 10
         assert (img == img[0]).all()  # one image per batch under precrop
-        # central 50% of a 10-wide image: rows/cols in [2.5, 7.5) -> {3..7}
-        assert row.min() >= 2 and row.max() <= 7
-        assert col.min() >= 2 and col.max() <= 7
+        # central 50% of a 10-wide image: dh = int(5 * 0.5) = 2 ->
+        # rows/cols in [5-2, 5+2) = {3..6} exactly (run_nerf.py:776-792)
+        assert row.min() >= 3 and row.max() <= 6
+        assert col.min() >= 3 and col.max() <= 6
 
 
 def test_image_mode_single_image_batches():
@@ -57,9 +58,6 @@ def test_precrop_off_restores_global_sampling():
 
 
 def test_config_file_expansion(tmp_path):
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from scripts.train import parse_args
 
     cfg = tmp_path / "lego.cfg"
@@ -83,9 +81,6 @@ def test_config_file_falsy_disables_default_true_flags(tmp_path):
     """'use_pallas = False' in a --config file must actually disable
     pallas (default True): the expander emits the --no_pallas opt-out
     instead of silently dropping the line."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from scripts.train import parse_args
 
     cfg = tmp_path / "opt_out.cfg"
@@ -103,9 +98,6 @@ def test_canonical_oracle_configs_parse(tmp_path):
     fern), verbatim, must expand and parse — every key is an accepted
     flag or alias (the oracle's configargparse surface,
     example/run_nerf.py:461-572)."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from scripts.train import parse_args
 
     lego = tmp_path / "lego.txt"
@@ -154,9 +146,6 @@ def test_oracle_flag_surface_complete(tmp_path):
     is accepted by our train CLI — parsed programmatically from the
     reference source so new oracle flags can't silently go missing."""
     import re
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import pytest
 
     ref_path = "/root/reference/example/run_nerf.py"
@@ -175,9 +164,6 @@ def test_i_embed_identity(tmp_path):
     """--i_embed -1 selects identity embeddings for both branches
     (run_nerf_helpers.py:59-62 via run_nerf.py:381-387): a short train run
     must work with pos_enc_L = dir_enc_L = 0."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from nerfmlp_tpu.data.synthetic import make_synthetic_scene
     from scripts.train import main
 
@@ -225,9 +211,6 @@ def test_config_value_flags_pass_literal_text(tmp_path):
 def test_multi_scene_name_dedup_no_collision():
     """Checkpoint-name dedup must not collide a rename with a literal
     pre-existing name (dirs a_0, a, a once produced two a_0 entries)."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from scripts.train_multi_scene import unique_scene_names
 
     assert unique_scene_names(["a_0", "a", "a"]) == ["a_0", "a_1", "a_2"]
