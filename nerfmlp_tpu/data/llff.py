@@ -307,13 +307,20 @@ class LLFFDataset:
             )
 
         if os.path.isdir(out_dir) and _n_imgs(out_dir):
-            # Complete = same image count as the source (a dir left by a
-            # killed pre-r3 minify run is partial and must be rebuilt);
-            # with no images/ source it is a pre-minified capture — trust it.
+            # Complete = same image count as the source; with no images/
+            # source it is a pre-minified capture — trust it. On a
+            # MISMATCH, never silently delete: images_{N}/ may hold an
+            # official downsample (imagemagick) that a PIL rebuild would
+            # irreversibly replace with different pixels. Error with the
+            # fix instead.
             if not os.path.isdir(src_dir) or _n_imgs(out_dir) == _n_imgs(src_dir):
                 return out_dir
-            print(f"(llff: {out_dir} has {_n_imgs(out_dir)} images vs "
-                  f"{_n_imgs(src_dir)} in {src_dir} — rebuilding)")
+            raise ValueError(
+                f"{out_dir} has {_n_imgs(out_dir)} images but {src_dir} "
+                f"has {_n_imgs(src_dir)} — the downsample dir looks "
+                f"incomplete (killed minify run?) or images/ changed. "
+                f"Delete {out_dir} to rebuild it, or fix images/."
+            )
         if not os.path.isdir(src_dir):
             raise FileNotFoundError(
                 f"--factor {factor}: neither {out_dir} nor {src_dir} exists"
@@ -366,6 +373,11 @@ class LLFFDataset:
 
         cands = []
         for name in sorted(os.listdir(datadir)):
+            # Exclude in-flight/stale minify temp dirs (images_N.tmp from
+            # a killed _ensure_factor_dir run) — picking one up would
+            # resurrect the partial-dir poisoning tmp+rename prevents.
+            if name.endswith(".tmp"):
+                continue
             if name == "images" or name.startswith("images_"):
                 d = os.path.join(datadir, name)
                 if not os.path.isdir(d):

@@ -535,7 +535,10 @@ class Trainer:
                         )
                 except Exception as e:
                     self._log(f"(profiler unavailable: {e})")
-                    trace_active = False
+                    # Stop further in-loop attempts, but do NOT clear
+                    # trace_active on a stop_trace failure: the post-loop
+                    # close must retry or the trace keeps recording for
+                    # the rest of the run.
                     tc = dataclasses.replace(tc, profile_dir="")
             batch = next(stream)
             if self.occ_grid is not None:

@@ -24,6 +24,14 @@ def main(argv=None):
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=128)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="render numerics; float32 with --fp32_precision "
+                        "high keeps kernel speed at fp32-grade fidelity "
+                        "(the recommended recipe for parity-grade "
+                        "comparison numbers, docs/RESULTS.md)")
+    p.add_argument("--fp32_precision", type=str, default="highest",
+                   choices=["highest", "high"])
     p.add_argument("--separate_fine", action="store_true",
                    help="checkpoint holds separate coarse/fine nets")
     from nerfmlp_tpu.utils.cli import add_arch_flags, arch_fields, params_template
@@ -47,11 +55,12 @@ def main(argv=None):
     rc = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
                       near=near, far=far, perturb=False,
                       use_pallas=args.use_pallas, separate_fine=args.separate_fine,
-                      # The kernel gate requires bf16 (or fp32-high): the
-                      # RenderConfig default fp32/highest would silently
-                      # route to XLA and make --no_pallas a no-op (same
-                      # pairing as render_video.py:108).
-                      compute_dtype="bfloat16" if args.use_pallas else "float32",
+                      # bf16 default pairs with the kernel (fp32/highest
+                      # would silently route to XLA and make --no_pallas a
+                      # no-op); --compute_dtype float32 [--fp32_precision
+                      # high] opts into fp32-grade comparison numerics.
+                      compute_dtype=args.compute_dtype,
+                      fp32_precision=args.fp32_precision,
                       white_bkgd=args.dataset_type != "llff",
                       **arch_fields(args))
     params = load_params_any(args.ckpt, params_template(rc), rc.model_config())

@@ -58,9 +58,11 @@ def main(argv=None):
                    help="source checkpoint (.ckpt, .npy, .pth/.pt)")
     p.add_argument("--out", dest="dst", required=True,
                    help="destination (format chosen by extension)")
-    p.add_argument("--net", choices=["coarse", "fine"], default="coarse",
-                   help="which network a single-model format (.npy/.pth) "
-                        "exports from a two-net .ckpt")
+    p.add_argument("--net", choices=["coarse", "fine"], default=None,
+                   help="which network to export: for .npy/.pth (one-model "
+                        "formats) the default is coarse; for a .ckpt "
+                        "destination the default keeps EVERY net, while an "
+                        "explicit --net writes just that one")
     p.add_argument("--separate_fine", action="store_true",
                    help="source .ckpt holds distinct coarse/fine nets")
     from nerfmlp_tpu.utils.cli import (
@@ -77,21 +79,28 @@ def main(argv=None):
 
     dst_fmt = _fmt(args.dst)
     os.makedirs(os.path.dirname(args.dst) or ".", exist_ok=True)
-    if dst_fmt == ".ckpt":
-        from nerfmlp_tpu.train.checkpoint import save_checkpoint
-
-        save_checkpoint(args.dst, params)
-        nets = "+".join(params.keys())
-        print(f"wrote {args.dst} ({nets})")
-        return args.dst
-
     if args.net == "fine" and "fine" not in params:
         raise SystemExit(
             f"--net fine: {args.src} holds no separate fine network "
             f"(nets: {list(params)})"
         )
-    net = params.get(args.net, params["coarse"])
-    net_cfg = rc.model_config(fine=args.net == "fine")
+    if dst_fmt == ".ckpt":
+        from nerfmlp_tpu.train.checkpoint import save_checkpoint
+
+        if args.net is not None:
+            # Explicit selection must not be silently ignored: write a
+            # one-net checkpoint holding just that network.
+            params = {"coarse": params[args.net]}
+        save_checkpoint(args.dst, params)
+        nets = "+".join(params.keys()) + (
+            f" (from {args.net})" if args.net else ""
+        )
+        print(f"wrote {args.dst} ({nets})")
+        return args.dst
+
+    net_name = args.net or "coarse"
+    net = params[net_name]
+    net_cfg = rc.model_config(fine=net_name == "fine")
     if dst_fmt == ".npy":
         from nerfmlp_tpu.train.checkpoint import save_params_npy
 
@@ -102,7 +111,7 @@ def main(argv=None):
         from nerfmlp_tpu.models.import_torch import params_to_torch_state_dict
 
         torch.save(params_to_torch_state_dict(net, net_cfg), args.dst)
-    print(f"wrote {args.dst} ({args.net} net)")
+    print(f"wrote {args.dst} ({net_name} net)")
     return args.dst
 
 

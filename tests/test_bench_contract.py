@@ -10,8 +10,6 @@ import os
 import sys
 from contextlib import redirect_stdout
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
 
 def test_golden_row_keeps_stdout_clean(monkeypatch, tmp_path):
     import bench

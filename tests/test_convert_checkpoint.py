@@ -10,8 +10,6 @@ import jax
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
 from nerfmlp_tpu.config import RenderConfig  # noqa: E402
 from nerfmlp_tpu.models.mlp import init_model  # noqa: E402
 from nerfmlp_tpu.train.checkpoint import (  # noqa: E402
@@ -107,3 +105,29 @@ def test_load_params_any_full_state(tmp_path, params):
     save_checkpoint(path, state)
     rt = load_params_any(path, params, RenderConfig().model_config())
     _leaves_equal(rt["coarse"], params["coarse"])
+
+
+def test_net_selection_honored_for_ckpt_destination(tmp_path):
+    """--net fine with a .ckpt destination writes a ONE-net checkpoint
+    (it was silently ignored, r3 review)."""
+    rc = RenderConfig(separate_fine=True, width_fine=128)
+    k = jax.random.PRNGKey(1)
+    two = {
+        "coarse": init_model(k, rc.model_config()),
+        "fine": init_model(k, rc.model_config(fine=True)),
+    }
+    src = str(tmp_path / "two.ckpt")
+    save_checkpoint(src, two)
+    out = convert(["--in", src, "--out", str(tmp_path / "f.ckpt"),
+                   "--net", "fine", "--separate_fine",
+                   "--netwidth_fine", "128"])
+    from flax import serialization
+
+    with open(out, "rb") as fh:
+        raw = serialization.msgpack_restore(fh.read())
+    assert set(raw.keys()) == {"coarse"}
+    rt = load_params_any(
+        out, {"coarse": two["fine"]},
+        RenderConfig(width=128).model_config(),
+    )
+    _leaves_equal(rt["coarse"], two["fine"])

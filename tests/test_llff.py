@@ -322,10 +322,12 @@ def test_llffhold_zero_clear_error(llff_scene):
     assert ds.n_images == 8
 
 
-def test_partial_factor_dir_rebuilt(llff_scene):
-    """A killed minify run must not poison later loads: a partial
-    images_{factor}/ (fewer files than images/) is detected and rebuilt;
-    minification itself is crash-safe (tmp dir + rename, r3 review)."""
+def test_partial_factor_dir_detected(llff_scene):
+    """A killed minify run must not poison later loads: an images_{factor}/
+    with a different image count than images/ raises an actionable error
+    (never a silent rmtree — the dir may hold an official downsample);
+    our own minification is crash-safe (tmp dir + rename), and stale
+    .tmp dirs are invisible to the image-dir picker."""
     import shutil
 
     fdir = os.path.join(llff_scene, "images_4")
@@ -336,9 +338,19 @@ def test_partial_factor_dir_rebuilt(llff_scene):
     assert len(files) == 8
     for f in files[4:]:
         os.remove(os.path.join(fdir, f))
+    with pytest.raises(ValueError, match="Delete"):
+        LLFFDataset._ensure_factor_dir(llff_scene, 4)
+    shutil.rmtree(fdir)  # the error's prescribed fix
     out = LLFFDataset._ensure_factor_dir(llff_scene, 4)
     assert out == fdir and len(os.listdir(fdir)) == 8
     assert not os.path.isdir(fdir + ".tmp")
+    # A stale .tmp dir is never picked as an image dir (factor=0 path).
+    os.makedirs(os.path.join(llff_scene, "images_9.tmp"), exist_ok=True)
+    with open(os.path.join(llff_scene, "images_9.tmp", "a.png"), "wb") as f:
+        f.write(b"junk")
+    picked = LLFFDataset._pick_image_dir(llff_scene, 40)
+    assert picked is None or not picked.endswith(".tmp")
+    shutil.rmtree(os.path.join(llff_scene, "images_9.tmp"))
 
 
 def test_llff_rgb_pool_zero_copy(llff_scene):

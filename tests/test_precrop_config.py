@@ -194,7 +194,6 @@ def test_config_value_flags_pass_literal_text(tmp_path):
 
     import pytest
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from scripts.train import parse_args
 
     cfg = tmp_path / "v.cfg"
