@@ -334,9 +334,20 @@ class LLFFDataset:
         import shutil
 
         tmp_dir = out_dir + ".tmp"
-        for stale in (tmp_dir, out_dir):
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        if os.path.isdir(out_dir):
+            # Only a truly empty out_dir may be replaced: non-image
+            # contents (e.g. an official downsample in an extension
+            # _n_imgs doesn't count, like .tif) must never be silently
+            # deleted and re-minified with different pixels.
+            if os.listdir(out_dir):
+                raise ValueError(
+                    f"{out_dir} exists but holds no recognized images "
+                    f"(.png/.jpg/.jpeg) — delete it to rebuild from "
+                    f"{src_dir}, or convert its contents"
+                )
+            shutil.rmtree(out_dir)
         os.makedirs(tmp_dir)
         for f in sorted(os.listdir(src_dir)):
             if not f.lower().endswith((".png", ".jpg", ".jpeg")):

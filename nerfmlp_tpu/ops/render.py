@@ -94,6 +94,16 @@ def _query_mlp(
     else:
         def query(p, f, d):
             enc = positional_encoding(f, cfg.pos_enc_L)
+            if jnp.dtype(cfg.compute_dtype) == jnp.float32:
+                # TPU XLA MISCOMPILE GUARD (r3, measured): letting XLA fuse
+                # the sin/cos encoding into the fp32 matmul chain produces
+                # deterministically WRONG MLP outputs at >= 2048x64 points
+                # (max abs error ~248 on unit-scale activations; both
+                # "highest" and "high" precision; bf16 and the Pallas
+                # kernel are unaffected). Materializing the encoding with
+                # an optimization barrier restores bit-exact agreement
+                # with the unfused graph (0.0 diff at 262k points).
+                enc = jax.lax.optimization_barrier(enc)
             return apply_model(
                 p, enc, d, mc,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),

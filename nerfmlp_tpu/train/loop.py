@@ -656,7 +656,11 @@ class Trainer:
             # is written instead of left open/corrupt.
             try:
                 jax.profiler.stop_trace()
-                self._log(f"🧪 profiler trace (short run) -> {tc.profile_dir}")
+                # self.tc keeps the original path (the loop-local tc is
+                # blanked after an in-loop stop failure).
+                self._log(
+                    f"🧪 profiler trace -> {self.tc.profile_dir}"
+                )
             except Exception as e:
                 self._log(f"(profiler stop failed: {e})")
 

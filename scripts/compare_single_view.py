@@ -24,12 +24,13 @@ def main(argv=None):
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=128)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
-    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+    p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["bfloat16", "float32"],
-                   help="render numerics; float32 with --fp32_precision "
-                        "high keeps kernel speed at fp32-grade fidelity "
-                        "(the recommended recipe for parity-grade "
-                        "comparison numbers, docs/RESULTS.md)")
+                   help="render numerics (default: bfloat16 with the "
+                        "kernel, float32 under --no_pallas — the "
+                        "long-standing pairing, render_video.py); "
+                        "float32 + --fp32_precision high keeps kernel "
+                        "speed at fp32-grade fidelity (docs/RESULTS.md)")
     p.add_argument("--fp32_precision", type=str, default="highest",
                    choices=["highest", "high"])
     p.add_argument("--separate_fine", action="store_true",
@@ -55,11 +56,12 @@ def main(argv=None):
     rc = RenderConfig(N_samples=args.N_samples, N_importance=args.N_importance,
                       near=near, far=far, perturb=False,
                       use_pallas=args.use_pallas, separate_fine=args.separate_fine,
-                      # bf16 default pairs with the kernel (fp32/highest
-                      # would silently route to XLA and make --no_pallas a
-                      # no-op); --compute_dtype float32 [--fp32_precision
-                      # high] opts into fp32-grade comparison numerics.
-                      compute_dtype=args.compute_dtype,
+                      # bf16 pairs with the kernel (fp32/highest would
+                      # silently route to XLA and make --no_pallas a
+                      # no-op); --no_pallas keeps its historical
+                      # fp32/highest comparison numerics.
+                      compute_dtype=args.compute_dtype or (
+                          "bfloat16" if args.use_pallas else "float32"),
                       fp32_precision=args.fp32_precision,
                       white_bkgd=args.dataset_type != "llff",
                       **arch_fields(args))

@@ -6,8 +6,6 @@ finding) — otherwise the driver records the wrong line."""
 
 import io
 import json
-import os
-import sys
 from contextlib import redirect_stdout
 
 

@@ -3,19 +3,16 @@ same weights. Oracle: numerical identity of the leaves across conversion
 chains (the per-format mappings themselves are oracled independently in
 test_import_tf.py / test_import_torch.py against the official layouts)."""
 
-import os
-import sys
-
 import jax
 import numpy as np
 import pytest
 
-from nerfmlp_tpu.config import RenderConfig  # noqa: E402
-from nerfmlp_tpu.models.mlp import init_model  # noqa: E402
-from nerfmlp_tpu.train.checkpoint import (  # noqa: E402
+from nerfmlp_tpu.config import RenderConfig
+from nerfmlp_tpu.models.mlp import init_model
+from nerfmlp_tpu.train.checkpoint import (
     load_params_any, save_checkpoint,
 )
-from scripts.convert_checkpoint import main as convert  # noqa: E402
+from scripts.convert_checkpoint import main as convert
 
 
 def _leaves_equal(a, b):

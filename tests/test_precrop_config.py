@@ -190,8 +190,6 @@ def test_config_value_flags_pass_literal_text(tmp_path):
     """Bool-literal text is presence/absence ONLY for boolean flags; a
     value-typed flag's text passes through verbatim (r3 review:
     `perturb = false` was silently dropped, training with perturb=1)."""
-    import sys
-
     import pytest
 
     from scripts.train import parse_args

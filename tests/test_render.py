@@ -129,3 +129,30 @@ def test_per_ray_near_far():
     far = jnp.full((4,), 8.0)
     out = render_rays(params, o, d, None, cfg, near=near, far=far)
     assert np.isfinite(np.asarray(out["rgb_map"])).all()
+
+
+def test_fp32_render_tile_invariant():
+    """fp32 XLA renders must not depend on the tile size. Regression for
+    a TPU XLA miscompile (r3): the sin/cos encoding fused into the fp32
+    matmul chain produced wrong MLP outputs at >= 2048x64 points; the
+    barrier in _query_mlp pins the fix. (Trivially true on CPU; guards
+    the real-TPU behavior whenever the suite runs there.)"""
+    import dataclasses
+
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.render import render_image
+
+    cfg = RenderConfig(
+        N_samples=16, N_importance=16, near=2.0, far=6.0, perturb=False,
+        compute_dtype="float32", use_pallas=False,
+    )
+    params = {"coarse": init_model(jax.random.PRNGKey(5), cfg.model_config())}
+    n = 48 * 48
+    rng = np.random.default_rng(2)
+    o = jnp.asarray(np.tile([[0.0, 0.0, 4.0]], (n, 1)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    d = jnp.asarray(d)
+    small = np.asarray(render_image(params, o, d, 48, 48, cfg, tile=576))
+    big = np.asarray(render_image(params, o, d, 48, 48, cfg, tile=2304))
+    np.testing.assert_allclose(big, small, atol=1e-5)
