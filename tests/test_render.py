@@ -156,3 +156,13 @@ def test_fp32_render_tile_invariant():
     small = np.asarray(render_image(params, o, d, 48, 48, cfg, tile=576))
     big = np.asarray(render_image(params, o, d, 48, 48, cfg, tile=2304))
     np.testing.assert_allclose(big, small, atol=1e-5)
+
+
+def test_fp32_fusion_diagnostic_runs():
+    """scripts/diagnose_fp32_fusion.py must run anywhere and report
+    ABSENT on CPU (the miscompile it probes is TPU-specific); on the
+    chip it documents whether the _query_mlp barrier is still needed."""
+    from scripts.diagnose_fp32_fusion import main
+
+    status, err = main()
+    assert status == "ABSENT" and err < 1e-3
