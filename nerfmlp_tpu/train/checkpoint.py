@@ -192,9 +192,10 @@ def _flatten_state_dict(d: Any, prefix: str = ""):
 
 
 def step_from_filename(path: str) -> int:
-    """model_{step}.ckpt -> step; 0 when the name carries no step."""
+    """model_{step}.ckpt / model_{step}_latest.ckpt -> step; 0 when the
+    name carries no step."""
     stem = os.path.basename(path)
-    for prefix, suffix in (("model_", ".ckpt"),):
+    for prefix, suffix in (("model_", "_latest.ckpt"), ("model_", ".ckpt")):
         if stem.startswith(prefix) and stem.endswith(suffix):
             digits = stem[len(prefix) : -len(suffix)]
             if digits.isdigit():
@@ -210,12 +211,15 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
     cand = os.path.join(save_dir, "metrics_latest.ckpt")
     if os.path.exists(cand):
         return cand
-    steps = []
+    best = (None, 0)
     for name in os.listdir(save_dir):
         if name.startswith("model_") and name.endswith(".ckpt"):
-            stem = name[len("model_") : -len(".ckpt")]
-            if stem.isdigit():
-                steps.append(int(stem))
-    if steps:
-        return os.path.join(save_dir, f"model_{max(steps)}.ckpt")
+            step = step_from_filename(name)
+            # step > 0 only: model_best/model_final carry no step —
+            # auto-resuming them would silently renumber a finished run
+            # from 0 (explicit --resume still accepts them, loudly).
+            if step > best[1]:
+                best = (name, step)
+    if best[0] is not None:
+        return os.path.join(save_dir, best[0])
     return None

@@ -698,7 +698,11 @@ class Trainer:
                 ),
             )
         self._save_resumable()
-        comprehensive = dict(self.history, final_val=final, config=self._config_dict())
+        comprehensive = dict(
+            self.history, final_val=final, config=self._config_dict(),
+            # Reference train.py:721 records wall-clock for the whole run.
+            total_training_time=time.time() - start_time,
+        )
         ckpt.save_metrics_json(
             os.path.join(self.save_dir, "comprehensive_metrics.json"), comprehensive
         )
@@ -769,29 +773,40 @@ class Trainer:
             os.path.join(self.save_dir, "metrics_latest.json"), snapshot
         )
         # Layered per-step snapshot (reference train.py:480-495 writes
-        # metrics_{step}_latest.json alongside the rolling latest file, so
-        # corruption of one never loses the run's history). Pruned to the
-        # most recent few to bound disk growth.
+        # model_{step}_latest.pth + metrics_{step}_latest.json alongside
+        # the rolling latest files, so corruption of one never loses the
+        # run; README.md:118 documents resuming from a specific recent
+        # step). Pruned to the most recent few to bound disk growth — the
+        # divergence from the reference's keep-everything is deliberate
+        # (a 200k run would write 200 weight copies).
         ckpt.save_metrics_json(
             os.path.join(self.save_dir, f"metrics_{step}_latest.json"), snapshot
+        )
+        ckpt.save_checkpoint(
+            os.path.join(self.save_dir, f"model_{step}_latest.ckpt"),
+            self.state.params,
         )
         self._prune_step_snapshots(keep=5)
         self._log("-" * 80)
 
     def _prune_step_snapshots(self, keep: int) -> None:
-        """Keep only the newest ``keep`` metrics_{step}_latest.json files."""
+        """Keep only the newest ``keep`` per-step snapshot files
+        (metrics_{step}_latest.json AND model_{step}_latest.ckpt)."""
         import re
 
-        snaps = []
-        for name in os.listdir(self.save_dir):
-            m = re.fullmatch(r"metrics_(\d+)_latest\.json", name)
-            if m:
-                snaps.append((int(m.group(1)), name))
-        for _, name in sorted(snaps)[:-keep]:
-            try:
-                os.remove(os.path.join(self.save_dir, name))
-            except OSError:
-                pass
+        for pattern in (
+            r"metrics_(\d+)_latest\.json", r"model_(\d+)_latest\.ckpt"
+        ):
+            snaps = []
+            for name in os.listdir(self.save_dir):
+                m = re.fullmatch(pattern, name)
+                if m:
+                    snaps.append((int(m.group(1)), name))
+            for _, name in sorted(snaps)[:-keep]:
+                try:
+                    os.remove(os.path.join(self.save_dir, name))
+                except OSError:
+                    pass
 
     def _tb_histograms_and_image(self, step: int) -> None:
         """Param histograms + one holdout render to TensorBoard (the
@@ -843,7 +858,22 @@ class Trainer:
             self._log(f"(tensorboard histogram/image logging failed: {e})")
 
     def _config_dict(self) -> Dict:
+        # The flat keys mirror the reference's config block
+        # (train.py:723-732) so its consumers (e.g. the status tool's
+        # config display) find their fields; the nested dataclass dumps
+        # carry the full framework config.
+        q = self.quick_val_ds
         return {
+            "quick_val_res": (
+                [int(q.W), int(q.H)]
+                if q is not None and hasattr(q, "W") else None
+            ),
+            "quick_val_subset": self.tc.quick_val_subset,
+            "quick_val_interval": self.tc.quick_val_interval,
+            "full_val_interval": self.tc.full_val_interval,
+            "batch_size": self.tc.batch_size,
+            "learning_rate": self.tc.lr,
+            "total_iterations": self.tc.iters,
             "render": dataclasses.asdict(self.rc),
             "train": dataclasses.asdict(self.tc),
         }

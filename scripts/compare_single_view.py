@@ -18,9 +18,11 @@ def main(argv=None):
                    choices=["blender", "llff"])
     p.add_argument("--split", type=str, default="train")
     p.add_argument("--img_wh", type=int, nargs=2, default=[400, 400])
-    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--ckpt", "--model_path", type=str, required=True,
+                   help="checkpoint (reference flag name: --model_path)")
     p.add_argument("--view_idx", type=int, default=0)
-    p.add_argument("--out", type=str, default="outputs/compare.png")
+    p.add_argument("--out", "--output", type=str, default="outputs/compare.png",
+                   help="output image (reference flag name: --output)")
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=128)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
@@ -76,10 +78,11 @@ def main(argv=None):
     print(f"view {args.view_idx}: PSNR {psnr_images(img, gt):.2f} dB | "
           f"SSIM {ssim(img, gt):.4f}")
 
-    side = np.concatenate([np.clip(img, 0, 1), np.clip(gt, 0, 1)], axis=1)
+    # Reference panel convention: [ground truth | render] (reference :93).
+    side = np.concatenate([np.clip(gt, 0, 1), np.clip(img, 0, 1)], axis=1)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     Image.fromarray((side * 255).round().astype(np.uint8)).save(args.out)
-    print(f"wrote {args.out} (left: render, right: ground truth)")
+    print(f"wrote {args.out} (left: ground truth, right: render)")
 
 
 if __name__ == "__main__":

@@ -290,12 +290,22 @@ def animate_progress(metrics_path, interval_s=5.0):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="Plot NeRF training progress")
-    p.add_argument("--metrics", type=str, default="outputs/checkpoints/metrics_latest.json")
+    p.add_argument("--metrics", "--metrics-file", type=str,
+                   default="outputs/checkpoints/metrics_latest.json",
+                   help="metrics JSON (reference flag name: --metrics-file)")
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--save-dir", type=str, default=None,
+                   help="write the figure as <save-dir>/training_progress.png "
+                        "(the reference's output name, README_plotting.md:58)")
     p.add_argument("--live", action="store_true")
+    p.add_argument("--interval", type=float, default=5.0,
+                   help="--live poll interval in seconds (reference flag)")
     args = p.parse_args(argv)
+    if args.save_dir is not None and args.out is None:
+        args.out = os.path.join(args.save_dir, "training_progress.png")
+        os.makedirs(args.save_dir, exist_ok=True)
     if args.live:
-        animate_progress(args.metrics)
+        animate_progress(args.metrics, interval_s=args.interval)
     else:
         create_progress_plot(args.metrics, args.out)
 

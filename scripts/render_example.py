@@ -28,9 +28,21 @@ def main(argv=None):
     add_llff_flags(p)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
-    p.add_argument("--ckpt", type=str, required=True,
-                   help=".ckpt (framework) or .npy (official TF weights)")
+    p.add_argument("--ckpt", "--model_path", type=str, required=True,
+                   help=".ckpt/.pth/.npy checkpoint (reference flag name: "
+                        "--model_path)")
     p.add_argument("--out_dir", type=str, default="outputs/renders")
+    p.add_argument("--out_prefix", type=str, default=None,
+                   help="reference-style output naming: writes "
+                        "{out_prefix}_{idx}.png instead of "
+                        "render_{split}_{i}.png (reference :272)")
+    p.add_argument("--no_white_bkgd", action="store_true",
+                   help="composite onto black even for blender scenes "
+                        "(reference --no_white_bkgd)")
+    p.add_argument("--use_fine_weights", action="store_true",
+                   help="accepted for reference-command compatibility: "
+                        "official fine .npy weights are detected by the "
+                        ".npy extension here (reference :134-137)")
     p.add_argument("--num_views", type=int, default=1)
     p.add_argument("--view_idx", type=int, default=None)
     p.add_argument("--near", type=float, default=None,
@@ -45,8 +57,9 @@ def main(argv=None):
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=None,
                    help="default: 64 for .npy official weights, 128 otherwise")
-    p.add_argument("--apply_gamma", action="store_true",
-                   help="linear->sRGB transfer on output (reference :12-26)")
+    p.add_argument("--apply_gamma", "--gamma_correction", action="store_true",
+                   help="linear->sRGB transfer on output (reference :12-26; "
+                        "reference flag name: --gamma_correction)")
     p.add_argument("--brightness_boost", type=float, default=1.0)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    help="float32 (parity) or bfloat16 (speed)")
@@ -104,16 +117,20 @@ def main(argv=None):
         near=near, far=far, perturb=False, raw_noise_std=0.0,
         coord_scale=args.coord_scale, compute_dtype=args.compute_dtype, fp32_precision=args.fp32_precision,
         use_pallas=args.use_pallas, separate_fine=args.separate_fine,
-        # Match training's compositing: white bkgd is blender-only.
-        white_bkgd=args.dataset_type != "llff",
+        # Match training's compositing: white bkgd is blender-only
+        # (reference --no_white_bkgd overrides).
+        white_bkgd=args.dataset_type != "llff" and not args.no_white_bkgd,
         **arch_fields(args),
     )
     params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
 
     idxs = [args.view_idx] if args.view_idx is not None else list(range(args.num_views))
     for i in idxs:
-        o, d, _ = ds.image_rays(i)
-        vd = image_viewdirs(ds, i)
+        # Cycle past the split size like the reference (pose_idx =
+        # view_idx % len(poses), reference :241,:278) instead of raising.
+        k = i % ds.n_images
+        o, d, _ = ds.image_rays(k)
+        vd = image_viewdirs(ds, k)
         img = np.asarray(
             render_image(params, jnp.asarray(o), jnp.asarray(d),
                          ds.H, ds.W, rc, tile=args.tile, viewdirs=vd)
@@ -121,7 +138,9 @@ def main(argv=None):
         img = np.clip(img * args.brightness_boost, 0.0, 1.0)
         if args.apply_gamma:
             img = linear_to_srgb(img)
-        out = os.path.join(args.out_dir, f"render_{args.split}_{i}.png")
+        name = (f"{args.out_prefix}_{i}.png" if args.out_prefix
+                else f"render_{args.split}_{i}.png")
+        out = os.path.join(args.out_dir, name)
         Image.fromarray((img * 255).round().astype(np.uint8)).save(out)
         print(f"wrote {out}")
     return args.out_dir

@@ -17,14 +17,28 @@ def get_gt_path(datadir: str, split: str, idx: int) -> str:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="Concat two images side by side")
-    p.add_argument("--rendered", type=str, required=True)
-    p.add_argument("--gt", type=str, default=None, help="explicit GT path")
-    p.add_argument("--datadir", type=str, default=None)
+    # Reference positional interface (reference :28-32): rendered + output
+    # as positionals; flags remain as the explicit alternative.
+    p.add_argument("rendered_pos", nargs="?", default=None,
+                   metavar="rendered.png")
+    p.add_argument("out_pos", nargs="?", default=None, metavar="output.png")
+    p.add_argument("--rendered", type=str, default=None)
+    p.add_argument("--gt", "--gt_path", type=str, default=None,
+                   help="explicit GT path")
+    p.add_argument("--datadir", "--gt_dir", type=str, default=None,
+                   help="dataset root (reference flag name: --gt_dir)")
     p.add_argument("--split", type=str, default="train")
-    p.add_argument("--index", type=int, default=None,
-                   help="GT by dataset index (r_{i}.png)")
+    p.add_argument("--index", "--gt_idx", type=int, default=None,
+                   help="GT by dataset index (r_{i}.png; reference flag "
+                        "name: --gt_idx)")
     p.add_argument("--out", type=str, default="outputs/side_by_side.png")
     args = p.parse_args(argv)
+    if args.rendered is None:
+        args.rendered = args.rendered_pos
+    if args.rendered is None:
+        p.error("provide the rendered image (positional or --rendered)")
+    if args.out_pos is not None:
+        args.out = args.out_pos
 
     import numpy as np
     from PIL import Image
@@ -39,7 +53,8 @@ def main(argv=None):
     b = Image.open(gt_path).convert("RGB")
     if a.size != b.size:
         b = b.resize(a.size, Image.Resampling.LANCZOS)
-    side = np.concatenate([np.asarray(a), np.asarray(b)], axis=1)
+    # Reference panel convention: [ground truth | rendered] (reference :50).
+    side = np.concatenate([np.asarray(b), np.asarray(a)], axis=1)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     Image.fromarray(side).save(args.out)
     print(f"wrote {args.out}")

@@ -504,7 +504,8 @@ def main(argv=None):
         )
         create_convergence_plot(
             metrics_json,
-            out_path=os.path.join(args.save_dir, "convergence.png"),
+            # The reference's artifact name (train.py:706, README.md:320).
+            out_path=os.path.join(args.save_dir, "convergence_plot.png"),
         )
         # The comprehensive report reads the END-OF-RUN snapshot (it has
         # the full-val series + the recorded config for the lr panel).

@@ -16,7 +16,7 @@ def main(argv=None):
     p.add_argument("--datadir", type=str, required=True)
     p.add_argument("--img_wh", type=int, nargs=2, default=[64, 64])
     p.add_argument("--batch_size", type=int, default=128)
-    p.add_argument("--iters", type=int, default=5000)
+    p.add_argument("--iters", type=int, default=10000)  # reference default
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--save_dir", type=str, default="outputs/train_only")
     p.add_argument("--N_samples", type=int, default=64)
@@ -73,8 +73,21 @@ def main(argv=None):
             )
 
     save_checkpoint(os.path.join(args.save_dir, "model_final.ckpt"), state.params)
-    save_metrics_json(os.path.join(args.save_dir, "final_metrics.json"),
-                      {"losses": losses, "psnrs": psnrs, "iters": args.iters})
+    save_metrics_json(
+        os.path.join(args.save_dir, "final_metrics.json"),
+        {
+            # Reference final_metrics keys (reference train_only.py:239-252)
+            # alongside the compact per-100-step series.
+            "train_losses": losses, "train_psnrs": psnrs,
+            "final_loss": losses[-1] if losses else None,
+            "final_psnr": psnrs[-1] if psnrs else None,
+            "total_training_time": time.time() - t0,
+            "losses": losses, "psnrs": psnrs, "iters": args.iters,
+            "config": {"batch_size": args.batch_size,
+                       "learning_rate": args.lr,
+                       "total_iterations": args.iters},
+        },
+    )
     try:
         import matplotlib
 
@@ -86,8 +99,9 @@ def main(argv=None):
         a1.semilogy(xs, losses); a1.set_title("loss"); a1.set_xlabel("iter")
         a2.plot(xs, psnrs); a2.set_title("train PSNR (dB)"); a2.set_xlabel("iter")
         fig.tight_layout()
-        fig.savefig(os.path.join(args.save_dir, "training_curve.png"), dpi=110)
-        print(f"saved {args.save_dir}/training_curve.png")
+        # The reference's artifact name (reference train_only.py:235).
+        fig.savefig(os.path.join(args.save_dir, "training_progress.png"), dpi=110)
+        print(f"saved {args.save_dir}/training_progress.png")
     except Exception as e:
         print(f"(plot skipped: {e})")
     if losses:

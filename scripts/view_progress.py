@@ -72,7 +72,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Show NeRF training status")
     p.add_argument("--metrics", type=str,
                    default="outputs/checkpoints/metrics_latest.json")
+    p.add_argument("--metrics-dir", type=str, default=None,
+                   help="run directory; resolves <dir>/metrics_latest.json "
+                        "(the reference's flag, view_progress.py:102)")
     args = p.parse_args(argv)
+    if args.metrics_dir is not None:
+        args.metrics = os.path.join(args.metrics_dir, "metrics_latest.json")
     m = load_latest_metrics(args.metrics)
     if m is None:
         print(f"no metrics found at {args.metrics} — is training running?")

@@ -256,7 +256,7 @@ def test_zoom_cli(cli_scene, trained, tmp_path, monkeypatch):
         "--out_dir", out, "--size", "32",
         "--N_samples", "8", "--N_importance", "8", "--no_pallas",
     ])
-    assert os.path.exists(os.path.join(out, "zoom_normal.png"))
+    assert os.path.exists(os.path.join(out, "normal.png"))
 
 
 def test_eval_cli(cli_scene, trained, tmp_path):

@@ -26,7 +26,8 @@ def main(argv=None):
     p.add_argument("--datadir", type=str, required=True,
                    help="dataset dir (for focal / camera_angle_x)")
     p.add_argument("--ckpt", type=str, required=True, help=".ckpt or .npy")
-    p.add_argument("--out_dir", type=str, default="outputs/zoom")
+    p.add_argument("--out_dir", type=str, default="outputs/zoom_examples",
+                   help="reference output dir (zoom_example.py:164)")
     p.add_argument("--size", type=int, default=400)
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=64)
@@ -82,7 +83,8 @@ def main(argv=None):
             jnp.asarray(d.reshape(-1, 3)),
             args.size, args.size, rc, near=near, far=far,
         ))
-        out = os.path.join(args.out_dir, f"zoom_{name}.png")
+        # Reference artifact names: {scenario}.png (reference :164).
+        out = os.path.join(args.out_dir, f"{name}.png")
         Image.fromarray((np.clip(img, 0, 1) * 255).round().astype(np.uint8)).save(out)
         print(f"{name}: dist {dist:.2f}, focal x{fmul}, near/far "
               f"{near:.2f}/{far:.2f} -> {out}")
