@@ -863,10 +863,15 @@ class Trainer:
         # config display) find their fields; the nested dataclass dumps
         # carry the full framework config.
         q = self.quick_val_ds
+        v = self.val_ds
         return {
             "quick_val_res": (
                 [int(q.W), int(q.H)]
                 if q is not None and hasattr(q, "W") else None
+            ),
+            "full_val_res": (
+                [int(v.W), int(v.H)]
+                if v is not None and hasattr(v, "W") else None
             ),
             "quick_val_subset": self.tc.quick_val_subset,
             "quick_val_interval": self.tc.quick_val_interval,

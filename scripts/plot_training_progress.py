@@ -264,7 +264,7 @@ def create_convergence_plot(metrics_path, out_path=None):
     return out_path
 
 
-def animate_progress(metrics_path, interval_s=5.0):
+def animate_progress(metrics_path, interval_s=5.0, out_path=None):
     """Live mode: re-render the figure whenever the JSON changes
     (reference's FuncAnimation loop, :158-207; headless-safe here)."""
     last_mtime = 0.0
@@ -273,7 +273,7 @@ def animate_progress(metrics_path, interval_s=5.0):
             mtime = os.path.getmtime(metrics_path)
             if mtime > last_mtime:
                 last_mtime = mtime
-                create_progress_plot(metrics_path)
+                create_progress_plot(metrics_path, out_path)
         except FileNotFoundError:
             print(f"waiting for {metrics_path} ...")
         except json.JSONDecodeError:
@@ -298,14 +298,19 @@ def main(argv=None):
                    help="write the figure as <save-dir>/training_progress.png "
                         "(the reference's output name, README_plotting.md:58)")
     p.add_argument("--live", action="store_true")
-    p.add_argument("--interval", type=float, default=5.0,
-                   help="--live poll interval in seconds (reference flag)")
+    p.add_argument("--interval", type=float, default=5000.0,
+                   help="--live refresh interval in MILLISECONDS (the "
+                        "reference's FuncAnimation unit, "
+                        "README_plotting.md:40)")
     args = p.parse_args(argv)
     if args.save_dir is not None and args.out is None:
         args.out = os.path.join(args.save_dir, "training_progress.png")
         os.makedirs(args.save_dir, exist_ok=True)
     if args.live:
-        animate_progress(args.metrics, interval_s=args.interval)
+        # Live mode honors --save-dir/--out too: the reference writes
+        # save_dir/training_progress.png on every refresh (:148-150).
+        animate_progress(args.metrics, interval_s=args.interval / 1000.0,
+                         out_path=args.out)
     else:
         create_progress_plot(args.metrics, args.out)
 

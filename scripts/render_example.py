@@ -138,9 +138,16 @@ def main(argv=None):
         img = np.clip(img * args.brightness_boost, 0.0, 1.0)
         if args.apply_gamma:
             img = linear_to_srgb(img)
-        name = (f"{args.out_prefix}_{i}.png" if args.out_prefix
-                else f"render_{args.split}_{i}.png")
-        out = os.path.join(args.out_dir, name)
+        if args.out_prefix:
+            # Reference semantics: --out_prefix is a PATH prefix, NOT a
+            # name under --out_dir (reference :272,:309 and every
+            # README command, e.g. `--out_prefix outputs/my_test`);
+            # --view_idx renders are named *_view{idx}.png (:272).
+            tag = f"view{i}" if args.view_idx is not None else str(i)
+            out = f"{args.out_prefix}_{tag}.png"
+            os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        else:
+            out = os.path.join(args.out_dir, f"render_{args.split}_{i}.png")
         Image.fromarray((img * 255).round().astype(np.uint8)).save(out)
         print(f"wrote {out}")
     return args.out_dir

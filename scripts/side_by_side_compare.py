@@ -33,6 +33,12 @@ def main(argv=None):
                         "name: --gt_idx)")
     p.add_argument("--out", type=str, default="outputs/side_by_side.png")
     args = p.parse_args(argv)
+    if args.rendered is not None and args.rendered_pos is not None \
+            and args.out_pos is None:
+        # `script out.png --rendered r.png`: the lone positional is the
+        # OUTPUT (it must not be silently discarded).
+        args.out_pos = args.rendered_pos
+        args.rendered_pos = None
     if args.rendered is None:
         args.rendered = args.rendered_pos
     if args.rendered is None:

@@ -52,10 +52,14 @@ def main(argv=None):
     step_fn = make_train_step(rc, tc)
     loader = RayBatchLoader.from_dataset(ds, tc.batch_size)
 
-    losses, psnrs = [], []
+    losses, psnrs, iter_times = [], [], []
     t0 = time.time()
+    t_prev = t0
     for step in range(1, args.iters + 1):
         state, m = step_fn(state, jnp.asarray(loader.next_batch()))
+        now = time.time()
+        iter_times.append(now - t_prev)
+        t_prev = now
         if step % 100 == 0:
             loss = float(m["loss"])
             # Tensor-math PSNR like the reference (train_only.py:23-29).
@@ -82,10 +86,12 @@ def main(argv=None):
             "final_loss": losses[-1] if losses else None,
             "final_psnr": psnrs[-1] if psnrs else None,
             "total_training_time": time.time() - t0,
+            "iteration_times": iter_times,  # per-step (reference :242)
             "losses": losses, "psnrs": psnrs, "iters": args.iters,
             "config": {"batch_size": args.batch_size,
                        "learning_rate": args.lr,
-                       "total_iterations": args.iters},
+                       "total_iterations": args.iters,
+                       "img_wh": list(args.img_wh)},
         },
     )
     try:

@@ -59,6 +59,7 @@ _SLOW_MODULES = {
     "test_aabb",         # quality A/B trainings
 }
 _SLOW_TESTS = {
+    "test_fp32_fusion_diagnostic_runs",  # 2x262k-pt MLP, ~20s
     "test_synthetic_llff_360_scene_learns",
     "test_occupancy_training_end_to_end",
     "test_occupancy_cli_flag",

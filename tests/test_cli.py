@@ -202,7 +202,7 @@ def test_compare_and_side_by_side_cli(cli_scene, trained, tmp_path):
     ])
     from PIL import Image
 
-    assert Image.open(out).size == (64, 32)  # render | gt
+    assert Image.open(out).size == (64, 32)  # gt | render (reference panel order)
 
     out2 = str(tmp_path / "sbs.png")
     sbs_main(["--rendered", out,
