@@ -70,6 +70,31 @@ def test_step_from_latest_checkpoint_names():
     assert step_from_filename("x/model_best.ckpt") == 0
 
 
+def test_latest_checkpoint_discovers_layered_weights(tmp_path):
+    """Auto-resume discovery spans BOTH naming schemes — the newest step
+    wins whether it was written as model_{step}.ckpt (i_weights) or
+    model_{step}_latest.ckpt (quick-val layering) — and the step-less
+    model_best/model_final names are never auto-resumed (they would
+    silently renumber a finished run from step 0)."""
+    from nerfmlp_tpu.train.checkpoint import latest_checkpoint
+
+    for name in ("model_300.ckpt", "model_500_latest.ckpt",
+                 "model_best.ckpt", "model_final.ckpt"):
+        (tmp_path / name).write_bytes(b"x")
+    assert latest_checkpoint(str(tmp_path)).endswith("model_500_latest.ckpt")
+
+    # metrics_latest.ckpt (the full resumable TrainState) always wins.
+    (tmp_path / "metrics_latest.ckpt").write_bytes(b"x")
+    assert latest_checkpoint(str(tmp_path)).endswith("metrics_latest.ckpt")
+
+    # Only step-less names present -> nothing to auto-resume.
+    import os
+    for name in ("model_300.ckpt", "model_500_latest.ckpt",
+                 "metrics_latest.ckpt"):
+        os.remove(tmp_path / name)
+    assert latest_checkpoint(str(tmp_path)) is None
+
+
 def test_render_example_reference_aliases(tmp_path):
     """--model_path/--gamma_correction/--out_prefix/--no_white_bkgd/
     --use_fine_weights parse (reference README.md:441-449 commands)."""
