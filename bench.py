@@ -94,11 +94,18 @@ def _render_seconds(rc, wh: int = 800, n: int = 3) -> float:
     o = jnp.asarray(o.reshape(-1, 3).copy())
     d = jnp.asarray(d.reshape(-1, 3))
 
-    img = render_image(params, o, d, wh, wh, rc)  # warmup/compile
+    occ_grid = None
+    if rc.use_occupancy:
+        from nerfmlp_tpu.ops.occupancy import build_grid
+
+        occ_grid = build_grid(params, rc, jax.random.PRNGKey(1),
+                              resolution=rc.occ_grid_size)
+
+    img = render_image(params, o, d, wh, wh, rc, occ_grid=occ_grid)  # warmup
     _ = float(img[0, 0, 0])
     t0 = time.time()
     for _ in range(n):
-        img = render_image(params, o, d, wh, wh, rc)
+        img = render_image(params, o, d, wh, wh, rc, occ_grid=occ_grid)
         _ = float(img[0, 0, 0])
     return (time.time() - t0) / n
 
@@ -220,6 +227,15 @@ def main():
     ))
     rows.append(_row("render_800px_fp32_high_pallas", s,
                      "s/frame (800x800, 64+128, bf16x3 in-kernel)"))
+    # Inference-side occupancy (render_example/eval/render_video
+    # --use_occupancy): grid-guided sampling at the occ-train budget.
+    s = _render_seconds(RenderConfig(
+        N_samples=16, N_importance=48, near=2.0, far=6.0, perturb=False,
+        compute_dtype="bfloat16", use_pallas=True, use_occupancy=True,
+        aabb=(-1.3, -1.3, -1.3, 1.3, 1.3, 1.3),
+    ))
+    rows.append(_row("render_800px_occupancy_16_48", s,
+                     "s/frame (800x800, occ grid)"))
 
     rows.append(_golden_lego_row())
 

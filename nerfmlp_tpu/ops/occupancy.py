@@ -117,6 +117,35 @@ def update_grid(
     return OccupancyGrid(density=jnp.maximum(grid.density * decay, sigma))
 
 
+def build_grid(
+    params,
+    cfg: RenderConfig,
+    rng: jax.Array,
+    resolution: int = 64,
+    refreshes: int = 4,
+) -> OccupancyGrid:
+    """One-shot grid build from a TRAINED checkpoint (for inference CLIs).
+
+    Training maintains the grid online via EMA refreshes; a render-only
+    process has no training loop, so this takes the max density over a few
+    jittered evaluations per cell instead (decay=1.0 degenerates the EMA
+    update into exactly that running max). ``refreshes`` jitters guard
+    against thin surfaces slipping between cell centers. Density starts at
+    0 so cells the trained model marks empty actually skip.
+    """
+    grid = OccupancyGrid(
+        density=jnp.zeros((resolution,) * 3, jnp.float32)
+    )
+    # params is a jit ARGUMENT (not a closure) so the weights stay device
+    # buffers instead of being baked into the executable as constants.
+    step = jax.jit(
+        lambda g, p, k: update_grid(g, p, cfg, k, decay=1.0)
+    )
+    for k in jax.random.split(rng, refreshes):
+        grid = step(grid, params, k)
+    return grid
+
+
 def lookup(grid: OccupancyGrid, pts: jnp.ndarray, aabb) -> jnp.ndarray:
     """Nearest-cell density at (..., 3) points; 0 outside the box."""
     box_min = jnp.asarray(aabb[:3], jnp.float32)

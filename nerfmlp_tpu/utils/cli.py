@@ -55,6 +55,53 @@ def add_llff_flags(p) -> None:
                         "only for reproducing metrics computed that way)")
 
 
+def add_occupancy_flags(p) -> None:
+    """--use_occupancy/--aabb/--occ_grid_size/--occ_dense_samples for
+    checkpoint-consuming scripts — the inference-side counterpart of the
+    trainer's occupancy flags (scripts/train.py): the coarse MLP pass is
+    replaced by a density grid rebuilt from the checkpoint."""
+    p.add_argument("--use_occupancy", action="store_true",
+                   help="occupancy-grid sampling (requires --aabb): rebuild "
+                        "a density grid from the checkpoint, place all "
+                        "samples in occupied space, skip the coarse MLP "
+                        "pass (same trade as the trainer's --use_occupancy)")
+    p.add_argument("--aabb", type=float, nargs=6, default=None,
+                   metavar=("XMIN", "YMIN", "ZMIN", "XMAX", "YMAX", "ZMAX"),
+                   help="scene box for --use_occupancy")
+    p.add_argument("--occ_grid_size", type=int, default=64)
+    p.add_argument("--occ_dense_samples", type=int, default=128)
+
+
+def occupancy_fields(args) -> dict:
+    """RenderConfig kwargs for the parsed occupancy flags."""
+    return {
+        "use_occupancy": args.use_occupancy,
+        "aabb": tuple(args.aabb) if args.aabb else None,
+        "occ_grid_size": args.occ_grid_size,
+        "occ_dense_samples": args.occ_dense_samples,
+    }
+
+
+def build_occ_grid(args, rc, params, parser):
+    """One-shot occupancy grid from a loaded checkpoint, or None.
+
+    The trainer maintains its grid online (EMA refreshes during training);
+    a render-only process rebuilds one from the trained weights
+    (ops/occupancy.build_grid). parser.error when --aabb is missing."""
+    if not args.use_occupancy:
+        return None
+    if rc.aabb is None:
+        parser.error("--use_occupancy requires --aabb")
+    import jax
+
+    from nerfmlp_tpu.ops.occupancy import build_grid
+
+    grid = build_grid(params, rc, jax.random.PRNGKey(0),
+                      resolution=args.occ_grid_size)
+    print(f"occupancy grid {args.occ_grid_size}^3 built from checkpoint")
+    return grid
+
+
 def dataset_kwargs(args) -> dict:
     """Loader kwargs for the parsed --dataset_type + flags (pairs with
     :func:`dataset_class` / :func:`add_llff_flags`)."""

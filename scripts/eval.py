@@ -20,10 +20,12 @@ def main(argv=None):
     p.add_argument("--shape", type=str, default="greek",
                    help="deepvoxels scene name (oracle --shape)")
     from nerfmlp_tpu.utils.cli import (
-        add_arch_flags, add_llff_flags, arch_fields, dataset_class,
-        dataset_kwargs, params_template,
+        add_arch_flags, add_llff_flags, add_occupancy_flags, arch_fields,
+        build_occ_grid, dataset_class, dataset_kwargs, occupancy_fields,
+        params_template,
     )
     add_llff_flags(p)
+    add_occupancy_flags(p)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
     p.add_argument("--ckpt", type=str, required=True, help=".ckpt or .npy")
@@ -75,9 +77,11 @@ def main(argv=None):
         near=near, far=far, perturb=False, raw_noise_std=0.0,
         compute_dtype=args.compute_dtype, fp32_precision=args.fp32_precision, use_pallas=args.use_pallas, separate_fine=args.separate_fine,
         white_bkgd=args.dataset_type != "llff",
+        **occupancy_fields(args),
         **arch_fields(args),
     )
     params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
+    occ_grid = build_occ_grid(args, rc, params, p)
 
     if args.save_renders:
         os.makedirs(args.save_renders, exist_ok=True)
@@ -89,7 +93,8 @@ def main(argv=None):
         vd = image_viewdirs(ds, i)
         img = np.asarray(
             render_image(params, jnp.asarray(o), jnp.asarray(d),
-                         ds.H, ds.W, rc, tile=args.tile, viewdirs=vd)
+                         ds.H, ds.W, rc, tile=args.tile, viewdirs=vd,
+                         occ_grid=occ_grid)
         )
         view = {"view": i, "psnr": psnr_images(img, gt), "ssim": ssim(img, gt)}
         per_view.append(view)

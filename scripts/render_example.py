@@ -22,8 +22,9 @@ def main(argv=None):
     p.add_argument("--shape", type=str, default="greek",
                    help="deepvoxels scene name (oracle --shape)")
     from nerfmlp_tpu.utils.cli import (
-        add_arch_flags, add_llff_flags, arch_fields, dataset_class,
-        dataset_kwargs, params_template,
+        add_arch_flags, add_llff_flags, add_occupancy_flags, arch_fields,
+        build_occ_grid, dataset_class, dataset_kwargs, occupancy_fields,
+        params_template,
     )
     add_llff_flags(p)
     p.add_argument("--split", type=str, default="test")
@@ -70,6 +71,7 @@ def main(argv=None):
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
     p.add_argument("--separate_fine", action="store_true",
                    help="checkpoint holds separate coarse/fine nets")
+    add_occupancy_flags(p)
     p.add_argument("--tile", "--chunk", type=int, default=4096)
     add_arch_flags(p)
     args = p.parse_args(argv)
@@ -120,9 +122,11 @@ def main(argv=None):
         # Match training's compositing: white bkgd is blender-only
         # (reference --no_white_bkgd overrides).
         white_bkgd=args.dataset_type != "llff" and not args.no_white_bkgd,
+        **occupancy_fields(args),
         **arch_fields(args),
     )
     params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
+    occ_grid = build_occ_grid(args, rc, params, p)
 
     idxs = [args.view_idx] if args.view_idx is not None else list(range(args.num_views))
     for i in idxs:
@@ -133,7 +137,8 @@ def main(argv=None):
         vd = image_viewdirs(ds, k)
         img = np.asarray(
             render_image(params, jnp.asarray(o), jnp.asarray(d),
-                         ds.H, ds.W, rc, tile=args.tile, viewdirs=vd)
+                         ds.H, ds.W, rc, tile=args.tile, viewdirs=vd,
+                         occ_grid=occ_grid)
         )
         img = np.clip(img * args.brightness_boost, 0.0, 1.0)
         if args.apply_gamma:

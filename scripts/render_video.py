@@ -47,9 +47,11 @@ def main(argv=None):
     p.add_argument("--separate_fine", action="store_true")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
     from nerfmlp_tpu.utils.cli import (
-        add_arch_flags, add_llff_flags, arch_fields, params_template,
+        add_arch_flags, add_llff_flags, add_occupancy_flags, arch_fields,
+        build_occ_grid, occupancy_fields, params_template,
     )
     add_arch_flags(p)
+    add_occupancy_flags(p)
     # Full LLFF surface (--no_ndc/--spherify/--factor/--llffhold/
     # --no_aspect_snap): the render dataset must be built the way the
     # checkpoint was trained — a metric-ray checkpoint rendered through
@@ -111,9 +113,11 @@ def main(argv=None):
         separate_fine=args.separate_fine,
         use_pallas=args.use_pallas,
         compute_dtype="bfloat16" if args.use_pallas else "float32",
+        **occupancy_fields(args),
         **arch_fields(args),
     )
     params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
+    occ_grid = build_occ_grid(args, rc, params, p)
 
     if args.render_test:
         poses, gts, tag = ds.poses, ds.images, "test"
@@ -137,6 +141,7 @@ def main(argv=None):
     rgbs, disps, psnrs = render_path(
         params, poses, (ds.H, ds.W, ds.focal), rc,
         gt_images=gts, render_factor=args.render_factor,
+        occ_grid=occ_grid,
         save_dir=os.path.join(args.out_dir, "frames"),
     )
     rgb_path, disp_path = save_path_videos(

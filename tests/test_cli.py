@@ -275,6 +275,24 @@ def test_eval_cli(cli_scene, trained, tmp_path):
     assert os.path.exists(str(tmp_path / "eval.json"))
 
 
+def test_eval_cli_occupancy(cli_scene, trained, tmp_path):
+    """eval.py shares the inference occupancy flags (utils/cli.py):
+    grid rebuilt from the checkpoint, metrics stay finite."""
+    from scripts.eval import main as eval_main
+
+    report = eval_main([
+        "--datadir", cli_scene, "--split", "test", "--img_wh", "32", "32",
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--out", str(tmp_path / "eval_occ.json"),
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+        "--compute_dtype", "float32", "--tile", "256",
+        "--use_occupancy", "--aabb", "-2", "-2", "-2", "2", "2", "2",
+        "--occ_grid_size", "8", "--occ_dense_samples", "16",
+    ])
+    assert report["n_views"] == 2
+    assert np.isfinite(report["mean_psnr"])
+
+
 def test_custom_arch_train_and_render_only(cli_scene, tmp_path):
     """Oracle --netdepth/--netwidth(_fine) + --render_only/--render_test
     (run_nerf.py:467-474, 682-702): a non-canonical two-net architecture
@@ -317,6 +335,39 @@ def test_custom_arch_train_and_render_only(cli_scene, tmp_path):
                              "--video_frames", "2"])
     assert glob.glob(os.path.join(m["render_only"], "video_rgb.*"))
     assert glob.glob(os.path.join(m["render_only"], "video_disp.*"))
+
+
+def test_render_example_occupancy(cli_scene, trained, tmp_path):
+    """--use_occupancy rebuilds a density grid from the checkpoint and
+    renders through the single-pass occupancy path (trainer parity:
+    scripts/train.py --use_occupancy)."""
+    from scripts.render_example import main as render_main
+
+    out = str(tmp_path / "occ_renders")
+    render_main([
+        "--datadir", cli_scene, "--split", "val", "--img_wh", "32", "32",
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--out_dir", out, "--num_views", "1", "--dynamic_bounds",
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+        "--tile", "256",
+        "--use_occupancy", "--aabb", "-2", "-2", "-2", "2", "2", "2",
+        "--occ_grid_size", "8", "--occ_dense_samples", "16",
+    ])
+    from PIL import Image
+
+    img = Image.open(os.path.join(out, "render_val_0.png"))
+    assert img.size == (32, 32)
+
+
+def test_render_example_occupancy_requires_aabb(cli_scene, trained, tmp_path):
+    from scripts.render_example import main as render_main
+
+    with pytest.raises(SystemExit):
+        render_main([
+            "--datadir", cli_scene, "--split", "val", "--img_wh", "32", "32",
+            "--ckpt", os.path.join(trained, "model_final.ckpt"),
+            "--use_occupancy", "--no_pallas",
+        ])
 
 
 def test_render_example_custom_arch(cli_scene, tmp_path):

@@ -73,6 +73,33 @@ def test_update_grid_learns_density_layout():
     assert (d >= 0).all() and np.isfinite(d).all()
 
 
+def test_build_grid_is_running_max_over_jitters():
+    """build_grid (inference-side one-shot build) == zero-init running max
+    of update_grid(decay=1.0) over the same jitter keys."""
+    from nerfmlp_tpu.ops.occupancy import build_grid
+
+    cfg = _cfg()
+    params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
+    rng = jax.random.PRNGKey(7)
+    built = build_grid(params, cfg, rng, resolution=cfg.occ_grid_size,
+                       refreshes=3)
+
+    manual = OccupancyGrid(
+        density=jnp.zeros((cfg.occ_grid_size,) * 3, jnp.float32)
+    )
+    for k in jax.random.split(rng, 3):
+        manual = update_grid(manual, params, cfg, k, decay=1.0)
+    # build_grid jits its update; the eager loop fuses differently —
+    # agreement is to float rounding, not bit-exact.
+    np.testing.assert_allclose(
+        np.asarray(built.density), np.asarray(manual.density),
+        rtol=1e-4, atol=1e-6,
+    )
+    # A trained-or-random net still yields a usable grid: finite, >= 0.
+    d = np.asarray(built.density)
+    assert np.isfinite(d).all() and (d >= 0).all()
+
+
 def test_render_with_occupancy_shapes():
     cfg = _cfg()
     params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
