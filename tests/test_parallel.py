@@ -64,6 +64,71 @@ def test_sharded_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
 
 
+def test_sharded_render_matches_single_device():
+    """render_image_sharded over the 8-device mesh == render_image on one
+    device (sharding is placement, not math), including the padded tail,
+    per-ray bounds, viewdirs, and a second map."""
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.render import render_image_maps
+    from nerfmlp_tpu.parallel.render_parallel import render_image_sharded
+
+    rc = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                      perturb=False)
+    params = {"coarse": init_model(jax.random.PRNGKey(0), rc.model_config())}
+    H = W = 12  # 144 rays: not a multiple of tile*8 -> exercises padding
+    rng = np.random.default_rng(5)
+    o = np.tile([[0.0, 0.0, 4.0]], (H * W, 1)).astype(np.float32)
+    d = rng.normal(size=(H * W, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    near = np.full((H * W,), 2.0, np.float32)
+    near[: H * W // 2] = 1.5  # heterogeneous per-ray bounds
+
+    single = render_image_maps(
+        params, jnp.asarray(o), jnp.asarray(d), H, W, rc, tile=64,
+        near=jnp.asarray(near), maps=("rgb_map", "disp_map"),
+    )
+    mesh = make_mesh(n_devices=8)
+    sharded = render_image_sharded(
+        params, o, d, H, W, rc, mesh, tile=8, near=near,
+        maps=("rgb_map", "disp_map"),
+    )
+    for key in ("rgb_map", "disp_map"):
+        np.testing.assert_allclose(
+            np.asarray(single[key]), sharded[key], rtol=2e-4, atol=2e-5
+        )
+
+
+def test_sharded_render_with_occupancy_grid():
+    """The occupancy grid replicates; the sharded occ render stays finite
+    and matches the single-device occ render."""
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.ops.occupancy import build_grid
+    from nerfmlp_tpu.ops.render import render_image
+    from nerfmlp_tpu.parallel.render_parallel import render_image_sharded
+
+    rc = RenderConfig(
+        N_samples=8, N_importance=8, near=2.0, far=6.0, perturb=False,
+        use_occupancy=True, occ_grid_size=8, occ_dense_samples=16,
+        aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5),
+    )
+    params = {"coarse": init_model(jax.random.PRNGKey(0), rc.model_config())}
+    grid = build_grid(params, rc, jax.random.PRNGKey(1), resolution=8,
+                      refreshes=2)
+    H = W = 8
+    o = np.tile([[0.0, 0.0, 4.0]], (H * W, 1)).astype(np.float32)
+    d = np.tile([[0.0, 0.0, -1.0]], (H * W, 1)).astype(np.float32)
+
+    single = np.asarray(render_image(
+        params, jnp.asarray(o), jnp.asarray(d), H, W, rc, tile=32,
+        occ_grid=grid,
+    ))
+    mesh = make_mesh(n_devices=8)
+    sharded = render_image_sharded(
+        params, o, d, H, W, rc, mesh, tile=8, occ_grid=grid,
+    )["rgb_map"]
+    np.testing.assert_allclose(single, sharded, rtol=2e-4, atol=2e-5)
+
+
 def test_batch_actually_sharded():
     mesh = make_mesh(n_devices=8)
     batch = jax.device_put(jnp.asarray(_batch(64)), batch_sharding(mesh))
