@@ -32,6 +32,23 @@ from nerfmlp_tpu.config import RenderConfig
 from nerfmlp_tpu.ops.render import _tile_render_fn
 
 
+def data_parallel_mesh(mesh: Optional[Mesh], axis: str = "data"):
+    """``mesh`` if frame rendering can shard over it, else ``None``.
+
+    Sharded rendering replicates params, so it is only valid on a pure
+    data-parallel mesh: a >1 ``axis`` and no >1 "model" axis (under
+    tensor parallelism the params are themselves sharded — the local
+    renderer handles that placement correctly already).
+    """
+    if mesh is None or axis not in mesh.axis_names:
+        return None
+    if mesh.shape[axis] <= 1:
+        return None
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        return None
+    return mesh
+
+
 def render_image_sharded(
     params: Dict,
     rays_o,

@@ -80,6 +80,7 @@ def render_path(
     tile: int = 4096,
     verbose: bool = True,
     static_cam_pose: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[list]]:
     """Render every pose; returns (rgbs (N,H,W,3), disps (N,H,W), psnrs).
 
@@ -93,8 +94,17 @@ def render_path(
       the view branch follows the trajectory poses — the oracle's
       ``c2w_staticcam`` rgb_still viewdirs visualization
       (run_nerf.py:858-863).
+    * ``mesh``: a pure data-parallel mesh shards every frame's pixel grid
+      over its devices (parallel/render_parallel.py); anything else —
+      ``None``, a 1-device mesh, tensor parallelism — renders locally.
     """
     import jax.numpy as jnp
+
+    from nerfmlp_tpu.parallel.render_parallel import (
+        data_parallel_mesh, render_image_sharded,
+    )
+
+    mesh = data_parallel_mesh(mesh)
 
     H, W, focal = hwf
     if render_factor:
@@ -117,12 +127,20 @@ def render_path(
             )
         else:
             o, d, vd = rays_for_pose(pose, H, W, focal, cfg)
-        out = render_image_maps(
-            params, jnp.asarray(o), jnp.asarray(d), H, W, cfg,
-            tile=tile, occ_grid=occ_grid,
-            viewdirs=None if vd is None else jnp.asarray(vd),
-            maps=("rgb_map", "disp_map"),
-        )
+        if mesh is not None:
+            out = render_image_sharded(
+                params, o, d, H, W, cfg, mesh,
+                tile=max(256, -(-tile // mesh.shape["data"])),
+                occ_grid=occ_grid, viewdirs=vd,
+                maps=("rgb_map", "disp_map"),
+            )
+        else:
+            out = render_image_maps(
+                params, jnp.asarray(o), jnp.asarray(d), H, W, cfg,
+                tile=tile, occ_grid=occ_grid,
+                viewdirs=None if vd is None else jnp.asarray(vd),
+                maps=("rgb_map", "disp_map"),
+            )
         rgb = np.asarray(out["rgb_map"], dtype=np.float32)
         disp = np.asarray(out["disp_map"], dtype=np.float32)
         rgbs.append(rgb)

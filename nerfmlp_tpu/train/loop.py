@@ -150,6 +150,12 @@ class Trainer:
             from nerfmlp_tpu.parallel.mesh import batch_sharding
 
             self._batch_sharding = batch_sharding(mesh)
+        # Validation / i_img / i_video / i_testset renders shard each
+        # frame's pixel grid over a pure data-parallel mesh (under TP the
+        # local renderer already handles the sharded params correctly).
+        from nerfmlp_tpu.parallel.render_parallel import data_parallel_mesh
+
+        self.render_mesh = data_parallel_mesh(mesh)
 
         # Metric histories (reference schema, train.py:457-467).
         self.history: Dict = {
@@ -204,11 +210,23 @@ class Trainer:
         cfg = self.rc
         o, d, gt = dataset.image_rays(idx)
         vd = image_viewdirs(dataset, idx)
-        out = render_image_maps(
-            self.state.params, jnp.asarray(o), jnp.asarray(d),
-            dataset.H, dataset.W, cfg, tile=self.tc.chunk,
-            occ_grid=self.occ_grid, viewdirs=vd, maps=tuple(maps),
-        )
+        if self.render_mesh is not None:
+            from nerfmlp_tpu.parallel.render_parallel import (
+                render_image_sharded,
+            )
+
+            n_dev = self.render_mesh.shape["data"]
+            out = render_image_sharded(
+                self.state.params, o, d, dataset.H, dataset.W, cfg,
+                self.render_mesh, tile=max(256, -(-self.tc.chunk // n_dev)),
+                occ_grid=self.occ_grid, viewdirs=vd, maps=tuple(maps),
+            )
+        else:
+            out = render_image_maps(
+                self.state.params, jnp.asarray(o), jnp.asarray(d),
+                dataset.H, dataset.W, cfg, tile=self.tc.chunk,
+                occ_grid=self.occ_grid, viewdirs=vd, maps=tuple(maps),
+            )
         return {k: np.asarray(v) for k, v in out.items()}, gt
 
     def _tb_extra_maps(self) -> tuple:
@@ -293,6 +311,7 @@ class Trainer:
                 self._hwf(self.train_ds), self.rc,
                 render_factor=self.tc.render_factor,
                 occ_grid=self.occ_grid, verbose=False, tile=self.tc.chunk,
+                mesh=self.render_mesh,
             )
             expname = os.path.basename(os.path.normpath(self.save_dir))
             base = os.path.join(self.save_dir, f"{expname}_spiral_{step:06d}")
@@ -309,7 +328,7 @@ class Trainer:
                     self._hwf(self.train_ds), self.rc,
                     render_factor=self.tc.render_factor,
                     occ_grid=self.occ_grid, verbose=False,
-                    tile=self.tc.chunk,
+                    tile=self.tc.chunk, mesh=self.render_mesh,
                     static_cam_pose=np.asarray(self.render_poses)[0],
                 )
                 still_path = write_video(base + "_rgb_still", to8b(stills))
@@ -340,6 +359,7 @@ class Trainer:
                 (H, W, focal), self.rc,
                 gt_images=gt, tile=self.tc.chunk,
                 occ_grid=self.occ_grid, save_dir=out_dir, verbose=False,
+                mesh=self.render_mesh,
             )
             if psnrs:
                 mean_p = float(np.mean(psnrs))

@@ -102,6 +102,54 @@ def build_occ_grid(args, rc, params, parser):
     return grid
 
 
+def add_shard_flag(p) -> None:
+    """--shard_render for checkpoint-consuming scripts: render each frame
+    through :func:`nerfmlp_tpu.parallel.render_image_sharded` (pixel grid
+    sharded over ALL visible devices, params replicated) instead of the
+    local tiled renderer. The multi-chip inference path; on one device it
+    falls back to the local renderer with a note."""
+    p.add_argument("--shard_render", action="store_true",
+                   help="shard each frame's pixel grid over all visible "
+                        "devices (multi-chip inference); params replicate, "
+                        "tiles render concurrently on every chip")
+
+
+def render_frame(args, params, o, d, H, W, rc, occ_grid=None,
+                 viewdirs=None):
+    """One (H, W, 3) frame via the local tiled renderer or — under
+    --shard_render with >1 device — the mesh-sharded renderer.
+
+    ``--tile`` keeps its meaning as rays per dispatch in both modes: the
+    sharded path divides it across the mesh so each chip's tile (and the
+    compiled program's per-device shapes) stays comparable.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if getattr(args, "shard_render", False):
+        if jax.device_count() > 1:
+            from nerfmlp_tpu.parallel.mesh import make_mesh
+            from nerfmlp_tpu.parallel.render_parallel import (
+                render_image_sharded,
+            )
+
+            mesh = make_mesh()
+            n_dev = mesh.shape["data"]
+            per_dev = max(256, -(-args.tile // n_dev))
+            return render_image_sharded(
+                params, np.asarray(o), np.asarray(d), H, W, rc, mesh,
+                tile=per_dev, occ_grid=occ_grid, viewdirs=viewdirs,
+            )["rgb_map"]
+        print("--shard_render: one visible device; using the local renderer")
+    from nerfmlp_tpu.ops.render import render_image
+
+    return np.asarray(render_image(
+        params, jnp.asarray(o), jnp.asarray(d), H, W, rc,
+        tile=args.tile, viewdirs=viewdirs, occ_grid=occ_grid,
+    ))
+
+
 def dataset_kwargs(args) -> dict:
     """Loader kwargs for the parsed --dataset_type + flags (pairs with
     :func:`dataset_class` / :func:`add_llff_flags`)."""

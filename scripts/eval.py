@@ -20,12 +20,13 @@ def main(argv=None):
     p.add_argument("--shape", type=str, default="greek",
                    help="deepvoxels scene name (oracle --shape)")
     from nerfmlp_tpu.utils.cli import (
-        add_arch_flags, add_llff_flags, add_occupancy_flags, arch_fields,
-        build_occ_grid, dataset_class, dataset_kwargs, occupancy_fields,
-        params_template,
+        add_arch_flags, add_llff_flags, add_occupancy_flags, add_shard_flag,
+        arch_fields, build_occ_grid, dataset_class, dataset_kwargs,
+        occupancy_fields, params_template, render_frame,
     )
     add_llff_flags(p)
     add_occupancy_flags(p)
+    add_shard_flag(p)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
     p.add_argument("--ckpt", type=str, required=True, help=".ckpt or .npy")
@@ -52,11 +53,9 @@ def main(argv=None):
 
     import time
 
-    import jax.numpy as jnp
     import numpy as np
 
     from nerfmlp_tpu.config import RenderConfig
-    from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
     from nerfmlp_tpu.train.metrics import psnr_images, ssim
     from nerfmlp_tpu.utils.image import save_png
@@ -91,11 +90,8 @@ def main(argv=None):
     for i in range(ds.n_images):
         o, d, gt = ds.image_rays(i)
         vd = image_viewdirs(ds, i)
-        img = np.asarray(
-            render_image(params, jnp.asarray(o), jnp.asarray(d),
-                         ds.H, ds.W, rc, tile=args.tile, viewdirs=vd,
-                         occ_grid=occ_grid)
-        )
+        img = render_frame(args, params, o, d, ds.H, ds.W, rc,
+                           occ_grid=occ_grid, viewdirs=vd)
         view = {"view": i, "psnr": psnr_images(img, gt), "ssim": ssim(img, gt)}
         per_view.append(view)
         print(f"view {i:3d}: PSNR {view['psnr']:6.2f} dB | SSIM {view['ssim']:.4f}")

@@ -22,11 +22,12 @@ def main(argv=None):
     p.add_argument("--shape", type=str, default="greek",
                    help="deepvoxels scene name (oracle --shape)")
     from nerfmlp_tpu.utils.cli import (
-        add_arch_flags, add_llff_flags, add_occupancy_flags, arch_fields,
-        build_occ_grid, dataset_class, dataset_kwargs, occupancy_fields,
-        params_template,
+        add_arch_flags, add_llff_flags, add_occupancy_flags, add_shard_flag,
+        arch_fields, build_occ_grid, dataset_class, dataset_kwargs,
+        occupancy_fields, params_template, render_frame,
     )
     add_llff_flags(p)
+    add_shard_flag(p)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--img_wh", type=int, nargs=2, default=[800, 800])
     p.add_argument("--ckpt", "--model_path", type=str, required=True,
@@ -76,13 +77,11 @@ def main(argv=None):
     add_arch_flags(p)
     args = p.parse_args(argv)
 
-    import jax.numpy as jnp
     import numpy as np
     from PIL import Image
 
     from nerfmlp_tpu.config import RenderConfig
     from nerfmlp_tpu.data.blender import linear_to_srgb
-    from nerfmlp_tpu.ops.render import render_image
     from nerfmlp_tpu.train.checkpoint import load_params_any
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -135,11 +134,8 @@ def main(argv=None):
         k = i % ds.n_images
         o, d, _ = ds.image_rays(k)
         vd = image_viewdirs(ds, k)
-        img = np.asarray(
-            render_image(params, jnp.asarray(o), jnp.asarray(d),
-                         ds.H, ds.W, rc, tile=args.tile, viewdirs=vd,
-                         occ_grid=occ_grid)
-        )
+        img = render_frame(args, params, o, d, ds.H, ds.W, rc,
+                           occ_grid=occ_grid, viewdirs=vd)
         img = np.clip(img * args.brightness_boost, 0.0, 1.0)
         if args.apply_gamma:
             img = linear_to_srgb(img)

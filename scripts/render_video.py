@@ -47,11 +47,12 @@ def main(argv=None):
     p.add_argument("--separate_fine", action="store_true")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
     from nerfmlp_tpu.utils.cli import (
-        add_arch_flags, add_llff_flags, add_occupancy_flags, arch_fields,
-        build_occ_grid, occupancy_fields, params_template,
+        add_arch_flags, add_llff_flags, add_occupancy_flags, add_shard_flag,
+        arch_fields, build_occ_grid, occupancy_fields, params_template,
     )
     add_arch_flags(p)
     add_occupancy_flags(p)
+    add_shard_flag(p)
     # Full LLFF surface (--no_ndc/--spherify/--factor/--llffhold/
     # --no_aspect_snap): the render dataset must be built the way the
     # checkpoint was trained — a metric-ray checkpoint rendered through
@@ -138,10 +139,21 @@ def main(argv=None):
     else:
         poses, gts, tag = ds.render_poses(n_frames=args.n_frames), None, "path"
 
+    mesh = None
+    if args.shard_render:
+        import jax
+
+        if jax.device_count() > 1:
+            from nerfmlp_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        else:
+            print("--shard_render: one visible device; "
+                  "using the local renderer")
     rgbs, disps, psnrs = render_path(
         params, poses, (ds.H, ds.W, ds.focal), rc,
         gt_images=gts, render_factor=args.render_factor,
-        occ_grid=occ_grid,
+        occ_grid=occ_grid, mesh=mesh,
         save_dir=os.path.join(args.out_dir, "frames"),
     )
     rgb_path, disp_path = save_path_videos(

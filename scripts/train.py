@@ -473,6 +473,7 @@ def main(argv=None):
                 (test_ds.H, test_ds.W, test_ds.focal), rc,
                 gt_images=test_ds.images, render_factor=args.render_factor,
                 occ_grid=trainer.occ_grid, save_dir=out_dir, tile=args.chunk,
+                mesh=trainer.render_mesh,
             )
         else:
             rgbs, disps, _ = render_path(
@@ -480,6 +481,7 @@ def main(argv=None):
                 (dataset.H, dataset.W, dataset.focal), rc,
                 render_factor=args.render_factor,
                 occ_grid=trainer.occ_grid, save_dir=out_dir, tile=args.chunk,
+                mesh=trainer.render_mesh,
             )
             save_path_videos(os.path.join(out_dir, "video"), rgbs, disps)
         print(f"✅ render_only done: {len(rgbs)} frames -> {out_dir}")

@@ -172,6 +172,34 @@ def test_render_video_cli(cli_scene, trained, tmp_path):
     assert np.isfinite(rep["mean_psnr"])
 
 
+def test_render_video_cli_shard_render(cli_scene, trained, tmp_path):
+    """--shard_render threads the 8-fake-device mesh through render_path;
+    the sharded orbit frames match the local run's to 8-bit rounding."""
+    import glob
+
+    from PIL import Image
+
+    from scripts.render_video import main as rv_main
+
+    outs = {}
+    for tag, extra in (("local", []), ("shard", ["--shard_render"])):
+        out = str(tmp_path / tag)
+        rv_main([
+            "--datadir", cli_scene, "--ckpt",
+            os.path.join(trained, "model_final.ckpt"),
+            "--out_dir", out, "--size", "32", "--n_frames", "2",
+            "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+        ] + extra)
+        assert glob.glob(os.path.join(out, "path_rgb.*"))
+        outs[tag] = out
+    for i in range(2):
+        a = np.asarray(Image.open(
+            os.path.join(outs["local"], "frames", f"{i:03d}.png")), np.int16)
+        b = np.asarray(Image.open(
+            os.path.join(outs["shard"], "frames", f"{i:03d}.png")), np.int16)
+        assert np.abs(a - b).max() <= 1
+
+
 def test_render_example_cli(cli_scene, trained, tmp_path):
     from scripts.render_example import main as render_main
 
@@ -275,6 +303,26 @@ def test_eval_cli(cli_scene, trained, tmp_path):
     assert os.path.exists(str(tmp_path / "eval.json"))
 
 
+def test_eval_cli_shard_render(cli_scene, trained, tmp_path):
+    """--shard_render (utils/cli.py::render_frame): the same eval over the
+    8-fake-device mesh reproduces the local renderer's per-view metrics
+    (sharding is placement, not math)."""
+    from scripts.eval import main as eval_main
+
+    base_args = [
+        "--datadir", cli_scene, "--split", "test", "--img_wh", "32", "32",
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+        "--compute_dtype", "float32", "--tile", "256",
+    ]
+    local = eval_main(base_args + ["--out", str(tmp_path / "local.json")])
+    sharded = eval_main(base_args + ["--out", str(tmp_path / "shard.json"),
+                                     "--shard_render"])
+    assert sharded["n_views"] == local["n_views"] == 2
+    for lv, sv in zip(local["per_view"], sharded["per_view"]):
+        assert abs(lv["psnr"] - sv["psnr"]) < 0.05, (lv, sv)
+
+
 def test_eval_cli_occupancy(cli_scene, trained, tmp_path):
     """eval.py shares the inference occupancy flags (utils/cli.py):
     grid rebuilt from the checkpoint, metrics stay finite."""
@@ -357,6 +405,28 @@ def test_render_example_occupancy(cli_scene, trained, tmp_path):
 
     img = Image.open(os.path.join(out, "render_val_0.png"))
     assert img.size == (32, 32)
+
+
+def test_render_example_shard_render(cli_scene, trained, tmp_path):
+    """render_example --shard_render writes a PNG that matches the local
+    renderer's output to 8-bit rounding."""
+    from PIL import Image
+
+    from scripts.render_example import main as render_main
+
+    base = [
+        "--datadir", cli_scene, "--split", "val", "--img_wh", "32", "32",
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--num_views", "1", "--dynamic_bounds",
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+        "--compute_dtype", "float32", "--tile", "256",
+    ]
+    render_main(base + ["--out_dir", str(tmp_path / "local")])
+    render_main(base + ["--out_dir", str(tmp_path / "shard"),
+                        "--shard_render"])
+    a = np.asarray(Image.open(tmp_path / "local" / "render_val_0.png"), np.int16)
+    b = np.asarray(Image.open(tmp_path / "shard" / "render_val_0.png"), np.int16)
+    assert np.abs(a - b).max() <= 1
 
 
 def test_render_example_occupancy_requires_aabb(cli_scene, trained, tmp_path):

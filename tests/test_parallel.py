@@ -98,6 +98,71 @@ def test_sharded_render_matches_single_device():
         )
 
 
+def test_render_path_mesh_matches_local(tmp_path):
+    """render_path(mesh=) (the i_video/i_testset/render_only plumbing)
+    reproduces the local render, incl. the NDC-less viewdirs=None path."""
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.render_path import render_path
+
+    rc = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                      perturb=False)
+    params = {"coarse": init_model(jax.random.PRNGKey(0), rc.model_config())}
+    pose = np.eye(4, dtype=np.float32)[:3]
+    pose[2, 3] = 4.0
+    poses = np.stack([pose, pose])
+    hwf = (10, 10, 12.0)
+
+    local = render_path(params, poses, hwf, rc, tile=64, verbose=False)
+    mesh = make_mesh(n_devices=8)
+    sharded = render_path(params, poses, hwf, rc, tile=64, verbose=False,
+                          mesh=mesh)
+    for a, b in zip(local[:2], sharded[:2]):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_trainer_render_mesh_validation_matches(synthetic_scene):
+    """A Trainer over a pure-DP mesh shards its validation renders
+    (render_mesh set) and reports the same full-val metrics as a meshless
+    Trainer with identical (seed-equal) params."""
+    from nerfmlp_tpu.data.blender import BlenderDataset
+    from nerfmlp_tpu.train.loop import Trainer
+
+    ds = BlenderDataset(synthetic_scene, "train", img_wh=(40, 40))
+    val = BlenderDataset(synthetic_scene, "val", img_wh=(40, 40))
+    near, far = ds.dynamic_near_far()
+    rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far,
+                      perturb=True)
+    tc = TrainConfig(batch_size=64, seed=0, chunk=512)
+
+    t_local = Trainer(rc, tc, ds, val_ds=val, verbose=False,
+                      save_dir="/tmp/_tr_local")
+    mesh = make_mesh(n_devices=8)
+    t_mesh = Trainer(rc, tc, ds, val_ds=val, mesh=mesh, verbose=False,
+                     save_dir="/tmp/_tr_mesh")
+    assert t_local.render_mesh is None
+    assert t_mesh.render_mesh is mesh
+
+    m_local = t_local.full_validate()
+    m_mesh = t_mesh.full_validate()
+    assert abs(m_local["psnr"] - m_mesh["psnr"]) < 0.05
+    assert abs(m_local["ssim"] - m_mesh["ssim"]) < 1e-3
+
+
+def test_tp_mesh_keeps_local_render():
+    """data_parallel_mesh rejects a >1 "model" axis (TP params are
+    sharded; replicating them for the render path would be wrong)."""
+    from nerfmlp_tpu.parallel.render_parallel import data_parallel_mesh
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()).reshape(4, 2)
+    tp_mesh = Mesh(devs, ("data", "model"))
+    assert data_parallel_mesh(tp_mesh) is None
+    dp_mesh = make_mesh(n_devices=8)
+    assert data_parallel_mesh(dp_mesh) is dp_mesh
+    assert data_parallel_mesh(None) is None
+    assert data_parallel_mesh(make_mesh(n_devices=1)) is None
+
+
 def test_sharded_render_with_occupancy_grid():
     """The occupancy grid replicates; the sharded occ render stays finite
     and matches the single-device occ render."""
