@@ -182,3 +182,19 @@ class TrainConfig:
                                  # (oracle --render_factor, run_nerf.py:529-531)
     chunk: int = 4096            # ray tile for validation/eval renders
                                  # (oracle --chunk, run_nerf.py:488-489)
+    steps_per_dispatch: int = 1  # batch K train steps into ONE jitted
+                                 # lax.scan dispatch. Per-step math, RNG
+                                 # folding, and event cadence are identical
+                                 # (dispatch windows end exactly at every
+                                 # step needing host work); what changes is
+                                 # host<->device round-trips: K x fewer.
+                                 # Steady-state throughput is unchanged
+                                 # (dispatch is already async-hidden) — this
+                                 # exists for hosts where each dispatch has
+                                 # a fixed cost, e.g. the axon tunnel's
+                                 # per-RPC bookkeeping (~10KB leak + step
+                                 # time drifting 1.1->6ms over 200k RPCs).
+                                 # Pick K dividing the event intervals
+                                 # (10 fits the defaults) or windows shrink
+                                 # at boundaries and each distinct size
+                                 # costs one compile.

@@ -127,6 +127,49 @@ def make_step_fn(rc: RenderConfig, tc: TrainConfig):
     return step_fn
 
 
+def make_train_scan(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "data"):
+    """K steps in ONE jitted dispatch: ``lax.scan`` of the update rule over
+    a stacked (K, B, F) batch window (``tc.steps_per_dispatch``).
+
+    The scanned body is exactly ``make_step_fn``'s update — per-step math,
+    RNG folding (keyed on ``state.step``, which increments inside the
+    scan), and metrics are identical to K single dispatches; only the
+    host<->device round-trip granularity changes. Metrics come back
+    stacked (K,) so the caller can accumulate exact per-step sums and log
+    the window's last step. Built for hosts where every dispatch carries a
+    fixed cost (the axon tunnel's per-RPC bookkeeping here): K x fewer RPCs.
+    """
+    step_fn = make_step_fn(rc, tc)
+
+    if rc.use_occupancy:
+        def scan_fn(state, batches, occ_grid):
+            return jax.lax.scan(
+                lambda s, b: step_fn(s, b, occ_grid), state, batches
+            )
+    else:
+        def scan_fn(state, batches):
+            return jax.lax.scan(
+                lambda s, b: step_fn(s, b, None), state, batches
+            )
+
+    if mesh is None:
+        return jax.jit(scan_fn, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    window_shard = NamedSharding(mesh, P(None, axis))  # shard the ray axis
+    in_shardings = (replicated, window_shard) + (
+        (replicated,) if rc.use_occupancy else ()
+    )
+    return jax.jit(
+        scan_fn,
+        in_shardings=in_shardings,
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+
 def make_train_step(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "data"):
     """Build the jitted step. With a mesh, batches are sharded over ``axis``
     and state is replicated; XLA handles the cross-chip grad reduction."""

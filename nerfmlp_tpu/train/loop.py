@@ -35,6 +35,29 @@ from nerfmlp_tpu.train.metrics import (
 )
 
 
+def dispatch_window(
+    step: int, iters: int, max_w: int, intervals, stop_steps=()
+) -> int:
+    """Size of the dispatch window starting at ``step`` (1-based, inclusive).
+
+    The window [step, step+w-1] may contain a host-action step ONLY at its
+    last position, so every ``step % interval == 0`` event block fires on
+    exactly the same steps as single-step dispatch. ``intervals``: active
+    periods whose multiples need host work (logging, validation,
+    checkpoints, render events, occupancy refresh). ``stop_steps``: one-off
+    boundaries (the precrop transition). Zero/None entries are ignored.
+    """
+    w = min(max_w, iters - step + 1)
+    for ivl in intervals:
+        if ivl:
+            nxt = ((step + ivl - 1) // ivl) * ivl  # next multiple >= step
+            w = min(w, nxt - step + 1)
+    for s in stop_steps:
+        if s and step <= s:
+            w = min(w, s - step + 1)
+    return max(w, 1)
+
+
 class Trainer:
     """End-to-end trainer for one scene.
 
@@ -127,6 +150,18 @@ class Trainer:
             self.step_fn = make_train_step(rc, tc, mesh=mesh)
         else:
             self.step_fn = make_train_step(rc, tc, mesh=mesh)
+        # K-step scan dispatch (tc.steps_per_dispatch > 1): one compiled
+        # lax.scan program per window. Not wired for tensor parallelism
+        # (its step carries its own sharding contract; per-step dispatch
+        # cost is negligible next to TP's cross-chip matmuls anyway).
+        self.scan_fn = None
+        if tc.steps_per_dispatch > 1:
+            if self._tp:
+                print("(steps_per_dispatch ignored under tensor parallelism)")
+            else:
+                from nerfmlp_tpu.parallel.train_step import make_train_scan
+
+                self.scan_fn = make_train_scan(rc, tc, mesh=mesh)
         self.loader = RayBatchLoader.from_dataset(
             train_ds, tc.batch_size, seed=tc.seed, image_mode=tc.no_batching
         )
@@ -519,24 +554,78 @@ class Trainer:
                 f"first {tc.precrop_iters:,} iters"
             )
 
-        # Double-buffered input: the next host batch is device_put while
-        # the current step runs (data/pipeline.py::prefetch_to_device).
+        # Double-buffered input: the next host batch (a stacked (w, B, F)
+        # window in scan mode) is device_put while the current step runs
+        # (data/pipeline.py::prefetch_to_device).
         from nerfmlp_tpu.data.pipeline import prefetch_to_device
 
-        def _stream():
-            import itertools
+        # K-step scan dispatch: windows end exactly at every step where the
+        # blocks below need host work, so event cadence is unchanged.
+        scan_mode = self.scan_fn is not None and not tc.profile_dir
+        if self.scan_fn is not None and tc.profile_dir:
+            self._log("(steps_per_dispatch disabled while profiling: the "
+                      "trace wants per-step dispatch boundaries)")
+        if scan_mode:
+            intervals = [tc.log_interval, tc.ckpt_interval,
+                         tc.i_video, tc.i_testset, tc.i_img]
+            if self.quick_val_ds is not None:
+                intervals.append(tc.quick_val_interval)
+            if self.val_ds is not None:
+                intervals.append(tc.full_val_interval)
+            if self.occ_grid is not None:
+                intervals.append(rc.occ_update_every)
 
-            gen = (self.loader.next_batch() for _ in itertools.count())
-            return prefetch_to_device(gen, sharding=self._batch_sharding)
+        def _window(s: int) -> int:
+            if not scan_mode:
+                return 1
+            return dispatch_window(
+                s, iters, tc.steps_per_dispatch, intervals,
+                stop_steps=(tc.precrop_iters,),
+            )
+
+        def _stream():
+            # The generator owns the precrop transition: batches are
+            # prefetched AHEAD of execution, so flipping precrop from the
+            # training loop would leave stale pre-generated batches in
+            # flight (the old code rebuilt the stream and dropped them,
+            # which made the sampled-ray sequence depend on prefetch depth
+            # and dispatch granularity). Flipping exactly before the batch
+            # for step precrop_iters+1 is deterministic for any buffering;
+            # scan windows end at precrop_iters (stop_steps) so the flip
+            # always lands on a window start.
+            def host_batches():
+                s = start_step + 1
+                flip_at = tc.precrop_iters + 1 if tc.precrop_iters > 0 else None
+                while True:
+                    if flip_at is not None and s >= flip_at:
+                        self.loader.set_precrop(1.0)
+                        flip_at = None
+                    if scan_mode:
+                        w = _window(s)
+                        yield np.stack(
+                            [self.loader.next_batch() for _ in range(w)]
+                        )
+                        s += w
+                    else:
+                        yield self.loader.next_batch()
+                        s += 1
+
+            sharding = self._batch_sharding
+            if scan_mode and self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                # (w, B, F): the ray axis (dim 1) shards over the mesh.
+                sharding = NamedSharding(self.mesh, P(None, "data"))
+            return prefetch_to_device(host_batches(), sharding=sharding)
 
         stream = _stream()
 
         t_prev = time.time()
-        for step in range(start_step + 1, iters + 1):
-            if tc.precrop_iters > 0 and step == tc.precrop_iters + 1:
-                self.loader.set_precrop(1.0)
-                self._log(f"🎯 precrop off at iter {step:,}")
-                stream = _stream()  # drop the buffered pre-transition batch
+        step = start_step
+        while step < iters:
+            s = step + 1  # first step this dispatch executes
+            if tc.precrop_iters > 0 and s == tc.precrop_iters + 1:
+                self._log(f"🎯 precrop off at iter {s:,}")
             if tc.profile_dir:
                 # Best-effort: remote-device plugins may not support traces.
                 # Trigger on steps RELATIVE to this call (a resumed run at
@@ -544,10 +633,10 @@ class Trainer:
                 # an open trace is closed after the loop if the run is
                 # shorter than the trace window.
                 try:
-                    if step - start_step == 10:
+                    if s - start_step == 10:
                         jax.profiler.start_trace(tc.profile_dir)
                         trace_active = True
-                    elif step - start_step == 30 and trace_active:
+                    elif s - start_step == 30 and trace_active:
                         jax.profiler.stop_trace()
                         trace_active = False
                         self._log(
@@ -561,27 +650,38 @@ class Trainer:
                     # the rest of the run.
                     tc = dataclasses.replace(tc, profile_dir="")
             batch = next(stream)
+            occ_args = ()
             if self.occ_grid is not None:
-                if (step - 1) % self.rc.occ_update_every == 0:
+                if (s - 1) % self.rc.occ_update_every == 0:
                     self.occ_grid = self._occ_update(
                         self.occ_grid, self.state.params,
-                        jax.random.fold_in(jax.random.PRNGKey(17), step),
+                        jax.random.fold_in(jax.random.PRNGKey(17), s),
                         0.95,
                     )
-                self.state, metrics = self.step_fn(self.state, batch, self.occ_grid)
+                occ_args = (self.occ_grid,)
+            if scan_mode:
+                w = int(batch.shape[0])
+                self.state, mstack = self.scan_fn(self.state, batch, *occ_args)
+                # Last step's metrics for logging; exact per-step sums for
+                # the running averages (device-side, no host sync).
+                metrics = jax.tree_util.tree_map(lambda a: a[-1], mstack)
+                run_loss = run_loss + jnp.sum(mstack["loss"])
+                run_psnr = run_psnr + jnp.sum(mstack["psnr"])
             else:
-                self.state, metrics = self.step_fn(self.state, batch)
+                w = 1
+                self.state, metrics = self.step_fn(self.state, batch, *occ_args)
+                run_loss = run_loss + metrics["loss"]
+                run_psnr = run_psnr + metrics["psnr"]
+            step = s + w - 1
             pending = (metrics, step)
             # Update before the validation/event blocks below so any JSON
             # snapshot they write records THIS step, not step-1.
             self.history["step"] = step
-            run_loss = run_loss + metrics["loss"]
-            run_psnr = run_psnr + metrics["psnr"]
-            run_count += 1
+            run_count += w
 
             now = time.time()
             it = self.history["iteration_times"]
-            it.append(now - t_prev)
+            it.extend([(now - t_prev) / w] * w)
             t_prev = now
             if len(it) > self._ITER_TIMES_CAP:
                 drop = len(it) // 2

@@ -180,6 +180,12 @@ def build_parser():
                    help="accepted for oracle config compatibility; network "
                         "queries are tiled inside the fused kernel/XLA")
     # TPU-native knobs.
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="batch K train steps into one jitted lax.scan "
+                        "dispatch (identical math/cadence; K x fewer "
+                        "host<->device RPCs — useful on tunneled/remote "
+                        "devices with per-dispatch cost; pick K dividing "
+                        "the logging/val intervals, e.g. 10)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--fp32_precision", type=str, default="highest",
@@ -418,6 +424,7 @@ def main(argv=None):
         no_batching=args.no_batching, profile_dir=args.profile_dir,
         i_video=args.i_video, i_testset=args.i_testset, i_img=args.i_img,
         render_factor=args.render_factor, chunk=args.chunk,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
     mesh = None

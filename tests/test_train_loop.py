@@ -328,3 +328,111 @@ def test_empty_quick_val_ds_not_replaced(synthetic_scene, tmp_path):
     t2 = Trainer(rc, tc, ds, val, save_dir=str(tmp_path / "eq2"),
                  verbose=False)
     assert t2.quick_val_ds is val
+
+
+# ---- K-step scan dispatch (tc.steps_per_dispatch) ----------------------- #
+
+
+def test_dispatch_window_math():
+    from nerfmlp_tpu.train.loop import dispatch_window
+
+    # Plain: no boundary inside -> full K.
+    assert dispatch_window(1, 1000, 10, [100]) == 10
+    # Window must END at the interval multiple.
+    assert dispatch_window(95, 1000, 10, [100]) == 6
+    assert dispatch_window(100, 1000, 10, [100]) == 1  # event AT the start
+    # Tightest of several intervals wins.
+    assert dispatch_window(13, 1000, 10, [100, 16]) == 4  # ends at 16
+    # Run end bounds the window.
+    assert dispatch_window(998, 1000, 10, [7000]) == 3
+    # One-off stop (precrop transition): end exactly at it.
+    assert dispatch_window(4, 1000, 10, [1000], stop_steps=(7,)) == 4
+    assert dispatch_window(8, 1000, 10, [1000], stop_steps=(7,)) == 10
+    # Zero/None entries ignored; floor at 1.
+    assert dispatch_window(50, 50, 10, [0, None], stop_steps=(0,)) == 1
+
+
+def _mk_scan_trainer(scene, save_dir, k, occupancy=False):
+    ds = BlenderDataset(scene, "train", img_wh=(40, 40))
+    val = BlenderDataset(scene, "val", img_wh=(40, 40))
+    near, far = ds.dynamic_near_far()
+    kw = {}
+    if occupancy:
+        kw = dict(aabb=(-1.5, -1.5, -1.2, 1.5, 1.5, 1.5),
+                  use_occupancy=True, occ_grid_size=16, occ_dense_samples=16,
+                  occ_update_every=10)
+    rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far,
+                      perturb=True, **kw)
+    tc = TrainConfig(
+        batch_size=256, iters=30, quick_val_interval=15,
+        full_val_interval=0, quick_val_subset=1, log_interval=10,
+        ckpt_interval=30, precrop_iters=7, precrop_frac=0.6,
+        steps_per_dispatch=k,
+    )
+    return Trainer(rc, tc, ds, val, val, save_dir=save_dir, verbose=False)
+
+
+def test_scan_dispatch_matches_single_step(synthetic_scene, tmp_path):
+    """steps_per_dispatch=K runs the SAME math as K single dispatches:
+    identical batch order, RNG folding, event cadence, and (to fp reorder
+    noise) parameters/metrics — across log/val boundaries, a precrop
+    transition mid-run, and a non-dividing interval (15 % 4 != 0)."""
+    t1 = _mk_scan_trainer(synthetic_scene, str(tmp_path / "k1"), k=1)
+    m1 = t1.train()
+    t4 = _mk_scan_trainer(synthetic_scene, str(tmp_path / "k4"), k=4)
+    m4 = t4.train()
+
+    a = jax.device_get(t1.state.params)
+    b = jax.device_get(t4.state.params)
+    flat_a, _ = jax.tree_util.tree_flatten(a)
+    flat_b, _ = jax.tree_util.tree_flatten(b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(x, y, rtol=2e-4, atol=2e-6)
+
+    # Histories line up: same validation steps, same metric cadence.
+    assert m1["val_steps"] == m4["val_steps"]
+    assert len(m1["iteration_times"]) == len(m4["iteration_times"]) == 30
+    np.testing.assert_allclose(
+        m1["train_losses"], m4["train_losses"], rtol=1e-3)
+    np.testing.assert_allclose(
+        m1["quick_val_psnrs"], m4["quick_val_psnrs"], rtol=1e-3)
+    # Layered checkpoints still land on the same steps.
+    assert os.path.exists(os.path.join(str(tmp_path / "k4"), "model_30.ckpt"))
+
+
+def test_scan_dispatch_occupancy_matches(synthetic_scene, tmp_path):
+    """Scan windows break at occ_update_every so the grid refresh fires on
+    the same steps, with the same RNG fold, as single-step dispatch.
+
+    (Params are compared only loosely: the binary occupied/empty threshold
+    amplifies scan-vs-single compilation fp noise into discretely different
+    sample depths, so bit-tight agreement is not the contract here — the
+    refresh cadence is.)"""
+
+    def spy_updates(t):
+        folds, orig = [], t._occ_update
+
+        def spy(grid, params, rng, decay):
+            folds.append(np.asarray(rng))
+            return orig(grid, params, rng, decay)
+
+        t._occ_update = spy
+        return folds
+
+    t1 = _mk_scan_trainer(synthetic_scene, str(tmp_path / "o1"), k=1,
+                          occupancy=True)
+    f1 = spy_updates(t1)
+    t1.train()
+    t5 = _mk_scan_trainer(synthetic_scene, str(tmp_path / "o5"), k=5,
+                          occupancy=True)
+    f5 = spy_updates(t5)
+    t5.train()
+
+    # Same number of refreshes (iters=30, every 10 -> steps 1, 11, 21),
+    # each with the identical per-step RNG fold.
+    assert len(f1) == len(f5) == 3
+    for a, b in zip(f1, f5):
+        np.testing.assert_array_equal(a, b)
+    a = np.asarray(t1.state.params["coarse"]["pts_0"]["kernel"])
+    b = np.asarray(t5.state.params["coarse"]["pts_0"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=5e-3)
