@@ -189,12 +189,18 @@ class TrainConfig:
                                  # step needing host work); what changes is
                                  # host<->device round-trips: K x fewer.
                                  # Steady-state throughput is unchanged
-                                 # (dispatch is already async-hidden) — this
-                                 # exists for hosts where each dispatch has
-                                 # a fixed cost, e.g. the axon tunnel's
-                                 # per-RPC bookkeeping (~10KB leak + step
-                                 # time drifting 1.1->6ms over 200k RPCs).
-                                 # Pick K dividing the event intervals
-                                 # (10 fits the defaults) or windows shrink
-                                 # at boundaries and each distinct size
+                                 # (dispatch is already async-hidden), so
+                                 # this only helps hosts where a FIXED
+                                 # per-dispatch cost dominates the device
+                                 # step time. Measured on the axon tunnel
+                                 # (5k-step flagship A/B): K=10 neutral,
+                                 # K=100 WORSE (+34% wall, +49% host-RAM
+                                 # leak — the (K, B, F) window upload
+                                 # serializes and bigger buffers leak
+                                 # more); the tunnel's drift/leak are
+                                 # byte-proportional, so batching cannot
+                                 # mitigate them. Keep small K dividing
+                                 # the event intervals (10 fits the
+                                 # defaults) or windows shrink at
+                                 # boundaries and each distinct size
                                  # costs one compile.

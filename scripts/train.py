@@ -183,9 +183,11 @@ def build_parser():
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="batch K train steps into one jitted lax.scan "
                         "dispatch (identical math/cadence; K x fewer "
-                        "host<->device RPCs — useful on tunneled/remote "
-                        "devices with per-dispatch cost; pick K dividing "
-                        "the logging/val intervals, e.g. 10)")
+                        "host<->device RPCs — only helps when a FIXED "
+                        "per-dispatch cost dominates the step; keep K "
+                        "small and dividing the logging/val intervals, "
+                        "e.g. 10 — large K serializes the stacked-window "
+                        "upload and costs wall-clock)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--fp32_precision", type=str, default="highest",
