@@ -204,3 +204,12 @@ class TrainConfig:
                                  # defaults) or windows shrink at
                                  # boundaries and each distinct size
                                  # costs one compile.
+    device_pool: bool = False    # keep the ray pool resident in device
+                                 # memory and let the train step
+                                 # dynamic_index its batch from a per-epoch
+                                 # on-device shuffle: ZERO host->device
+                                 # bytes per step (data/device_pool.py).
+                                 # Same global-batching semantics as the
+                                 # host loader; host streaming still
+                                 # covers the precrop phase, --no_batching,
+                                 # and pools smaller than one batch.

@@ -170,6 +170,53 @@ def make_train_scan(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "d
     )
 
 
+def make_pool_step(
+    rc: RenderConfig,
+    tc: TrainConfig,
+    steps_per_epoch: int,
+    mesh=None,
+    axis: str = "data",
+):
+    """The update rule reading its batch from a device-resident shuffled
+    (steps_per_epoch, B, F) stack (data/device_pool.py::DeviceRayPool).
+
+    The step ``dynamic_index``es batch ``state.step % steps_per_epoch``
+    out of the stack, so a training dispatch ships ZERO host->device
+    bytes (the stack and occupancy grid are resident device buffers; the
+    state is donated). Per-step math/RNG are exactly ``make_step_fn``'s —
+    only the batch SOURCE changes vs the host-streamed step.
+    """
+    step_fn = make_step_fn(rc, tc)
+
+    def index_step(state, stack, occ_grid=None):
+        k = jnp.mod(state.step, steps_per_epoch)
+        batch = jax.lax.dynamic_index_in_dim(stack, k, axis=0, keepdims=False)
+        return step_fn(state, batch, occ_grid)
+
+    if rc.use_occupancy:
+        pool_fn = index_step
+    else:
+        def pool_fn(state, stack):  # noqa: E306
+            return index_step(state, stack, None)
+
+    if mesh is None:
+        return jax.jit(pool_fn, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    stack_shard = NamedSharding(mesh, P(None, axis, None))
+    in_shardings = (replicated, stack_shard) + (
+        (replicated,) if rc.use_occupancy else ()
+    )
+    return jax.jit(
+        pool_fn,
+        in_shardings=in_shardings,
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+
 def make_train_step(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "data"):
     """Build the jitted step. With a mesh, batches are sharded over ``axis``
     and state is replicated; XLA handles the cross-chip grad reduction."""

@@ -150,21 +150,52 @@ class Trainer:
             self.step_fn = make_train_step(rc, tc, mesh=mesh)
         else:
             self.step_fn = make_train_step(rc, tc, mesh=mesh)
+        self.loader = RayBatchLoader.from_dataset(
+            train_ds, tc.batch_size, seed=tc.seed, image_mode=tc.no_batching
+        )
+        # Device-resident ray pool (tc.device_pool): the train step reads
+        # its batch from a per-epoch on-device shuffle — zero host->device
+        # bytes per step. The host loader still covers the precrop phase
+        # (central-crop sampling is per-image on host) and the fallbacks
+        # below.
+        self.pool = None
+        self.pool_step_fn = None
+        if tc.device_pool:
+            if self._tp:
+                print("(device_pool ignored under tensor parallelism)")
+            elif tc.no_batching:
+                print("(device_pool ignored: --no_batching samples "
+                      "per-image on host)")
+            elif len(self.loader) < tc.batch_size:
+                print("(device_pool ignored: ray pool smaller than one "
+                      "batch — host with-replacement sampling)")
+            else:
+                from nerfmlp_tpu.data.device_pool import DeviceRayPool
+                from nerfmlp_tpu.parallel.train_step import make_pool_step
+
+                self.pool = DeviceRayPool(
+                    self.loader.pool, tc.batch_size, seed=tc.seed,
+                    mesh=mesh,
+                )
+                self.pool_step_fn = make_pool_step(
+                    rc, tc, self.pool.steps_per_epoch, mesh=mesh
+                )
         # K-step scan dispatch (tc.steps_per_dispatch > 1): one compiled
         # lax.scan program per window. Not wired for tensor parallelism
         # (its step carries its own sharding contract; per-step dispatch
-        # cost is negligible next to TP's cross-chip matmuls anyway).
+        # cost is negligible next to TP's cross-chip matmuls anyway) nor
+        # for an active device pool (the pool step already ships zero
+        # bytes per dispatch — the scan's reason to exist).
         self.scan_fn = None
         if tc.steps_per_dispatch > 1:
             if self._tp:
                 print("(steps_per_dispatch ignored under tensor parallelism)")
+            elif self.pool is not None:
+                print("(steps_per_dispatch ignored with device_pool)")
             else:
                 from nerfmlp_tpu.parallel.train_step import make_train_scan
 
                 self.scan_fn = make_train_scan(rc, tc, mesh=mesh)
-        self.loader = RayBatchLoader.from_dataset(
-            train_ds, tc.batch_size, seed=tc.seed, image_mode=tc.no_batching
-        )
 
         # Occupancy-grid sampling state (ops/occupancy.py).
         self.occ_grid = None
@@ -618,7 +649,20 @@ class Trainer:
                 sharding = NamedSharding(self.mesh, P(None, "data"))
             return prefetch_to_device(host_batches(), sharding=sharding)
 
-        stream = _stream()
+        # With an active device pool the host stream is only needed for
+        # the precrop phase (per-image central-crop sampling stays on
+        # host); past it — or when resuming past it — every batch is a
+        # device-side dynamic_index and no host batches are generated.
+        if self.pool is not None and not (
+            tc.precrop_iters > 0 and start_step < tc.precrop_iters
+        ):
+            stream = None
+            self._log("📍 device ray pool: "
+                      f"{len(self.pool):,} rays resident on device, "
+                      f"{self.pool.steps_per_epoch:,} steps/epoch, "
+                      "zero host->device bytes per step")
+        else:
+            stream = _stream()
 
         t_prev = time.time()
         step = start_step
@@ -649,7 +693,8 @@ class Trainer:
                     # close must retry or the trace keeps recording for
                     # the rest of the run.
                     tc = dataclasses.replace(tc, profile_dir="")
-            batch = next(stream)
+            pool_active = self.pool is not None and s > tc.precrop_iters
+            batch = None if pool_active else next(stream)
             occ_args = ()
             if self.occ_grid is not None:
                 if (s - 1) % self.rc.occ_update_every == 0:
@@ -659,7 +704,15 @@ class Trainer:
                         0.95,
                     )
                 occ_args = (self.occ_grid,)
-            if scan_mode:
+            if pool_active:
+                w = 1
+                stack = self.pool.ensure_epoch(self.pool.epoch_of(s - 1))
+                self.state, metrics = self.pool_step_fn(
+                    self.state, stack, *occ_args
+                )
+                run_loss = run_loss + metrics["loss"]
+                run_psnr = run_psnr + metrics["psnr"]
+            elif scan_mode:
                 w = int(batch.shape[0])
                 self.state, mstack = self.scan_fn(self.state, batch, *occ_args)
                 # Last step's metrics for logging; exact per-step sums for

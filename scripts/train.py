@@ -188,6 +188,12 @@ def build_parser():
                         "small and dividing the logging/val intervals, "
                         "e.g. 10 — large K serializes the stacked-window "
                         "upload and costs wall-clock)")
+    p.add_argument("--device_pool", action="store_true",
+                   help="keep the ray pool resident in device memory; the "
+                        "train step reads its batch from a per-epoch "
+                        "on-device shuffle — zero host->device bytes per "
+                        "step (same global-batching semantics; precrop/"
+                        "--no_batching phases still stream from host)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--fp32_precision", type=str, default="highest",
@@ -427,6 +433,7 @@ def main(argv=None):
         i_video=args.i_video, i_testset=args.i_testset, i_img=args.i_img,
         render_factor=args.render_factor, chunk=args.chunk,
         steps_per_dispatch=args.steps_per_dispatch,
+        device_pool=args.device_pool,
     )
 
     mesh = None

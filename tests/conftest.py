@@ -78,6 +78,12 @@ _SLOW_TESTS = {
     "test_export_roundtrip_through_reference",
     "test_i_embed_identity",
     "test_train_cli_deepvoxels_smoke",
+    # Trainer loops in test_device_pool (its unit tests stay fast).
+    "test_trainer_device_pool_end_to_end",
+    "test_trainer_device_pool_learns_like_host",
+    "test_trainer_device_pool_resume_epoch",
+    "test_device_pool_ignored_with_no_batching",
+    "test_device_pool_disables_scan_dispatch",
 }
 
 
