@@ -1,0 +1,365 @@
+"""Persistent render serving — load once, compile once, serve frames.
+
+The reference's inference story is one-shot CLIs
+(``/root/reference/scripts/render_example.py:166-275``,
+``/root/reference/zoom_example.py:100-170``): every render pays process
+startup + checkpoint load, and on a compiled backend would also pay
+per-shape program compilation. For production serving on TPU that cost
+structure is wrong — XLA programs are compiled per shape and live for
+the process, so the natural unit is one PERSISTENT process that compiles
+each render shape once and amortizes it over every later request. (On
+this environment a fresh process additionally pays a multi-minute
+first-op tunnel stall — see CLAUDE.md — which a resident server pays
+exactly once.)
+
+:class:`RenderService` is the embeddable core (checkpoint + config +
+compiled-program cache behind a dispatch lock). :func:`serve` wraps it
+in a threaded stdlib HTTP server — no extra dependencies — with a JSON
+API:
+
+    GET  /health    -> {"status": "ok", "renders": N, "warm": bool}
+    GET  /spec      -> model / render configuration + defaults
+    POST /render    -> image bytes (png, default), .npy bytes, or JSON
+
+``POST /render`` accepts one camera spec per request:
+
+    {"c2w": [[...], ...]}                       # 3x4 or 4x4 camera-to-world
+    {"eye": [x,y,z], "target": [x,y,z]}         # look-at (ops/rays.py)
+    {"theta": deg, "phi": deg, "radius": r}     # blender spherical pose
+
+plus optional ``H``/``W``/``focal``/``near``/``far`` overrides (defaults
+from the server config; near/far are traced runtime args so overriding
+them never recompiles), ``gamma`` (linear->sRGB), ``brightness``,
+``format`` ("png" | "npy" | "json"), ``maps`` (non-png formats may ask
+for any of rgb_map/disp_map/depth_map/acc_map), and ``viewdirs_c2w``
+(the oracle's ``c2w_staticcam`` view-dependence trick,
+``/root/reference/example/run_nerf.py:299-302``).
+
+Device dispatch is serialized by a lock: one XLA program at a time per
+chip (concurrent dispatch interleaves and slows both requests; two TPU
+*processes* additionally serialize behind this environment's tunnel).
+HTTP threads queue on the lock, so the server stays correct under
+concurrent clients while the device runs at full tilt.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from nerfmlp_tpu.config import RenderConfig
+
+_VALID_MAPS = ("rgb_map", "disp_map", "depth_map", "acc_map")
+
+
+class RequestError(ValueError):
+    """A malformed render request (maps to HTTP 400)."""
+
+
+class RenderService:
+    """A loaded model + render config held resident for repeated frames.
+
+    Thread-safe: ``render_request`` may be called from any number of
+    threads; device dispatch is serialized internally.
+    """
+
+    def __init__(
+        self,
+        params: Dict,
+        cfg: RenderConfig,
+        H: int,
+        W: int,
+        focal: float,
+        *,
+        near: Optional[float] = None,
+        far: Optional[float] = None,
+        tile: int = 4096,
+        occ_grid=None,
+        max_pixels: int = 4096 * 4096,
+        log=print,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tile = int(tile)
+        self.occ_grid = occ_grid
+        self.defaults = {
+            "H": int(H),
+            "W": int(W),
+            "focal": float(focal),
+            "near": float(cfg.near if near is None else near),
+            "far": float(cfg.far if far is None else far),
+        }
+        # Refuse absurd shapes before they reach the device: each new
+        # (padded) ray count is fine — the tile program is shared — but
+        # host-side ray gen + assembly memory is O(H*W).
+        self.max_pixels = int(max_pixels)
+        self.log = log
+        self.renders = 0
+        self.warm = False
+        self._lock = threading.Lock()
+
+    # -------------------------------------------------------------- #
+    # Core rendering
+    # -------------------------------------------------------------- #
+    def render_pose(
+        self,
+        c2w: np.ndarray,
+        H: Optional[int] = None,
+        W: Optional[int] = None,
+        focal: Optional[float] = None,
+        near: Optional[float] = None,
+        far: Optional[float] = None,
+        viewdirs_c2w: Optional[np.ndarray] = None,
+        maps: Tuple[str, ...] = ("rgb_map",),
+    ) -> Dict[str, np.ndarray]:
+        """Render one camera; returns requested maps as (H, W[, C]) arrays.
+
+        Reproduces the per-pose body of the reference render loop
+        (``/root/reference/scripts/render_example.py:226-275``) with the
+        checkpoint, config, and compiled tile program held resident.
+        """
+        from nerfmlp_tpu.ops.render import render_image_maps
+        from nerfmlp_tpu.render_path import rays_for_pose
+
+        H = int(self.defaults["H"] if H is None else H)
+        W = int(self.defaults["W"] if W is None else W)
+        focal = float(self.defaults["focal"] if focal is None else focal)
+        if H <= 0 or W <= 0 or H * W > self.max_pixels:
+            raise RequestError(
+                f"image shape {W}x{H} outside (0, {self.max_pixels}] pixels"
+            )
+        for m in maps:
+            if m not in _VALID_MAPS:
+                raise RequestError(f"unknown map {m!r}; valid: {_VALID_MAPS}")
+        c2w = _as_pose(c2w, "c2w")
+        if viewdirs_c2w is not None:
+            viewdirs_c2w = _as_pose(viewdirs_c2w, "viewdirs_c2w")
+        o, d, vd = rays_for_pose(
+            c2w, H, W, focal, self.cfg, viewdirs_pose=viewdirs_c2w
+        )
+        near = self.defaults["near"] if near is None else float(near)
+        far = self.defaults["far"] if far is None else float(far)
+        with self._lock:
+            out = render_image_maps(
+                self.params, o, d, H, W, self.cfg, tile=self.tile,
+                near=near, far=far, occ_grid=self.occ_grid, viewdirs=vd,
+                maps=tuple(maps),
+            )
+            result = {k: np.asarray(v) for k, v in out.items()}
+            self.renders += 1
+        return result
+
+    def warmup(self) -> float:
+        """Compile + run the default-shape program once; returns seconds.
+
+        The first render of a config pays tracing + XLA compilation (and,
+        through this environment's tunnel, the first-op stall); serving
+        processes do it at startup so no client request ever does.
+        """
+        import time
+
+        from nerfmlp_tpu.ops.rays import pose_spherical
+
+        t0 = time.perf_counter()
+        self.render_pose(pose_spherical(0.0, -30.0, 4.0))
+        dt = time.perf_counter() - t0
+        self.warm = True
+        self.log(f"warmup render ({self.defaults['W']}x{self.defaults['H']})"
+                 f" in {dt:.1f}s — programs resident")
+        return dt
+
+    # -------------------------------------------------------------- #
+    # Request handling (transport-independent)
+    # -------------------------------------------------------------- #
+    def render_request(self, req: Dict) -> Tuple[bytes, str]:
+        """JSON request dict -> (body bytes, content type).
+
+        The transport-independent core of ``POST /render`` — tests and
+        embedders can call it without a socket.
+        """
+        if not isinstance(req, dict):
+            raise RequestError("request body must be a JSON object")
+        c2w = _pose_from_request(req)
+        fmt = req.get("format", "png")
+        maps = tuple(req.get("maps", ("rgb_map",)))
+        if fmt == "png" and maps != ("rgb_map",):
+            raise RequestError('format "png" serves rgb_map only; use '
+                               '"npy"/"json" for other maps')
+        out = self.render_pose(
+            c2w,
+            H=req.get("H"), W=req.get("W"), focal=req.get("focal"),
+            near=req.get("near"), far=req.get("far"),
+            viewdirs_c2w=(
+                _as_pose(req["viewdirs_c2w"], "viewdirs_c2w")
+                if "viewdirs_c2w" in req else None
+            ),
+            maps=maps,
+        )
+        if "rgb_map" in out:
+            # Output conditioning, same order as the reference CLI
+            # (brightness then gamma, render_example.py:246-252).
+            rgb = np.clip(
+                out["rgb_map"] * float(req.get("brightness", 1.0)), 0.0, 1.0
+            )
+            if req.get("gamma"):
+                from nerfmlp_tpu.data.blender import linear_to_srgb
+
+                rgb = linear_to_srgb(rgb)
+            out["rgb_map"] = rgb
+
+        if fmt == "png":
+            from PIL import Image
+
+            buf = io.BytesIO()
+            arr = (out["rgb_map"] * 255).round().astype(np.uint8)
+            Image.fromarray(arr).save(buf, format="PNG")
+            return buf.getvalue(), "image/png"
+        if fmt == "npy":
+            if len(maps) != 1:
+                raise RequestError('format "npy" serves exactly one map; '
+                                   'use "json" for several')
+            buf = io.BytesIO()
+            np.save(buf, out[maps[0]].astype(np.float32))
+            return buf.getvalue(), "application/octet-stream"
+        if fmt == "json":
+            body = {k: np.asarray(v, np.float32).tolist()
+                    for k, v in out.items()}
+            return json.dumps(body).encode(), "application/json"
+        raise RequestError(f"unknown format {fmt!r}; png | npy | json")
+
+    def spec(self) -> Dict:
+        import dataclasses
+
+        return {
+            "defaults": dict(self.defaults),
+            "tile": self.tile,
+            "occupancy": self.occ_grid is not None,
+            "render_config": dataclasses.asdict(self.cfg),
+        }
+
+
+def _as_pose(x, name: str) -> np.ndarray:
+    pose = np.asarray(x, dtype=np.float32)
+    if pose.shape == (3, 4):
+        pose = np.concatenate(
+            [pose, np.array([[0, 0, 0, 1]], np.float32)], axis=0
+        )
+    if pose.shape != (4, 4):
+        raise RequestError(f"{name} must be 3x4 or 4x4, got {pose.shape}")
+    if not np.all(np.isfinite(pose)):
+        raise RequestError(f"{name} contains non-finite values")
+    return pose
+
+
+def _pose_from_request(req: Dict) -> np.ndarray:
+    """One camera per request: c2w | eye/target | theta/phi/radius."""
+    from nerfmlp_tpu.ops.rays import look_at_matrix, pose_spherical
+
+    specs = [k for k in ("c2w", "eye", "theta") if k in req]
+    if len(specs) != 1:
+        raise RequestError(
+            'exactly one camera spec required: "c2w", "eye"+"target", or '
+            '"theta"+"phi"+"radius"'
+        )
+    if "c2w" in req:
+        return _as_pose(req["c2w"], "c2w")
+    if "eye" in req:
+        if "target" not in req:
+            raise RequestError('"eye" camera needs "target"')
+        eye = np.asarray(req["eye"], np.float32)
+        target = np.asarray(req["target"], np.float32)
+        up = np.asarray(req["up"], np.float32) if "up" in req else None
+        if eye.shape != (3,) or target.shape != (3,):
+            raise RequestError('"eye"/"target" must be 3-vectors')
+        return look_at_matrix(eye, target, up)
+    try:
+        return pose_spherical(
+            float(req["theta"]), float(req["phi"]), float(req["radius"])
+        )
+    except KeyError as e:
+        raise RequestError(f'spherical camera needs "theta","phi","radius"'
+                           f" (missing {e})")
+
+
+# ------------------------------------------------------------------ #
+# HTTP layer (stdlib only)
+# ------------------------------------------------------------------ #
+class _Handler(BaseHTTPRequestHandler):
+    # Quiet by default: per-request stderr lines are the service log's job.
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    @property
+    def service(self) -> RenderService:
+        return self.server.service  # type: ignore[attr-defined]
+
+    def _reply(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _reply_json(self, code: int, obj) -> None:
+        self._reply(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):  # noqa: N802
+        if self.path == "/health":
+            s = self.service
+            self._reply_json(
+                200, {"status": "ok", "renders": s.renders, "warm": s.warm}
+            )
+        elif self.path == "/spec":
+            self._reply_json(200, self.service.spec())
+        else:
+            self._reply_json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/render":
+            self._reply_json(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            body, ctype = self.service.render_request(req)
+            self._reply(200, body, ctype)
+        except RequestError as e:
+            self._reply_json(400, {"error": str(e)})
+        except json.JSONDecodeError as e:
+            self._reply_json(400, {"error": f"bad JSON: {e}"})
+        except Exception as e:  # render bug: report, keep serving
+            self.service.log(f"render failed: {type(e).__name__}: {e}")
+            self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+class RenderServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer carrying the :class:`RenderService`."""
+
+    daemon_threads = True
+
+    def __init__(self, service: RenderService, host: str = "127.0.0.1",
+                 port: int = 0):
+        super().__init__((host, port), _Handler)
+        self.service = service
+
+
+def serve(service: RenderService, host: str = "127.0.0.1", port: int = 8008,
+          warmup: bool = True) -> None:
+    """Blocking server loop (the ``scripts/serve.py`` entry point)."""
+    server = RenderServer(service, host, port)
+    if warmup:
+        service.warmup()
+    h, p = server.server_address[:2]
+    service.log(f"serving on http://{h}:{p}  "
+                f"(POST /render, GET /health, GET /spec)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        service.log("shutting down")
+    finally:
+        server.server_close()

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Serve renders from a resident checkpoint over HTTP.
+
+The reference's inference entry points are one-shot CLIs
+(``/root/reference/scripts/render_example.py``, ``zoom_example.py``) that
+pay checkpoint load — and on a compiled backend, XLA compilation — per
+invocation. This server loads once, compiles each render shape once, and
+serves every subsequent frame at steady-state device speed (the
+production-serving counterpart of those CLIs; see
+``nerfmlp_tpu/serve.py`` for the API).
+
+Camera defaults (H/W/focal, near/far) come either from a dataset dir
+(``--datadir``, exactly like the render CLI) or from explicit ``--focal``
+— serving does not require the training data on disk.
+
+Example:
+    python scripts/serve.py --ckpt outputs/exp/model_final.ckpt \
+        --focal 555.5 --img_wh 400 400 --port 8008
+    curl -s localhost:8008/render -d '{"theta": 30, "phi": -30, "radius": 4}' \
+        -o view.png
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_service(args, parser):
+    """CLI args -> a ready (unwarmed) RenderService. Split out for tests."""
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.serve import RenderService
+    from nerfmlp_tpu.train.checkpoint import load_params_any
+    from nerfmlp_tpu.utils.cli import (
+        arch_fields, build_occ_grid, dataset_class, dataset_kwargs,
+        occupancy_fields, params_template,
+    )
+
+    W, H = args.img_wh
+    focal = args.focal
+    near, far = args.near, args.far
+    white_bkgd = not args.no_white_bkgd
+    if focal is None or near is None or far is None:
+        if args.datadir is None:
+            parser.error("--focal/--near/--far must all be given when no "
+                         "--datadir supplies camera defaults")
+        DS = dataset_class(args.dataset_type)
+        ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh),
+                **dataset_kwargs(args))
+        if focal is None:
+            focal = float(ds.focal)
+        if near is None or far is None:
+            # Blender keeps the training-consistent 2/6 defaults; LLFF
+            # (NDC) and deepvoxels take the dataset's bounds, matching
+            # scripts/render_example.py.
+            d_near, d_far = ((2.0, 6.0) if args.dataset_type == "blender"
+                             else ds.dynamic_near_far())
+            near = d_near if near is None else near
+            far = d_far if far is None else far
+        white_bkgd = args.dataset_type != "llff" and not args.no_white_bkgd
+
+    n_importance = args.N_importance
+    if n_importance is None:
+        n_importance = 64 if args.ckpt.endswith(".npy") else 128
+
+    rc = RenderConfig(
+        N_samples=args.N_samples, N_importance=n_importance,
+        near=float(near), far=float(far), perturb=False, raw_noise_std=0.0,
+        coord_scale=args.coord_scale, compute_dtype=args.compute_dtype,
+        fp32_precision=args.fp32_precision, use_pallas=args.use_pallas,
+        separate_fine=args.separate_fine, white_bkgd=white_bkgd,
+        **occupancy_fields(args),
+        **arch_fields(args),
+    )
+    params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
+    occ_grid = build_occ_grid(args, rc, params, parser)
+    print(f"loaded {args.ckpt} | {W}x{H} focal={focal:.2f} "
+          f"near={rc.near:.3f} far={rc.far:.3f} "
+          f"samples {rc.N_samples}+{rc.N_importance}")
+    return RenderService(
+        params, rc, H, W, focal,
+        tile=args.tile, occ_grid=occ_grid, max_pixels=args.max_pixels,
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Persistent NeRF render server (TPU-native)")
+    from nerfmlp_tpu.utils.cli import (
+        add_arch_flags, add_llff_flags, add_occupancy_flags,
+    )
+    p.add_argument("--ckpt", "--model_path", type=str, required=True,
+                   help=".ckpt/.pth/.npy checkpoint to serve")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8008)
+    p.add_argument("--img_wh", type=int, nargs=2, default=[400, 400],
+                   help="default render W H (per-request overridable)")
+    p.add_argument("--focal", type=float, default=None,
+                   help="default focal length in pixels; omit to read it "
+                        "from --datadir")
+    p.add_argument("--near", type=float, default=None)
+    p.add_argument("--far", type=float, default=None)
+    p.add_argument("--datadir", type=str, default=None,
+                   help="optional dataset dir supplying focal/bounds "
+                        "defaults (like the render CLI)")
+    p.add_argument("--dataset_type", type=str, default="blender",
+                   choices=["blender", "llff", "deepvoxels"])
+    p.add_argument("--shape", type=str, default="greek",
+                   help="deepvoxels scene name (oracle --shape)")
+    p.add_argument("--split", type=str, default="test")
+    add_llff_flags(p)
+    p.add_argument("--no_white_bkgd", action="store_true")
+    p.add_argument("--coord_scale", type=float, default=1.0)
+    p.add_argument("--N_samples", type=int, default=64)
+    p.add_argument("--N_importance", type=int, default=None,
+                   help="default: 64 for .npy official weights, 128 otherwise")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   help="serving defaults to bfloat16 (speed); float32 for "
+                        "parity-grade output")
+    p.add_argument("--fp32_precision", type=str, default="high",
+                   choices=["highest", "high"])
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false",
+                   default=True)
+    p.add_argument("--separate_fine", action="store_true")
+    add_occupancy_flags(p)
+    p.add_argument("--tile", "--chunk", type=int, default=4096)
+    p.add_argument("--max_pixels", type=int, default=4096 * 4096,
+                   help="reject render requests above this pixel count")
+    p.add_argument("--no_warmup", dest="warmup", action="store_false",
+                   default=True,
+                   help="skip the startup compile render (first request "
+                        "pays it instead)")
+    add_arch_flags(p)
+    return p
+
+
+def main(argv=None):
+    p = build_parser()
+    args = p.parse_args(argv)
+
+    from nerfmlp_tpu.serve import serve
+
+    service = build_service(args, p)
+    serve(service, host=args.host, port=args.port, warmup=args.warmup)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,311 @@
+"""Render server: request parsing, formats, thread safety, HTTP layer.
+
+The served math is `ops/render.render_image_maps` (covered by
+test_render/test_render_path); these tests pin the serving contract built
+on top of it — the piece the reference lacks entirely (its inference story
+is one-shot CLIs, /root/reference/scripts/render_example.py:166-275).
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from nerfmlp_tpu.config import RenderConfig
+from nerfmlp_tpu.models.mlp import init_model
+from nerfmlp_tpu.ops.rays import pose_spherical
+from nerfmlp_tpu.serve import (
+    RenderServer, RenderService, RequestError,
+)
+
+
+def _service(**kw):
+    cfg = RenderConfig(N_samples=8, N_importance=4, near=2.0, far=6.0,
+                       perturb=False)
+    params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
+    base = dict(H=16, W=16, focal=20.0, tile=256)
+    base.update(kw)
+    return RenderService(params, cfg, **base)
+
+
+@pytest.fixture(scope="module")
+def svc():
+    return _service()
+
+
+# ------------------------------------------------------------------ #
+# Core rendering
+# ------------------------------------------------------------------ #
+def test_render_pose_shapes_and_determinism(svc):
+    pose = pose_spherical(30.0, -30.0, 4.0)
+    out = svc.render_pose(pose, maps=("rgb_map", "disp_map", "acc_map"))
+    assert out["rgb_map"].shape == (16, 16, 3)
+    assert out["disp_map"].shape == (16, 16)
+    assert out["acc_map"].shape == (16, 16)
+    assert np.isfinite(out["rgb_map"]).all()
+    again = svc.render_pose(pose)["rgb_map"]
+    np.testing.assert_array_equal(out["rgb_map"], again)
+
+
+def test_render_pose_overrides_change_output(svc):
+    pose = pose_spherical(0.0, -30.0, 4.0)
+    base = svc.render_pose(pose)["rgb_map"]
+    hi = svc.render_pose(pose, H=24, W=24)["rgb_map"]
+    assert hi.shape == (24, 24, 3)
+    # near/far are traced runtime args: overriding them re-renders
+    # without a recompile and must change the image.
+    tight = svc.render_pose(pose, near=3.5, far=4.5)["rgb_map"]
+    assert np.abs(tight - base).max() > 0
+
+
+def test_render_pose_accepts_3x4(svc):
+    pose = pose_spherical(10.0, -20.0, 4.0)
+    a = svc.render_pose(pose)["rgb_map"]
+    b = svc.render_pose(pose[:3, :4])["rgb_map"]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_render_pose_rejects_bad_inputs(svc):
+    with pytest.raises(RequestError):
+        svc.render_pose(np.eye(3, dtype=np.float32))  # wrong pose shape
+    with pytest.raises(RequestError):
+        svc.render_pose(np.full((4, 4), np.nan, np.float32))
+    with pytest.raises(RequestError):
+        svc.render_pose(pose_spherical(0, -30, 4), maps=("sigma_map",))
+    with pytest.raises(RequestError):
+        svc.render_pose(pose_spherical(0, -30, 4), H=10_000, W=10_000)
+
+
+def test_max_pixels_guard():
+    small = _service(max_pixels=16 * 16)
+    small.render_pose(pose_spherical(0, -30, 4))  # exactly at the cap: ok
+    with pytest.raises(RequestError):
+        small.render_pose(pose_spherical(0, -30, 4), H=17, W=16)
+
+
+# ------------------------------------------------------------------ #
+# render_request: camera specs and formats
+# ------------------------------------------------------------------ #
+def test_request_camera_specs_agree(svc):
+    pose = pose_spherical(45.0, -30.0, 4.0)
+    via_c2w, _ = svc.render_request(
+        {"c2w": pose.tolist(), "format": "npy"})
+    via_sph, _ = svc.render_request(
+        {"theta": 45.0, "phi": -30.0, "radius": 4.0, "format": "npy"})
+    a = np.load(io.BytesIO(via_c2w))
+    b = np.load(io.BytesIO(via_sph))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_request_look_at_camera(svc):
+    body, ctype = svc.render_request(
+        {"eye": [0, -4, 0], "target": [0, 0, 0], "format": "npy"})
+    assert ctype == "application/octet-stream"
+    assert np.load(io.BytesIO(body)).shape == (16, 16, 3)
+
+
+def test_request_png_default(svc):
+    from PIL import Image
+
+    body, ctype = svc.render_request({"theta": 0, "phi": -30, "radius": 4})
+    assert ctype == "image/png"
+    img = Image.open(io.BytesIO(body))
+    assert img.size == (16, 16)
+
+
+def test_request_json_multiple_maps(svc):
+    body, ctype = svc.render_request(
+        {"theta": 0, "phi": -30, "radius": 4, "format": "json",
+         "maps": ["rgb_map", "depth_map"]})
+    assert ctype == "application/json"
+    out = json.loads(body)
+    assert np.asarray(out["rgb_map"]).shape == (16, 16, 3)
+    assert np.asarray(out["depth_map"]).shape == (16, 16)
+
+
+def test_request_brightness_and_gamma(svc):
+    req = {"theta": 0, "phi": -30, "radius": 4, "format": "npy"}
+    plain = np.load(io.BytesIO(svc.render_request(req)[0]))
+    bright = np.load(io.BytesIO(
+        svc.render_request({**req, "brightness": 2.0})[0]))
+    # brightness multiplies then clips (reference CLI order, :246-252)
+    np.testing.assert_allclose(
+        bright, np.clip(plain * 2.0, 0, 1), atol=1e-6)
+    gamma = np.load(io.BytesIO(svc.render_request({**req, "gamma": True})[0]))
+    assert not np.allclose(gamma, plain)
+
+
+def test_request_errors(svc):
+    cases = [
+        {},                                           # no camera
+        {"theta": 0, "phi": -30, "radius": 4, "c2w": np.eye(4).tolist()},
+        {"eye": [0, -4, 0]},                          # missing target
+        {"theta": 0, "phi": -30},                     # missing radius
+        {"theta": 0, "phi": -30, "radius": 4, "format": "tiff"},
+        {"theta": 0, "phi": -30, "radius": 4, "maps": ["disp_map"]},  # png
+        {"theta": 0, "phi": -30, "radius": 4, "format": "npy",
+         "maps": ["rgb_map", "disp_map"]},            # npy wants exactly 1
+        [1, 2, 3],                                    # not a dict
+    ]
+    for req in cases:
+        with pytest.raises(RequestError):
+            svc.render_request(req)
+
+
+def test_viewdirs_c2w_changes_appearance_only(svc):
+    geo = pose_spherical(0.0, -30.0, 4.0)
+    moving = pose_spherical(90.0, -30.0, 4.0)
+    base = svc.render_pose(geo, maps=("rgb_map", "depth_map"))
+    vd = svc.render_pose(geo, viewdirs_c2w=moving,
+                         maps=("rgb_map", "depth_map"))
+    # Static-cam trick (run_nerf.py:299-302): geometry (depth) is pinned
+    # by `geo`, appearance follows the moving view direction.
+    np.testing.assert_allclose(vd["depth_map"], base["depth_map"],
+                               atol=1e-5)
+    assert np.abs(vd["rgb_map"] - base["rgb_map"]).max() > 1e-6
+
+
+def test_concurrent_requests_serialize_correctly(svc):
+    pose = pose_spherical(20.0, -30.0, 4.0)
+    want = svc.render_pose(pose)["rgb_map"]
+    results, errors = [None] * 8, []
+
+    def worker(i):
+        try:
+            results[i] = svc.render_pose(pose)["rgb_map"]
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for r in results:
+        np.testing.assert_array_equal(r, want)
+
+
+def test_spec_and_counters(svc):
+    spec = svc.spec()
+    assert spec["defaults"]["H"] == 16
+    assert spec["render_config"]["N_samples"] == 8
+    assert svc.renders > 0
+
+
+# ------------------------------------------------------------------ #
+# HTTP layer
+# ------------------------------------------------------------------ #
+@pytest.fixture(scope="module")
+def server_url():
+    server = RenderServer(_service(), host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}"
+    server.shutdown()
+    server.server_close()
+    thread.join(timeout=5)
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, r.read(), r.headers.get("Content-Type")
+
+
+def _post(url, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_http_health_and_spec(server_url):
+    status, body, ctype = _get(server_url + "/health")
+    assert status == 200 and ctype == "application/json"
+    assert json.loads(body)["status"] == "ok"
+    status, body, _ = _get(server_url + "/spec")
+    assert status == 200
+    assert json.loads(body)["defaults"]["W"] == 16
+
+
+def test_http_render_png(server_url):
+    from PIL import Image
+
+    status, body, ctype = _post(
+        server_url + "/render",
+        json.dumps({"theta": 0, "phi": -30, "radius": 4}).encode())
+    assert status == 200 and ctype == "image/png"
+    assert Image.open(io.BytesIO(body)).size == (16, 16)
+
+
+def test_http_errors(server_url):
+    status, body, _ = _post(server_url + "/render", b"{not json")
+    assert status == 400 and b"bad JSON" in body
+    status, body, _ = _post(server_url + "/render",
+                            json.dumps({"format": "png"}).encode())
+    assert status == 400
+    assert "camera spec" in json.loads(body)["error"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server_url + "/health/nope")
+    assert e.value.code == 404
+    status, body, _ = _post(server_url + "/nope", b"{}")
+    assert status == 404
+
+
+# ------------------------------------------------------------------ #
+# CLI wiring (build_service from a real checkpoint + scene)
+# ------------------------------------------------------------------ #
+def test_cli_build_service(tmp_path, synthetic_scene):
+    from nerfmlp_tpu.train.checkpoint import save_checkpoint
+    from scripts.serve import build_service
+
+    cfg = RenderConfig(N_samples=8, N_importance=4, near=2.0, far=6.0)
+    params = {"coarse": init_model(jax.random.PRNGKey(0),
+                                   cfg.model_config())}
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, params)
+
+    # Parse with the REAL parser, then stop before serve().
+    import scripts.serve as serve_cli
+
+    argv = ["--ckpt", ckpt, "--datadir", synthetic_scene,
+            "--img_wh", "16", "16", "--N_samples", "8",
+            "--N_importance", "4", "--compute_dtype", "float32",
+            "--no_pallas", "--tile", "256"]
+    p = serve_cli.build_parser()
+    svc = build_service(p.parse_args(argv), p)
+    assert svc.defaults["W"] == 16
+    assert svc.defaults["near"] == 2.0 and svc.defaults["far"] == 6.0
+    assert svc.defaults["focal"] > 0
+    out = svc.render_pose(pose_spherical(0, -30, 4))
+    assert out["rgb_map"].shape == (16, 16, 3)
+
+    # Explicit focal path: no datadir needed at all.
+    argv2 = ["--ckpt", ckpt, "--focal", "20.0", "--near", "2", "--far", "6",
+             "--img_wh", "16", "16", "--N_samples", "8",
+             "--N_importance", "4", "--compute_dtype", "float32",
+             "--no_pallas"]
+    svc2 = build_service(p.parse_args(argv2), p)
+    assert svc2.defaults["focal"] == 20.0
+
+
+def test_cli_requires_focal_or_datadir(tmp_path):
+    import scripts.serve as serve_cli
+
+    from nerfmlp_tpu.train.checkpoint import save_checkpoint
+
+    cfg = RenderConfig(N_samples=8, N_importance=4)
+    params = {"coarse": init_model(jax.random.PRNGKey(0),
+                                   cfg.model_config())}
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, params)
+    with pytest.raises(SystemExit):
+        serve_cli.main(["--ckpt", ckpt, "--no_warmup"])
