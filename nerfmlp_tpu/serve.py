@@ -17,9 +17,17 @@ compiled-program cache behind a dispatch lock). :func:`serve` wraps it
 in a threaded stdlib HTTP server — no extra dependencies — with a JSON
 API:
 
-    GET  /health    -> {"status": "ok", "renders": N, "warm": bool}
+    GET  /health    -> status, render count, warm flag, reload count,
+                       served checkpoint, latency percentiles
     GET  /spec      -> model / render configuration + defaults
     POST /render    -> image bytes (png, default), .npy bytes, or JSON
+    POST /reload    -> hot-swap to the newest checkpoint in the watch dir
+
+Hot reload serves a model WHILE IT TRAINS: point the watch dir at a
+Trainer ``--save_dir`` and every new layered checkpoint (the same files
+auto-resume discovers) is swapped in — same architecture means every
+compiled program is reused, so a swap costs one weight upload and zero
+recompiles. ``--watch N`` polls automatically; ``POST /reload`` forces.
 
 ``POST /render`` accepts one camera spec per request:
 
@@ -46,9 +54,12 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -81,6 +92,10 @@ class RenderService:
         tile: int = 4096,
         occ_grid=None,
         max_pixels: int = 4096 * 4096,
+        reload_fn: Optional[Callable[[str], Dict]] = None,
+        occ_rebuild_fn: Optional[Callable[[Dict], object]] = None,
+        watch_dir: Optional[str] = None,
+        ckpt_path: Optional[str] = None,
         log=print,
     ):
         self.params = params
@@ -98,9 +113,20 @@ class RenderService:
         # (padded) ray count is fine — the tile program is shared — but
         # host-side ray gen + assembly memory is O(H*W).
         self.max_pixels = int(max_pixels)
+        # Hot reload: reload_fn loads a checkpoint path into a params
+        # pytree (same architecture: the compiled programs are reused
+        # as-is — a swap never recompiles); occ_rebuild_fn refreshes an
+        # occupancy grid from the new weights so cached density can't go
+        # stale against them.
+        self.reload_fn = reload_fn
+        self.occ_rebuild_fn = occ_rebuild_fn
+        self.watch_dir = watch_dir
+        self.ckpt = {"path": ckpt_path, "mtime": _mtime(ckpt_path), "step": 0}
+        self.reloads = 0
         self.log = log
         self.renders = 0
         self.warm = False
+        self._times = deque(maxlen=128)  # per-render seconds (device time)
         self._lock = threading.Lock()
 
     # -------------------------------------------------------------- #
@@ -145,12 +171,17 @@ class RenderService:
         near = self.defaults["near"] if near is None else float(near)
         far = self.defaults["far"] if far is None else float(far)
         with self._lock:
+            t0 = time.perf_counter()
             out = render_image_maps(
                 self.params, o, d, H, W, self.cfg, tile=self.tile,
                 near=near, far=far, occ_grid=self.occ_grid, viewdirs=vd,
                 maps=tuple(maps),
             )
+            # np.asarray is the host readback — the honest completion
+            # point on this backend (block_until_ready is a no-op
+            # through the tunnel, CLAUDE.md).
             result = {k: np.asarray(v) for k, v in out.items()}
+            self._times.append(time.perf_counter() - t0)
             self.renders += 1
         return result
 
@@ -239,8 +270,116 @@ class RenderService:
             "defaults": dict(self.defaults),
             "tile": self.tile,
             "occupancy": self.occ_grid is not None,
+            "hot_reload": self.reload_fn is not None,
+            "watch_dir": self.watch_dir,
             "render_config": dataclasses.asdict(self.cfg),
         }
+
+    def health(self) -> Dict:
+        times = sorted(self._times)
+        lat = None
+        if times:
+            lat = {
+                "n": len(times),
+                "p50_ms": round(times[len(times) // 2] * 1e3, 2),
+                "max_ms": round(times[-1] * 1e3, 2),
+                "last_ms": round(self._times[-1] * 1e3, 2),
+            }
+        return {
+            "status": "ok",
+            "renders": self.renders,
+            "warm": self.warm,
+            "reloads": self.reloads,
+            "ckpt": dict(self.ckpt),
+            "latency": lat,
+        }
+
+    # -------------------------------------------------------------- #
+    # Hot checkpoint reload (serve a model while it trains)
+    # -------------------------------------------------------------- #
+    def swap_params(self, params: Dict, source: str = "<direct>") -> None:
+        """Atomically replace the served weights (and occupancy grid).
+
+        Same-architecture params reuse every compiled program — a swap
+        costs one host->device upload, never a recompile. In-flight
+        renders finish on the old weights; the next request sees the new.
+        """
+        occ = self.occ_rebuild_fn(params) if self.occ_rebuild_fn else None
+        with self._lock:
+            self.params = params
+            if self.occ_rebuild_fn:
+                self.occ_grid = occ
+            self.reloads += 1
+        self.log(f"params swapped from {source} (reload #{self.reloads})")
+
+    def reload(self, force: bool = True) -> Optional[Dict]:
+        """Load the newest checkpoint and serve it; returns reload info.
+
+        The path is the newest resumable checkpoint in ``watch_dir``
+        (train/checkpoint.py::latest_checkpoint — the same discovery
+        auto-resume uses, oracle run_nerf.py:439-456) or, with no watch
+        dir, the originally-served checkpoint file. No caller-supplied
+        paths: the HTTP layer must not load arbitrary files.
+
+        ``force=False`` (the watcher's mode) is a no-op unless the
+        resolved (path, mtime) differs from what is being served.
+        """
+        if self.reload_fn is None:
+            raise RequestError("server was started without reload support")
+        from nerfmlp_tpu.train.checkpoint import (
+            latest_checkpoint, step_from_filename,
+        )
+
+        path = (latest_checkpoint(self.watch_dir) if self.watch_dir
+                else self.ckpt["path"])
+        if path is None:
+            if force:
+                raise RequestError(
+                    f"no checkpoint found in {self.watch_dir!r}")
+            return None
+        mtime = _mtime(path)
+        if not force and (path, mtime) == (self.ckpt["path"],
+                                           self.ckpt["mtime"]):
+            return None
+        params = self.reload_fn(path)
+        self.ckpt = {"path": path, "mtime": mtime,
+                     "step": step_from_filename(path)}
+        self.swap_params(params, source=path)
+        return dict(self.ckpt)
+
+    def watch(self, interval_s: float,
+              stop: Optional[threading.Event] = None) -> threading.Thread:
+        """Poll ``watch_dir`` and hot-swap newer checkpoints (daemon).
+
+        The live-training companion: point ``watch_dir`` at a Trainer's
+        ``--save_dir`` and every new ``metrics_latest.ckpt`` /
+        ``model_{step}*.ckpt`` is served within one interval — a render
+        preview of the run as it trains.
+        """
+        stop = stop or threading.Event()
+
+        def loop():
+            while not stop.wait(interval_s):
+                try:
+                    info = self.reload(force=False)
+                    if info:
+                        self.log(f"watch: now serving step {info['step']}"
+                                 f" ({os.path.basename(info['path'])})")
+                except Exception as e:  # mid-write file etc.: retry later
+                    self.log(f"watch: reload failed ({e}); retrying")
+
+        thread = threading.Thread(target=loop, daemon=True,
+                                  name="ckpt-watch")
+        thread.stop_event = stop  # type: ignore[attr-defined]
+        thread.start()
+        return thread
+
+
+def _mtime(path: Optional[str]) -> Optional[float]:
+    try:
+        return os.path.getmtime(path) if path else None
+    except OSError:
+        return None
 
 
 def _as_pose(x, name: str) -> np.ndarray:
@@ -310,20 +449,23 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802
         if self.path == "/health":
-            s = self.service
-            self._reply_json(
-                200, {"status": "ok", "renders": s.renders, "warm": s.warm}
-            )
+            self._reply_json(200, self.service.health())
         elif self.path == "/spec":
             self._reply_json(200, self.service.spec())
         else:
             self._reply_json(404, {"error": f"no route {self.path}"})
 
     def do_POST(self):  # noqa: N802
-        if self.path != "/render":
+        if self.path not in ("/render", "/reload"):
             self._reply_json(404, {"error": f"no route {self.path}"})
             return
         try:
+            if self.path == "/reload":
+                # Reloads the newest checkpoint from the CONFIGURED
+                # watch dir / ckpt path only — no paths from the wire.
+                info = self.service.reload(force=True)
+                self._reply_json(200, {"reloaded": True, **info})
+                return
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
             body, ctype = self.service.render_request(req)
@@ -333,7 +475,7 @@ class _Handler(BaseHTTPRequestHandler):
         except json.JSONDecodeError as e:
             self._reply_json(400, {"error": f"bad JSON: {e}"})
         except Exception as e:  # render bug: report, keep serving
-            self.service.log(f"render failed: {type(e).__name__}: {e}")
+            self.service.log(f"request failed: {type(e).__name__}: {e}")
             self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
 
 
@@ -349,14 +491,18 @@ class RenderServer(ThreadingHTTPServer):
 
 
 def serve(service: RenderService, host: str = "127.0.0.1", port: int = 8008,
-          warmup: bool = True) -> None:
+          warmup: bool = True, watch_interval: float = 0.0) -> None:
     """Blocking server loop (the ``scripts/serve.py`` entry point)."""
     server = RenderServer(service, host, port)
     if warmup:
         service.warmup()
+    if watch_interval > 0:
+        service.watch(watch_interval)
+        service.log(f"watching {service.watch_dir} every "
+                    f"{watch_interval:g}s for newer checkpoints")
     h, p = server.server_address[:2]
     service.log(f"serving on http://{h}:{p}  "
-                f"(POST /render, GET /health, GET /spec)")
+                f"(POST /render, POST /reload, GET /health, GET /spec)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -78,9 +78,34 @@ def build_service(args, parser):
     print(f"loaded {args.ckpt} | {W}x{H} focal={focal:.2f} "
           f"near={rc.near:.3f} far={rc.far:.3f} "
           f"samples {rc.N_samples}+{rc.N_importance}")
+
+    template = params_template(rc)
+    model_cfg = rc.model_config()
+
+    def reload_fn(path):
+        return load_params_any(path, template, model_cfg)
+
+    occ_rebuild_fn = None
+    if occ_grid is not None:
+        import jax
+
+        from nerfmlp_tpu.ops.occupancy import build_grid
+
+        def occ_rebuild_fn(new_params):
+            return build_grid(new_params, rc, jax.random.PRNGKey(0),
+                              resolution=args.occ_grid_size)
+
+    watch_dir = args.watch_dir
+    if watch_dir is None and (args.watch > 0 or not args.ckpt.endswith(
+            (".npy", ".pth", ".pt"))):
+        # Default to the checkpoint's own directory — the Trainer's
+        # --save_dir layout — so --watch/POST /reload work out of the box.
+        watch_dir = os.path.dirname(os.path.abspath(args.ckpt))
     return RenderService(
         params, rc, H, W, focal,
         tile=args.tile, occ_grid=occ_grid, max_pixels=args.max_pixels,
+        reload_fn=reload_fn, occ_rebuild_fn=occ_rebuild_fn,
+        watch_dir=watch_dir, ckpt_path=os.path.abspath(args.ckpt),
     )
 
 
@@ -131,6 +156,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="skip the startup compile render (first request "
                         "pays it instead)")
+    p.add_argument("--watch", type=float, default=0.0, metavar="SECONDS",
+                   help="poll for newer checkpoints and hot-swap them "
+                        "(serve a model while it trains); 0 disables")
+    p.add_argument("--watch_dir", type=str, default=None,
+                   help="directory to watch (default: the --ckpt's dir)")
     add_arch_flags(p)
     return p
 
@@ -142,7 +172,8 @@ def main(argv=None):
     from nerfmlp_tpu.serve import serve
 
     service = build_service(args, p)
-    serve(service, host=args.host, port=args.port, warmup=args.warmup)
+    serve(service, host=args.host, port=args.port, warmup=args.warmup,
+          watch_interval=args.watch)
 
 
 if __name__ == "__main__":

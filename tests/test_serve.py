@@ -9,6 +9,7 @@ is one-shot CLIs, /root/reference/scripts/render_example.py:166-275).
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -196,6 +197,99 @@ def test_spec_and_counters(svc):
     assert spec["defaults"]["H"] == 16
     assert spec["render_config"]["N_samples"] == 8
     assert svc.renders > 0
+    h = svc.health()
+    assert h["status"] == "ok" and h["renders"] == svc.renders
+    assert h["latency"]["n"] >= 1 and h["latency"]["p50_ms"] > 0
+
+
+# ------------------------------------------------------------------ #
+# Hot checkpoint reload
+# ------------------------------------------------------------------ #
+def _save_params(path, seed):
+    from nerfmlp_tpu.train.checkpoint import save_checkpoint
+
+    cfg = RenderConfig(N_samples=8, N_importance=4, near=2.0, far=6.0)
+    params = {"coarse": init_model(jax.random.PRNGKey(seed),
+                                   cfg.model_config())}
+    save_checkpoint(path, params)
+    return params
+
+
+def _reloadable_service(tmp_path, **kw):
+    from nerfmlp_tpu.train.checkpoint import load_params_any
+
+    cfg = RenderConfig(N_samples=8, N_importance=4, near=2.0, far=6.0)
+    template = {"coarse": init_model(jax.random.PRNGKey(0),
+                                     cfg.model_config())}
+    ckpt = str(tmp_path / "model_100.ckpt")
+    _save_params(ckpt, seed=0)
+    params = load_params_any(ckpt, template, cfg.model_config())
+    return RenderService(
+        params, cfg, H=16, W=16, focal=20.0, tile=256,
+        reload_fn=lambda p: load_params_any(p, template, cfg.model_config()),
+        watch_dir=str(tmp_path), ckpt_path=ckpt, log=lambda *a: None,
+        **kw,
+    )
+
+
+def test_swap_params_changes_output(svc):
+    cfg = RenderConfig(N_samples=8, N_importance=4, near=2.0, far=6.0)
+    pose = pose_spherical(0.0, -30.0, 4.0)
+    before = svc.render_pose(pose)["rgb_map"]
+    old_params, old_reloads = svc.params, svc.reloads
+    try:
+        svc.swap_params({"coarse": init_model(jax.random.PRNGKey(7),
+                                              cfg.model_config())})
+        after = svc.render_pose(pose)["rgb_map"]
+        assert svc.reloads == old_reloads + 1
+        assert np.abs(after - before).max() > 0
+    finally:
+        svc.swap_params(old_params)
+
+
+def test_reload_picks_newest_checkpoint(tmp_path):
+    svc = _reloadable_service(tmp_path)
+    pose = pose_spherical(0.0, -30.0, 4.0)
+    first = svc.render_pose(pose)["rgb_map"]
+
+    # force=False with nothing new: a no-op
+    assert svc.reload(force=False) is None
+
+    # A newer step lands (different weights) -> watcher-mode reload
+    # discovers it exactly like auto-resume would.
+    _save_params(str(tmp_path / "model_200.ckpt"), seed=1)
+    info = svc.reload(force=False)
+    assert info is not None and info["step"] == 200
+    second = svc.render_pose(pose)["rgb_map"]
+    assert np.abs(second - first).max() > 0
+    assert svc.health()["ckpt"]["step"] == 200
+
+    # Unchanged again -> no-op; force=True reloads anyway.
+    assert svc.reload(force=False) is None
+    assert svc.reload(force=True)["step"] == 200
+
+
+def test_reload_without_support_raises(svc):
+    with pytest.raises(RequestError):
+        svc.reload()
+
+
+def test_watch_thread_swaps(tmp_path):
+    svc = _reloadable_service(tmp_path)
+    pose = pose_spherical(0.0, -30.0, 4.0)
+    first = svc.render_pose(pose)["rgb_map"]
+    thread = svc.watch(0.05)
+    try:
+        _save_params(str(tmp_path / "model_300.ckpt"), seed=2)
+        deadline = time.time() + 10
+        while svc.reloads == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert svc.reloads >= 1
+        assert svc.ckpt["step"] == 300
+        assert np.abs(svc.render_pose(pose)["rgb_map"] - first).max() > 0
+    finally:
+        thread.stop_event.set()
+        thread.join(timeout=5)
 
 
 # ------------------------------------------------------------------ #
@@ -246,6 +340,28 @@ def test_http_render_png(server_url):
     assert Image.open(io.BytesIO(body)).size == (16, 16)
 
 
+def test_http_reload_endpoint(tmp_path):
+    svc = _reloadable_service(tmp_path)
+    server = RenderServer(svc, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    url = f"http://{host}:{port}"
+    try:
+        _save_params(str(tmp_path / "model_500.ckpt"), seed=3)
+        status, body, _ = _post(url + "/reload", b"")
+        assert status == 200
+        out = json.loads(body)
+        assert out["reloaded"] is True and out["step"] == 500
+        status, body, _ = _get(url + "/health")
+        h = json.loads(body)
+        assert h["reloads"] == 1 and h["ckpt"]["step"] == 500
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
+
+
 def test_http_errors(server_url):
     status, body, _ = _post(server_url + "/render", b"{not json")
     assert status == 400 and b"bad JSON" in body
@@ -258,6 +374,10 @@ def test_http_errors(server_url):
     assert e.value.code == 404
     status, body, _ = _post(server_url + "/nope", b"{}")
     assert status == 404
+    # /reload on a server started without reload support -> 400
+    status, body, _ = _post(server_url + "/reload", b"")
+    assert status == 400
+    assert "without reload support" in json.loads(body)["error"]
 
 
 # ------------------------------------------------------------------ #
