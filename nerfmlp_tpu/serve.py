@@ -121,7 +121,13 @@ class RenderService:
         self.reload_fn = reload_fn
         self.occ_rebuild_fn = occ_rebuild_fn
         self.watch_dir = watch_dir
-        self.ckpt = {"path": ckpt_path, "mtime": _mtime(ckpt_path), "step": 0}
+        from nerfmlp_tpu.train.checkpoint import step_from_filename
+
+        self.ckpt = {
+            "path": ckpt_path,
+            "mtime": _mtime(ckpt_path),
+            "step": step_from_filename(ckpt_path) if ckpt_path else 0,
+        }
         self.reloads = 0
         self.log = log
         self.renders = 0
@@ -315,22 +321,21 @@ class RenderService:
     def reload(self, force: bool = True) -> Optional[Dict]:
         """Load the newest checkpoint and serve it; returns reload info.
 
-        The path is the newest resumable checkpoint in ``watch_dir``
-        (train/checkpoint.py::latest_checkpoint — the same discovery
-        auto-resume uses, oracle run_nerf.py:439-456) or, with no watch
-        dir, the originally-served checkpoint file. No caller-supplied
-        paths: the HTTP layer must not load arbitrary files.
+        The path is the newest params checkpoint in ``watch_dir``
+        (:func:`latest_params_checkpoint` — highest-step
+        ``model_{step}*.ckpt``, the serving counterpart of auto-resume's
+        discovery, oracle run_nerf.py:439-456) or, with no watch dir,
+        the originally-served checkpoint file. No caller-supplied paths:
+        the HTTP layer must not load arbitrary files.
 
         ``force=False`` (the watcher's mode) is a no-op unless the
         resolved (path, mtime) differs from what is being served.
         """
         if self.reload_fn is None:
             raise RequestError("server was started without reload support")
-        from nerfmlp_tpu.train.checkpoint import (
-            latest_checkpoint, step_from_filename,
-        )
+        from nerfmlp_tpu.train.checkpoint import step_from_filename
 
-        path = (latest_checkpoint(self.watch_dir) if self.watch_dir
+        path = (latest_params_checkpoint(self.watch_dir) if self.watch_dir
                 else self.ckpt["path"])
         if path is None:
             if force:
@@ -373,6 +378,36 @@ class RenderService:
         thread.stop_event = stop  # type: ignore[attr-defined]
         thread.start()
         return thread
+
+
+def latest_params_checkpoint(save_dir: str) -> Optional[str]:
+    """Newest checkpoint for SERVING from a Trainer save dir.
+
+    Differs from auto-resume's ``latest_checkpoint`` deliberately:
+    resume wants ``metrics_latest.ckpt`` (full train state, optimizer
+    moments included); serving wants the highest-step params-only
+    ``model_{step}[_latest].ckpt`` — a third of the bytes to load and an
+    honest step number for /health. Falls back to ``metrics_latest.ckpt``
+    (load_params_any extracts its params) only when no stepped
+    checkpoint exists yet.
+    """
+    from nerfmlp_tpu.train.checkpoint import step_from_filename
+
+    if not os.path.isdir(save_dir):
+        return None
+    best: Tuple[int, float, Optional[str]] = (0, 0.0, None)
+    for name in os.listdir(save_dir):
+        if name.startswith("model_") and name.endswith(".ckpt"):
+            step = step_from_filename(name)
+            if step <= 0:  # model_best/model_final carry no step
+                continue
+            key = (step, _mtime(os.path.join(save_dir, name)) or 0.0, name)
+            if key[:2] > best[:2]:
+                best = key
+    if best[2] is not None:
+        return os.path.join(save_dir, best[2])
+    cand = os.path.join(save_dir, "metrics_latest.ckpt")
+    return cand if os.path.exists(cand) else None
 
 
 def _mtime(path: Optional[str]) -> Optional[float]:

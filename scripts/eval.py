@@ -49,7 +49,13 @@ def main(argv=None):
                    help="checkpoint holds separate coarse/fine nets")
     p.add_argument("--tile", "--chunk", type=int, default=4096)
     add_arch_flags(p)
+    from nerfmlp_tpu.utils.cache import (
+        add_compilation_cache_flag, maybe_enable_from_args,
+    )
+
+    add_compilation_cache_flag(p)
     args = p.parse_args(argv)
+    maybe_enable_from_args(args)
 
     import time
 

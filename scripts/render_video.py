@@ -58,7 +58,13 @@ def main(argv=None):
     # checkpoint was trained — a metric-ray checkpoint rendered through
     # NDC geometry produces wrong frames with no error.
     add_llff_flags(p)
+    from nerfmlp_tpu.utils.cache import (
+        add_compilation_cache_flag, maybe_enable_from_args,
+    )
+
+    add_compilation_cache_flag(p)
     args = p.parse_args(argv)
+    maybe_enable_from_args(args)
 
 
     from nerfmlp_tpu.config import RenderConfig

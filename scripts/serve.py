@@ -161,6 +161,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(serve a model while it trains); 0 disables")
     p.add_argument("--watch_dir", type=str, default=None,
                    help="directory to watch (default: the --ckpt's dir)")
+    from nerfmlp_tpu.utils.cache import add_compilation_cache_flag
+
+    add_compilation_cache_flag(p)
     add_arch_flags(p)
     return p
 
@@ -170,6 +173,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from nerfmlp_tpu.serve import serve
+    from nerfmlp_tpu.utils.cache import maybe_enable_from_args
+
+    maybe_enable_from_args(args)
 
     service = build_service(args, p)
     serve(service, host=args.host, port=args.port, warmup=args.warmup,

@@ -224,6 +224,9 @@ def build_parser():
                    help="jax_debug_nans (TF oracle: check_numerics)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of steps 10-30 here")
+    from nerfmlp_tpu.utils.cache import add_compilation_cache_flag
+
+    add_compilation_cache_flag(p)
     p.add_argument("--tensorboard", action="store_true",
                    help="log scalars/histograms/images to <save_dir>/tb")
     p.add_argument("--i_print", type=int, default=100,
@@ -282,6 +285,9 @@ def build_parser():
 def main(argv=None):
     args = parse_args(argv)
 
+    from nerfmlp_tpu.utils.cache import maybe_enable_from_args
+
+    maybe_enable_from_args(args)
     if args.expname:
         # Oracle experiment layout: <basedir>/<expname> (run_nerf.py:659).
         args.save_dir = os.path.join(args.basedir, args.expname)

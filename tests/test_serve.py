@@ -274,6 +274,25 @@ def test_reload_without_support_raises(svc):
         svc.reload()
 
 
+def test_latest_params_checkpoint_prefers_stepped(tmp_path):
+    from nerfmlp_tpu.serve import latest_params_checkpoint
+
+    assert latest_params_checkpoint(str(tmp_path / "missing")) is None
+    assert latest_params_checkpoint(str(tmp_path)) is None
+    # Only the full train state exists (run just started): fall back.
+    (tmp_path / "metrics_latest.ckpt").write_bytes(b"x")
+    got = latest_params_checkpoint(str(tmp_path))
+    assert got.endswith("metrics_latest.ckpt")
+    # Stepped params-only layers win over the (heavier) full state, by
+    # step — and stepless model_best/model_final never match.
+    (tmp_path / "model_best.ckpt").write_bytes(b"x")
+    (tmp_path / "model_1000_latest.ckpt").write_bytes(b"x")
+    (tmp_path / "model_2000_latest.ckpt").write_bytes(b"x")
+    (tmp_path / "model_1000.ckpt").write_bytes(b"x")
+    got = latest_params_checkpoint(str(tmp_path))
+    assert got.endswith("model_2000_latest.ckpt")
+
+
 def test_watch_thread_swaps(tmp_path):
     svc = _reloadable_service(tmp_path)
     pose = pose_spherical(0.0, -30.0, 4.0)
