@@ -132,8 +132,13 @@ class RenderService:
         self.log = log
         self.renders = 0
         self.warm = False
+        self.warmup_s: Optional[float] = None
         self._times = deque(maxlen=128)  # per-render seconds (device time)
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()          # device dispatch
+        self._stats_lock = threading.Lock()    # _times/renders (cheap, for
+        #                                        /health to read without
+        #                                        queueing behind a render)
+        self._reload_lock = threading.Lock()   # watcher vs POST /reload
 
     # -------------------------------------------------------------- #
     # Core rendering
@@ -148,6 +153,7 @@ class RenderService:
         far: Optional[float] = None,
         viewdirs_c2w: Optional[np.ndarray] = None,
         maps: Tuple[str, ...] = ("rgb_map",),
+        _record_stats: bool = True,
     ) -> Dict[str, np.ndarray]:
         """Render one camera; returns requested maps as (H, W[, C]) arrays.
 
@@ -158,9 +164,14 @@ class RenderService:
         from nerfmlp_tpu.ops.render import render_image_maps
         from nerfmlp_tpu.render_path import rays_for_pose
 
-        H = int(self.defaults["H"] if H is None else H)
-        W = int(self.defaults["W"] if W is None else W)
-        focal = float(self.defaults["focal"] if focal is None else focal)
+        try:
+            H = int(self.defaults["H"] if H is None else H)
+            W = int(self.defaults["W"] if W is None else W)
+            focal = float(self.defaults["focal"] if focal is None else focal)
+            near = (self.defaults["near"] if near is None else float(near))
+            far = (self.defaults["far"] if far is None else float(far))
+        except (TypeError, ValueError) as e:
+            raise RequestError(f"H/W/focal/near/far must be numeric: {e}")
         if H <= 0 or W <= 0 or H * W > self.max_pixels:
             raise RequestError(
                 f"image shape {W}x{H} outside (0, {self.max_pixels}] pixels"
@@ -174,8 +185,6 @@ class RenderService:
         o, d, vd = rays_for_pose(
             c2w, H, W, focal, self.cfg, viewdirs_pose=viewdirs_c2w
         )
-        near = self.defaults["near"] if near is None else float(near)
-        far = self.defaults["far"] if far is None else float(far)
         with self._lock:
             t0 = time.perf_counter()
             out = render_image_maps(
@@ -187,8 +196,11 @@ class RenderService:
             # point on this backend (block_until_ready is a no-op
             # through the tunnel, CLAUDE.md).
             result = {k: np.asarray(v) for k, v in out.items()}
-            self._times.append(time.perf_counter() - t0)
-            self.renders += 1
+            dt = time.perf_counter() - t0
+        if _record_stats:
+            with self._stats_lock:
+                self._times.append(dt)
+                self.renders += 1
         return result
 
     def warmup(self) -> float:
@@ -197,15 +209,18 @@ class RenderService:
         The first render of a config pays tracing + XLA compilation (and,
         through this environment's tunnel, the first-op stall); serving
         processes do it at startup so no client request ever does.
+        Excluded from the /health latency stats and render count — a
+        compile-dominated 10-40 s first frame would poison the
+        percentiles for 128 requests.
         """
-        import time
-
         from nerfmlp_tpu.ops.rays import pose_spherical
 
         t0 = time.perf_counter()
-        self.render_pose(pose_spherical(0.0, -30.0, 4.0))
+        self.render_pose(pose_spherical(0.0, -30.0, 4.0),
+                         _record_stats=False)
         dt = time.perf_counter() - t0
         self.warm = True
+        self.warmup_s = dt
         self.log(f"warmup render ({self.defaults['W']}x{self.defaults['H']})"
                  f" in {dt:.1f}s — programs resident")
         return dt
@@ -240,9 +255,11 @@ class RenderService:
         if "rgb_map" in out:
             # Output conditioning, same order as the reference CLI
             # (brightness then gamma, render_example.py:246-252).
-            rgb = np.clip(
-                out["rgb_map"] * float(req.get("brightness", 1.0)), 0.0, 1.0
-            )
+            try:
+                brightness = float(req.get("brightness", 1.0))
+            except (TypeError, ValueError) as e:
+                raise RequestError(f"brightness must be numeric: {e}")
+            rgb = np.clip(out["rgb_map"] * brightness, 0.0, 1.0)
             if req.get("gamma"):
                 from nerfmlp_tpu.data.blender import linear_to_srgb
 
@@ -282,19 +299,26 @@ class RenderService:
         }
 
     def health(self) -> Dict:
-        times = sorted(self._times)
+        # Stats lock only: /health must answer instantly even while a
+        # multi-second render holds the dispatch lock.
+        with self._stats_lock:
+            raw = list(self._times)
+            renders = self.renders
+        times = sorted(raw)
         lat = None
         if times:
             lat = {
                 "n": len(times),
                 "p50_ms": round(times[len(times) // 2] * 1e3, 2),
                 "max_ms": round(times[-1] * 1e3, 2),
-                "last_ms": round(self._times[-1] * 1e3, 2),
+                "last_ms": round(raw[-1] * 1e3, 2),
             }
         return {
             "status": "ok",
-            "renders": self.renders,
+            "renders": renders,
             "warm": self.warm,
+            "warmup_s": None if self.warmup_s is None
+            else round(self.warmup_s, 2),
             "reloads": self.reloads,
             "ckpt": dict(self.ckpt),
             "latency": lat,
@@ -335,22 +359,26 @@ class RenderService:
             raise RequestError("server was started without reload support")
         from nerfmlp_tpu.train.checkpoint import step_from_filename
 
-        path = (latest_params_checkpoint(self.watch_dir) if self.watch_dir
-                else self.ckpt["path"])
-        if path is None:
-            if force:
-                raise RequestError(
-                    f"no checkpoint found in {self.watch_dir!r}")
-            return None
-        mtime = _mtime(path)
-        if not force and (path, mtime) == (self.ckpt["path"],
-                                           self.ckpt["mtime"]):
-            return None
-        params = self.reload_fn(path)
-        self.ckpt = {"path": path, "mtime": mtime,
-                     "step": step_from_filename(path)}
-        self.swap_params(params, source=path)
-        return dict(self.ckpt)
+        # One reload at a time: the watcher thread and POST /reload must
+        # not interleave resolve->load->swap, or an older checkpoint can
+        # be swapped in last while self.ckpt reports the newer one.
+        with self._reload_lock:
+            path = (latest_params_checkpoint(self.watch_dir)
+                    if self.watch_dir else self.ckpt["path"])
+            if path is None:
+                if force:
+                    raise RequestError(
+                        f"no checkpoint found in {self.watch_dir!r}")
+                return None
+            mtime = _mtime(path)
+            if not force and (path, mtime) == (self.ckpt["path"],
+                                               self.ckpt["mtime"]):
+                return None
+            params = self.reload_fn(path)
+            self.ckpt = {"path": path, "mtime": mtime,
+                         "step": step_from_filename(path)}
+            self.swap_params(params, source=path)
+            return dict(self.ckpt)
 
     def watch(self, interval_s: float,
               stop: Optional[threading.Event] = None) -> threading.Thread:
@@ -418,7 +446,10 @@ def _mtime(path: Optional[str]) -> Optional[float]:
 
 
 def _as_pose(x, name: str) -> np.ndarray:
-    pose = np.asarray(x, dtype=np.float32)
+    try:
+        pose = np.asarray(x, dtype=np.float32)
+    except (TypeError, ValueError) as e:  # ragged / non-numeric input
+        raise RequestError(f"{name} is not a numeric matrix: {e}")
     if pose.shape == (3, 4):
         pose = np.concatenate(
             [pose, np.array([[0, 0, 0, 1]], np.float32)], axis=0
@@ -445,9 +476,12 @@ def _pose_from_request(req: Dict) -> np.ndarray:
     if "eye" in req:
         if "target" not in req:
             raise RequestError('"eye" camera needs "target"')
-        eye = np.asarray(req["eye"], np.float32)
-        target = np.asarray(req["target"], np.float32)
-        up = np.asarray(req["up"], np.float32) if "up" in req else None
+        try:
+            eye = np.asarray(req["eye"], np.float32)
+            target = np.asarray(req["target"], np.float32)
+            up = np.asarray(req["up"], np.float32) if "up" in req else None
+        except (TypeError, ValueError) as e:
+            raise RequestError(f'"eye"/"target"/"up" must be numeric: {e}')
         if eye.shape != (3,) or target.shape != (3,):
             raise RequestError('"eye"/"target" must be 3-vectors')
         return look_at_matrix(eye, target, up)
@@ -458,6 +492,8 @@ def _pose_from_request(req: Dict) -> np.ndarray:
     except KeyError as e:
         raise RequestError(f'spherical camera needs "theta","phi","radius"'
                            f" (missing {e})")
+    except (TypeError, ValueError) as e:
+        raise RequestError(f"theta/phi/radius must be numeric: {e}")
 
 
 # ------------------------------------------------------------------ #

@@ -40,7 +40,15 @@ def build_service(args, parser):
     W, H = args.img_wh
     focal = args.focal
     near, far = args.near, args.far
-    white_bkgd = not args.no_white_bkgd
+    # LLFF is never white-composited, with or without a datadir (real
+    # photos have real backgrounds — same rule as render_example.py:129).
+    white_bkgd = args.dataset_type != "llff" and not args.no_white_bkgd
+    # NDC ray reparameterization must match training (rays_for_pose
+    # branches on cfg.ndc): with a datadir the LLFF loader decides
+    # (spherify forces metric rays); without one, the oracle default —
+    # NDC for forward-facing LLFF unless --no_ndc/--spherify.
+    ndc = (args.dataset_type == "llff"
+           and not args.no_ndc and not args.spherify)
     if focal is None or near is None or far is None:
         if args.datadir is None:
             parser.error("--focal/--near/--far must all be given when no "
@@ -48,6 +56,8 @@ def build_service(args, parser):
         DS = dataset_class(args.dataset_type)
         ds = DS(args.datadir, args.split, img_wh=tuple(args.img_wh),
                 **dataset_kwargs(args))
+        if args.dataset_type == "llff":
+            ndc = ds.use_ndc
         if focal is None:
             focal = float(ds.focal)
         if near is None or far is None:
@@ -58,7 +68,6 @@ def build_service(args, parser):
                              else ds.dynamic_near_far())
             near = d_near if near is None else near
             far = d_far if far is None else far
-        white_bkgd = args.dataset_type != "llff" and not args.no_white_bkgd
 
     n_importance = args.N_importance
     if n_importance is None:
@@ -67,20 +76,21 @@ def build_service(args, parser):
     rc = RenderConfig(
         N_samples=args.N_samples, N_importance=n_importance,
         near=float(near), far=float(far), perturb=False, raw_noise_std=0.0,
-        coord_scale=args.coord_scale, compute_dtype=args.compute_dtype,
+        ndc=ndc, coord_scale=args.coord_scale,
+        compute_dtype=args.compute_dtype,
         fp32_precision=args.fp32_precision, use_pallas=args.use_pallas,
         separate_fine=args.separate_fine, white_bkgd=white_bkgd,
         **occupancy_fields(args),
         **arch_fields(args),
     )
-    params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
+    template = params_template(rc)
+    model_cfg = rc.model_config()
+    params = load_params_any(args.ckpt, template, model_cfg)
     occ_grid = build_occ_grid(args, rc, params, parser)
     print(f"loaded {args.ckpt} | {W}x{H} focal={focal:.2f} "
           f"near={rc.near:.3f} far={rc.far:.3f} "
-          f"samples {rc.N_samples}+{rc.N_importance}")
-
-    template = params_template(rc)
-    model_cfg = rc.model_config()
+          f"samples {rc.N_samples}+{rc.N_importance}"
+          + (" | NDC rays" if ndc else ""))
 
     def reload_fn(path):
         return load_params_any(path, template, model_cfg)

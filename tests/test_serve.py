@@ -158,6 +158,31 @@ def test_request_errors(svc):
             svc.render_request(req)
 
 
+def test_request_malformed_values_are_400(svc):
+    cases = [
+        {"theta": "abc", "phi": -30, "radius": 4},      # non-numeric angle
+        {"c2w": [[1, 2], [3]]},                         # ragged matrix
+        {"eye": ["x", 0, 0], "target": [0, 0, 0]},      # non-numeric eye
+        {"theta": 0, "phi": -30, "radius": 4, "H": "abc"},
+        {"theta": 0, "phi": -30, "radius": 4, "near": "close"},
+        {"theta": 0, "phi": -30, "radius": 4, "brightness": "bright"},
+    ]
+    for req in cases:
+        with pytest.raises(RequestError):  # -> HTTP 400, never a 500
+            svc.render_request(req)
+
+
+def test_warmup_excluded_from_latency_stats():
+    s = _service(log=lambda *a: None)
+    s.warmup()
+    h = s.health()
+    assert h["warm"] and h["warmup_s"] > 0
+    # The compile-dominated warmup must not poison serving percentiles.
+    assert h["renders"] == 0 and h["latency"] is None
+    s.render_pose(pose_spherical(0, -30, 4))
+    assert s.health()["renders"] == 1
+
+
 def test_viewdirs_c2w_changes_appearance_only(svc):
     geo = pose_spherical(0.0, -30.0, 4.0)
     moving = pose_spherical(90.0, -30.0, 4.0)
@@ -434,6 +459,65 @@ def test_cli_build_service(tmp_path, synthetic_scene):
              "--no_pallas"]
     svc2 = build_service(p.parse_args(argv2), p)
     assert svc2.defaults["focal"] == 20.0
+
+
+def _write_llff_scene(d):
+    """Minimal forward-facing poses_bounds.npy capture (see test_llff)."""
+    from PIL import Image
+
+    img_dir = d / "images"
+    img_dir.mkdir(parents=True)
+    n, h, w, f = 8, 30, 40, 50.0
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [0.1 * i, 0.05 * i, 4.0 + 0.02 * i]
+        m = np.concatenate(
+            [-c2w[:3, 1:2], c2w[:3, 0:1], c2w[:3, 2:3], c2w[:3, 3:4]], axis=1
+        )
+        hwf = np.array([[h], [w], [f]], dtype=np.float32)
+        rows.append(np.concatenate(
+            [np.concatenate([m, hwf], 1).ravel(), [2.0, 8.0]]))
+        img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(img_dir / f"img_{i:03d}.png")
+    np.save(d / "poses_bounds.npy", np.stack(rows).astype(np.float64))
+    return str(d)
+
+
+def test_cli_llff_ndc_and_background(tmp_path):
+    """Serving an NDC-trained LLFF checkpoint must configure NDC rays and
+    a non-white background — the same rules as render_video.py:81-119
+    (an ndc=False config renders metric rays through an NDC-trained net:
+    deterministically wrong frames with no error)."""
+    from nerfmlp_tpu.train.checkpoint import save_checkpoint
+    from scripts.serve import build_parser, build_service
+
+    scene = _write_llff_scene(tmp_path / "llff")
+    cfg = RenderConfig(N_samples=8, N_importance=4)
+    save_checkpoint(str(tmp_path / "m.ckpt"),
+                    {"coarse": init_model(jax.random.PRNGKey(0),
+                                          cfg.model_config())})
+    p = build_parser()
+    base = ["--ckpt", str(tmp_path / "m.ckpt"), "--dataset_type", "llff",
+            "--img_wh", "16", "12", "--N_samples", "8",
+            "--N_importance", "4", "--no_pallas",
+            "--compute_dtype", "float32"]
+
+    svc = build_service(p.parse_args(base + ["--datadir", scene]), p)
+    assert svc.cfg.ndc is True          # forward-facing capture default
+    assert svc.cfg.white_bkgd is False  # real photos keep their background
+    assert svc.defaults["near"] == 0.0 and svc.defaults["far"] == 1.0
+    out = svc.render_pose(pose_spherical(0, -30, 4))
+    assert np.isfinite(out["rgb_map"]).all()
+
+    # Dataset-free serving keeps the same rules from the flags alone.
+    flags = base + ["--focal", "50", "--near", "0", "--far", "1"]
+    assert build_service(p.parse_args(flags), p).cfg.ndc is True
+    svc = build_service(p.parse_args(flags + ["--no_ndc"]), p)
+    assert svc.cfg.ndc is False
+    svc = build_service(p.parse_args(flags + ["--spherify"]), p)
+    assert svc.cfg.ndc is False         # 360 captures train on metric rays
 
 
 def test_cli_requires_focal_or_datadir(tmp_path):
