@@ -48,6 +48,13 @@ chip (concurrent dispatch interleaves and slows both requests; two TPU
 *processes* additionally serialize behind this environment's tunnel).
 HTTP threads queue on the lock, so the server stays correct under
 concurrent clients while the device runs at full tilt.
+
+Multi-chip: pass a data-parallel ``mesh`` (scripts/serve.py builds one by
+default when >1 devices are visible) and every frame's pixel grid is
+sharded over the devices via ``parallel/render_parallel.py`` — the same
+sharded renderer the trainer and batch CLIs use — with params and the
+occupancy grid placed replicated once per swap, never per frame.
+``/health`` reports p50/p95/p99/max tail latencies over a rolling window.
 """
 
 from __future__ import annotations
@@ -66,6 +73,10 @@ import numpy as np
 from nerfmlp_tpu.config import RenderConfig
 
 _VALID_MAPS = ("rgb_map", "disp_map", "depth_map", "acc_map")
+# A camera-spec JSON body is a few hundred bytes; reject anything absurd
+# before reading it into memory (a 4x4 pose + overrides fits in 1 MB with
+# orders of magnitude to spare).
+MAX_BODY_BYTES = 1 << 20
 
 
 class RequestError(ValueError):
@@ -96,12 +107,29 @@ class RenderService:
         occ_rebuild_fn: Optional[Callable[[Dict], object]] = None,
         watch_dir: Optional[str] = None,
         ckpt_path: Optional[str] = None,
+        mesh=None,
         log=print,
     ):
-        self.params = params
+        # Multi-chip serving: on a >1-device pure data-parallel mesh each
+        # frame's pixel grid is sharded over the devices
+        # (parallel/render_parallel.py — the same sharded renderer the
+        # trainer and batch CLIs use), so a v5e-8 server drives all 8
+        # chips instead of 1. Params/occ-grid are placed replicated ONCE
+        # here (and on every swap) so per-frame dispatches ship no weights.
+        self.mesh = None
+        if mesh is not None:
+            from nerfmlp_tpu.parallel.render_parallel import (
+                data_parallel_mesh,
+            )
+
+            self.mesh = data_parallel_mesh(mesh)
+            if self.mesh is None:
+                log("(serve mesh ignored: not a >1-device pure "
+                    "data-parallel mesh — rendering on one device)")
+        self.params = self._place(params)
         self.cfg = cfg
         self.tile = int(tile)
-        self.occ_grid = occ_grid
+        self.occ_grid = self._place(occ_grid)
         self.defaults = {
             "H": int(H),
             "W": int(W),
@@ -121,12 +149,10 @@ class RenderService:
         self.reload_fn = reload_fn
         self.occ_rebuild_fn = occ_rebuild_fn
         self.watch_dir = watch_dir
-        from nerfmlp_tpu.train.checkpoint import step_from_filename
-
         self.ckpt = {
             "path": ckpt_path,
             "mtime": _mtime(ckpt_path),
-            "step": step_from_filename(ckpt_path) if ckpt_path else 0,
+            "step": _ckpt_step(ckpt_path),
         }
         self.reloads = 0
         self.log = log
@@ -139,6 +165,15 @@ class RenderService:
         #                                        /health to read without
         #                                        queueing behind a render)
         self._reload_lock = threading.Lock()   # watcher vs POST /reload
+
+    def _place(self, tree):
+        """Replicate a pytree over the serve mesh (no-op without one)."""
+        if tree is None or self.mesh is None:
+            return tree
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(tree, NamedSharding(self.mesh, P()))
 
     # -------------------------------------------------------------- #
     # Core rendering
@@ -187,11 +222,22 @@ class RenderService:
         )
         with self._lock:
             t0 = time.perf_counter()
-            out = render_image_maps(
-                self.params, o, d, H, W, self.cfg, tile=self.tile,
-                near=near, far=far, occ_grid=self.occ_grid, viewdirs=vd,
-                maps=tuple(maps),
-            )
+            if self.mesh is not None:
+                from nerfmlp_tpu.parallel.render_parallel import (
+                    render_image_sharded,
+                )
+
+                out = render_image_sharded(
+                    self.params, o, d, H, W, self.cfg, self.mesh,
+                    tile=self.tile, near=near, far=far,
+                    occ_grid=self.occ_grid, viewdirs=vd, maps=tuple(maps),
+                )
+            else:
+                out = render_image_maps(
+                    self.params, o, d, H, W, self.cfg, tile=self.tile,
+                    near=near, far=far, occ_grid=self.occ_grid,
+                    viewdirs=vd, maps=tuple(maps),
+                )
             # np.asarray is the host readback — the honest completion
             # point on this backend (block_until_ready is a no-op
             # through the tunnel, CLAUDE.md).
@@ -238,7 +284,17 @@ class RenderService:
             raise RequestError("request body must be a JSON object")
         c2w = _pose_from_request(req)
         fmt = req.get("format", "png")
-        maps = tuple(req.get("maps", ("rgb_map",)))
+        maps_req = req.get("maps", ("rgb_map",))
+        if isinstance(maps_req, str):
+            maps_req = (maps_req,)
+        if not isinstance(maps_req, (list, tuple)) or not all(
+            isinstance(m, str) for m in maps_req
+        ):
+            raise RequestError(
+                '"maps" must be a list of map names '
+                f"(valid: {_VALID_MAPS})"
+            )
+        maps = tuple(maps_req)
         if fmt == "png" and maps != ("rgb_map",):
             raise RequestError('format "png" serves rgb_map only; use '
                                '"npy"/"json" for other maps')
@@ -307,9 +363,19 @@ class RenderService:
         times = sorted(raw)
         lat = None
         if times:
+            # Nearest-rank percentiles over the rolling window — tails
+            # (p95/p99) are what a serving endpoint is judged on.
+            import math
+
+            def pct(q: float) -> float:
+                i = max(0, math.ceil(q * len(times)) - 1)
+                return times[min(i, len(times) - 1)]
+
             lat = {
                 "n": len(times),
-                "p50_ms": round(times[len(times) // 2] * 1e3, 2),
+                "p50_ms": round(pct(0.50) * 1e3, 2),
+                "p95_ms": round(pct(0.95) * 1e3, 2),
+                "p99_ms": round(pct(0.99) * 1e3, 2),
                 "max_ms": round(times[-1] * 1e3, 2),
                 "last_ms": round(raw[-1] * 1e3, 2),
             }
@@ -334,7 +400,10 @@ class RenderService:
         costs one host->device upload, never a recompile. In-flight
         renders finish on the old weights; the next request sees the new.
         """
-        occ = self.occ_rebuild_fn(params) if self.occ_rebuild_fn else None
+        params = self._place(params)
+        occ = self._place(
+            self.occ_rebuild_fn(params) if self.occ_rebuild_fn else None
+        )
         with self._lock:
             self.params = params
             if self.occ_rebuild_fn:
@@ -357,8 +426,6 @@ class RenderService:
         """
         if self.reload_fn is None:
             raise RequestError("server was started without reload support")
-        from nerfmlp_tpu.train.checkpoint import step_from_filename
-
         # One reload at a time: the watcher thread and POST /reload must
         # not interleave resolve->load->swap, or an older checkpoint can
         # be swapped in last while self.ckpt reports the newer one.
@@ -367,6 +434,10 @@ class RenderService:
                     if self.watch_dir else self.ckpt["path"])
             if path is None:
                 if force:
+                    if self.watch_dir is None:
+                        raise RequestError(
+                            "server has no watch dir and no original "
+                            "checkpoint path — nothing to reload")
                     raise RequestError(
                         f"no checkpoint found in {self.watch_dir!r}")
                 return None
@@ -375,9 +446,14 @@ class RenderService:
                                                self.ckpt["mtime"]):
                 return None
             params = self.reload_fn(path)
-            self.ckpt = {"path": path, "mtime": mtime,
-                         "step": step_from_filename(path)}
+            # Swap FIRST, record the metadata only once the new weights
+            # are actually served: committing self.ckpt before a failed
+            # swap would make /health lie AND make the force=False
+            # watcher skip this checkpoint forever ((path, mtime) would
+            # already match) — stale weights served silently.
             self.swap_params(params, source=path)
+            self.ckpt = {"path": path, "mtime": mtime,
+                         "step": _ckpt_step(path)}
             return dict(self.ckpt)
 
     def watch(self, interval_s: float,
@@ -438,6 +514,20 @@ def latest_params_checkpoint(save_dir: str) -> Optional[str]:
     return cand if os.path.exists(cand) else None
 
 
+def _ckpt_step(path: Optional[str]) -> int:
+    """Honest step for /health: from the filename, else from inside a
+    full-TrainState checkpoint (``metrics_latest.ckpt`` carries no step
+    in its NAME but holds the true one in its state)."""
+    if not path:
+        return 0
+    from nerfmlp_tpu.train.checkpoint import (
+        step_from_filename,
+        step_in_checkpoint,
+    )
+
+    return step_from_filename(path) or step_in_checkpoint(path)
+
+
 def _mtime(path: Optional[str]) -> Optional[float]:
     try:
         return os.path.getmtime(path) if path else None
@@ -484,6 +574,8 @@ def _pose_from_request(req: Dict) -> np.ndarray:
             raise RequestError(f'"eye"/"target"/"up" must be numeric: {e}')
         if eye.shape != (3,) or target.shape != (3,):
             raise RequestError('"eye"/"target" must be 3-vectors')
+        if up is not None and up.shape != (3,):
+            raise RequestError('"up" must be a 3-vector')
         return look_at_matrix(eye, target, up)
     try:
         return pose_spherical(
@@ -537,7 +629,30 @@ class _Handler(BaseHTTPRequestHandler):
                 info = self.service.reload(force=True)
                 self._reply_json(200, {"reloaded": True, **info})
                 return
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._reply_json(400, {"error": "bad Content-Length"})
+                return
+            if n > MAX_BODY_BYTES:
+                # Reject without BUFFERING: an unbounded read-into-memory
+                # would let any client exhaust host RAM with one giant
+                # body. Drain-and-discard in bounded chunks (so a
+                # well-behaved client sees the 413 rather than a broken
+                # pipe); past the drain cap, just close the connection.
+                remaining = n
+                if n <= 8 * MAX_BODY_BYTES:
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(65536, remaining))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                self._reply_json(413, {
+                    "error": f"request body {n} bytes exceeds "
+                             f"{MAX_BODY_BYTES} (a camera spec is tiny)"
+                })
+                self.close_connection = True
+                return
             req = json.loads(self.rfile.read(n) or b"{}")
             body, ctype = self.service.render_request(req)
             self._reply(200, body, ctype)

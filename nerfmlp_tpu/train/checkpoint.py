@@ -203,6 +203,27 @@ def step_from_filename(path: str) -> int:
     return 0
 
 
+def step_in_checkpoint(path: str) -> int:
+    """Step recorded INSIDE a full-TrainState ``.ckpt``; 0 otherwise.
+
+    ``metrics_latest.ckpt`` carries no step in its NAME but stores the
+    true one in its state — serving's /health uses this so the fallback
+    checkpoint never reports step 0 for a later-step state."""
+    if not path or not path.endswith(".ckpt") or not os.path.exists(path):
+        return 0
+    try:
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+    except Exception:
+        return 0
+    if isinstance(raw, dict) and "opt_state" in raw and "step" in raw:
+        try:
+            return int(np.asarray(raw["step"]))
+        except (TypeError, ValueError):
+            return 0
+    return 0
+
+
 def latest_checkpoint(save_dir: str) -> Optional[str]:
     """Auto-discover the most recent resumable checkpoint in a directory
     (the TF oracle auto-reloads sorted model_*.npy, run_nerf.py:439-456)."""

@@ -111,11 +111,27 @@ def build_service(args, parser):
         # Default to the checkpoint's own directory — the Trainer's
         # --save_dir layout — so --watch/POST /reload work out of the box.
         watch_dir = os.path.dirname(os.path.abspath(args.ckpt))
+
+    # Multi-chip serving (default): on a >1-device host, shard each
+    # frame's pixel grid over a data-parallel mesh — the same sharded
+    # renderer the trainer and batch CLIs use — so a v5e-8 server drives
+    # every chip. RenderService falls back to one device otherwise.
+    mesh = None
+    if args.shard_render:
+        import jax
+
+        n_dev = args.n_devices or len(jax.devices())
+        if n_dev > 1:
+            from nerfmlp_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_devices=n_dev)
+            print(f"sharded frame rendering over {n_dev} devices")
     return RenderService(
         params, rc, H, W, focal,
         tile=args.tile, occ_grid=occ_grid, max_pixels=args.max_pixels,
         reload_fn=reload_fn, occ_rebuild_fn=occ_rebuild_fn,
         watch_dir=watch_dir, ckpt_path=os.path.abspath(args.ckpt),
+        mesh=mesh,
     )
 
 
@@ -159,6 +175,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True)
     p.add_argument("--separate_fine", action="store_true")
     add_occupancy_flags(p)
+    p.add_argument("--no_shard_render", dest="shard_render",
+                   action="store_false", default=True,
+                   help="serve frames on one device even when several "
+                        "are visible (default: shard each frame's pixel "
+                        "grid over all devices)")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="devices for sharded serving (default: all)")
     p.add_argument("--tile", "--chunk", type=int, default=4096)
     p.add_argument("--max_pixels", type=int, default=4096 * 4096,
                    help="reject render requests above this pixel count")
