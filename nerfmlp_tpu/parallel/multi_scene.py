@@ -148,19 +148,26 @@ def make_multi_scene_dp_step(
     batch over its data group and inserts the per-group gradient
     all-reduce; no hand-written collectives (same math as
     :func:`make_multi_scene_step`, more chips than scenes).
-    ``with_bounds``: trailing (n_scenes, 2) per-scene [near, far] stack."""
-    if rc.use_occupancy:
-        # The sibling make_multi_scene_step threads per-scene grids; this
-        # 2-D path does not (yet) — fail here with the right fix instead
-        # of deep inside tracing with render_rays' missing-grid error.
-        raise NotImplementedError(
-            "use_occupancy is not supported on the (scene, data) 2-D mesh "
-            "path — use one scene per device (make_multi_scene_step) or "
-            "drop --use_occupancy"
-        )
-    step_fn = make_step_fn(rc, tc)
 
-    if with_bounds:
+    With ``rc.use_occupancy`` the step takes a stacked per-scene grids
+    argument after the batch (:func:`create_multi_scene_grids`), sharded
+    on "scene" like the states — each scene group samples from ITS OWN
+    density grid, replicated across its data chips.
+    ``with_bounds``: trailing (n_scenes, 2) per-scene [near, far] stack."""
+    step_fn = make_step_fn(rc, tc)
+    occ = rc.use_occupancy
+
+    if occ and with_bounds:
+        def step(state_stack, batch_stack, grid_stack, bounds_stack):
+            return jax.vmap(step_fn)(
+                state_stack, batch_stack, grid_stack, bounds_stack
+            )
+    elif occ:
+        def step(state_stack, batch_stack, grid_stack):
+            return jax.vmap(lambda s, b, g: step_fn(s, b, g))(
+                state_stack, batch_stack, grid_stack
+            )
+    elif with_bounds:
         def step(state_stack, batch_stack, bounds_stack):
             return jax.vmap(lambda s, b, bd: step_fn(s, b, None, bd))(
                 state_stack, batch_stack, bounds_stack
@@ -173,7 +180,11 @@ def make_multi_scene_dp_step(
 
     state_sh = NamedSharding(mesh, P("scene"))
     batch_sh = NamedSharding(mesh, P("scene", "data"))
-    in_sh = (state_sh, batch_sh) + ((state_sh,) if with_bounds else ())
+    in_sh = (
+        (state_sh, batch_sh)
+        + ((state_sh,) if occ else ())
+        + ((state_sh,) if with_bounds else ())
+    )
     return (
         jax.jit(
             step,
@@ -183,4 +194,23 @@ def make_multi_scene_dp_step(
         ),
         state_sh,
         batch_sh,
+    )
+
+
+def make_multi_scene_dp_grid_update(rc: RenderConfig, mesh: Mesh):
+    """Per-scene occupancy refresh on the ("scene", "data") mesh: the
+    stacked grids/params/rngs are sharded on "scene" and each scene's
+    jittered cell-center evaluation is data-replicated within its group
+    (the 2-D counterpart of :func:`make_multi_scene_grid_update`)."""
+    from nerfmlp_tpu.ops.occupancy import update_grid
+
+    def upd(grid_stack, params_stack, rng_stack):
+        return jax.vmap(
+            lambda g, p, r: update_grid(g, p, rc, r)
+        )(grid_stack, params_stack, rng_stack)
+
+    sh = NamedSharding(mesh, P("scene"))
+    return jax.jit(
+        upd, in_shardings=(sh, sh, sh), out_shardings=sh,
+        donate_argnums=(0,),
     )

@@ -60,6 +60,11 @@ def main(argv=None):
                    help="LLFF scenes: images_{factor}/ directory")
     p.add_argument("--shape", type=str, default="cube",
                    help="DeepVoxels scenes: object shape")
+    from nerfmlp_tpu.utils.cli import add_occupancy_flags
+
+    add_occupancy_flags(p)
+    p.add_argument("--occ_update_every", type=int, default=16,
+                   help="training steps between per-scene grid refreshes")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -70,8 +75,11 @@ def main(argv=None):
     from nerfmlp_tpu.data.pipeline import RayBatchLoader
     from nerfmlp_tpu.parallel.mesh import make_mesh
     from nerfmlp_tpu.parallel.multi_scene import (
+        create_multi_scene_grids,
         create_multi_scene_state,
+        make_multi_scene_dp_grid_update,
         make_multi_scene_dp_step,
+        make_multi_scene_grid_update,
         make_multi_scene_step,
         make_scene_mesh,
         scene_sharding,
@@ -128,11 +136,17 @@ def main(argv=None):
               "setting: using white_bkgd=False (llff semantics) for ALL "
               "scenes — synthetic scenes will train without their white "
               "background composite")
+    from nerfmlp_tpu.utils.cli import occupancy_fields
+
+    if args.use_occupancy and args.aabb is None:
+        p.error("--use_occupancy requires --aabb")
     rc = RenderConfig(
         N_samples=args.N_samples, N_importance=args.N_importance,
         near=float(bounds[:, 0].min()), far=float(bounds[:, 1].max()),
         perturb=True, white_bkgd=white_bkgd,
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+        occ_update_every=args.occ_update_every,
+        **occupancy_fields(args),
     )
     tc = TrainConfig(batch_size=args.batch_size, iters=args.iters, lr=args.lr)
 
@@ -141,6 +155,8 @@ def main(argv=None):
         mesh = make_mesh()
         shard = batch_shard = scene_sharding(mesh)
         step = make_multi_scene_step(rc, tc, mesh, with_bounds=True)
+        grid_update = (make_multi_scene_grid_update(rc, mesh)
+                       if rc.use_occupancy else None)
         bounds_shard = shard
     else:
         # Fewer scenes than chips: ("scene", "data") mesh — each scene
@@ -149,10 +165,22 @@ def main(argv=None):
         step, shard, batch_shard = make_multi_scene_dp_step(
             rc, tc, mesh, with_bounds=True
         )
+        grid_update = (make_multi_scene_dp_grid_update(rc, mesh)
+                       if rc.use_occupancy else None)
         bounds_shard = shard
         print(f"scene x data mesh: {n_scenes} x {n_dev // n_scenes}")
     state = jax.device_put(create_multi_scene_state(n_scenes, rc, tc), shard)
     bounds_dev = jax.device_put(jnp.asarray(bounds), bounds_shard)
+
+    # Per-scene occupancy grids: stacked on the scene axis next to the
+    # states, refreshed every --occ_update_every steps from each scene's
+    # OWN current weights (the multi-scene analog of the trainer's EMA
+    # refresh, train/loop.py).
+    grids = None
+    if rc.use_occupancy:
+        grids = jax.device_put(create_multi_scene_grids(n_scenes, rc), shard)
+        print(f"occupancy sampling on: {args.occ_grid_size}^3 grids "
+              f"per scene, refresh every {rc.occ_update_every} steps")
 
     # Mixed loaders can emit (B, 9) [o|d|rgb] and (B, 12) [o|d|viewdir|rgb]
     # rows; widen 9-col scenes with viewdirs = normalize(d) (exactly what
@@ -170,8 +198,21 @@ def main(argv=None):
     os.makedirs(args.save_dir, exist_ok=True)
     for it in range(1, args.iters + 1):
         batch = np.stack([scene_batch(ld) for ld in loaders], axis=0)
+        extra = ()
+        if grids is not None:
+            if (it - 1) % rc.occ_update_every == 0:
+                rngs = jax.device_put(
+                    jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                        jax.random.PRNGKey(17 + it),
+                        jnp.arange(n_scenes, dtype=jnp.uint32),
+                    ),
+                    shard,
+                )
+                grids = grid_update(grids, state.params, rngs)
+            extra = (grids,)
         state, metrics = step(
-            state, jax.device_put(jnp.asarray(batch), batch_shard), bounds_dev
+            state, jax.device_put(jnp.asarray(batch), batch_shard),
+            *extra, bounds_dev
         )
         if it % args.log_interval == 0:
             losses = np.asarray(metrics["loss"])

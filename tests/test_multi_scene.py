@@ -272,21 +272,85 @@ def test_multi_scene_cli_mixed_datasets(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "model_llff_scene_final.ckpt"))
 
 
-def test_dp_step_rejects_occupancy_clearly():
-    """The (scene, data) 2-D path has no occupancy grid plumbing; it must
-    say so up front, not fail deep inside tracing (r3 review)."""
-    import dataclasses
-
-    import pytest
-
+def test_dp_2d_mesh_with_occupancy_matches_unsharded():
+    """Occupancy on the (scene, data) 2-D mesh (r3 verdict item 4):
+    2 scenes x 4 data shards on 8 fake devices with per-scene grids —
+    the refreshed grids and the stepped params must equal a plain
+    single-device vmap of the same stacked inputs."""
+    from nerfmlp_tpu.ops.occupancy import update_grid
     from nerfmlp_tpu.parallel.multi_scene import (
-        make_multi_scene_dp_step, make_scene_mesh,
+        create_multi_scene_grids,
+        make_multi_scene_dp_grid_update,
+        make_multi_scene_dp_step,
+        make_scene_mesh,
     )
+    from nerfmlp_tpu.parallel.train_step import make_step_fn
 
     rc = RenderConfig(
-        N_samples=8, N_importance=8, near=2.0, far=6.0, perturb=True,
-        use_occupancy=True, aabb=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
+        N_samples=8, N_importance=8, near=0.5, far=4.0, perturb=True,
+        use_occupancy=True, aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5),
+        occ_grid_size=8, occ_dense_samples=16,
     )
-    mesh = make_scene_mesh(n_scenes=2, n_devices=4)
-    with pytest.raises(NotImplementedError, match="scene, data"):
-        make_multi_scene_dp_step(rc, TrainConfig(batch_size=32), mesh)
+    tc = TrainConfig(batch_size=64)
+    batch = _batches(2, 64, seed=11)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(2, dtype=jnp.uint32))
+
+    # Reference: unsharded vmap of the same refresh + step.
+    ref_state = create_multi_scene_state(2, rc, tc)
+    ref_grids = create_multi_scene_grids(2, rc)
+    ref_grids = jax.jit(jax.vmap(
+        lambda g, p, r: update_grid(g, p, rc, r)
+    ))(ref_grids, ref_state.params, rngs)
+    ref_step = jax.jit(jax.vmap(make_step_fn(rc, tc)))
+    ref_state, ref_m = ref_step(ref_state, jnp.asarray(batch), ref_grids)
+
+    mesh = make_scene_mesh(n_scenes=2, n_devices=8)
+    step, state_sh, batch_sh = make_multi_scene_dp_step(rc, tc, mesh)
+    state = jax.device_put(create_multi_scene_state(2, rc, tc), state_sh)
+    grids = jax.device_put(create_multi_scene_grids(2, rc), state_sh)
+    upd = make_multi_scene_dp_grid_update(rc, mesh)
+    grids = upd(grids, state.params, jax.device_put(rngs, state_sh))
+    np.testing.assert_allclose(
+        np.asarray(grids.density), np.asarray(ref_grids.density), atol=1e-5
+    )
+    state, m = step(
+        state, jax.device_put(jnp.asarray(batch), batch_sh), grids
+    )
+    np.testing.assert_allclose(
+        np.asarray(m["loss"]), np.asarray(ref_m["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_multi_scene_cli_occupancy_2d(tmp_path):
+    """CLI end-to-end: 2 scenes on 8 fake devices with --use_occupancy
+    takes the (scene=2, data=4) mesh path, refreshes per-scene grids,
+    and writes per-scene checkpoints."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from nerfmlp_tpu.data.synthetic import make_synthetic_scene
+    from scripts.train_multi_scene import main
+
+    dirs = []
+    for i in range(2):
+        d = str(tmp_path / f"scene{i}")
+        make_synthetic_scene(d, n_train=3, n_val=1, n_test=1,
+                             img_wh=(24, 24), seed=i)
+        dirs.append(d)
+    out = str(tmp_path / "occ_out")
+    main([
+        "--datadirs", *dirs, "--img_wh", "24", "24",
+        "--batch_size", "64", "--iters", "6", "--save_dir", out,
+        "--N_samples", "4", "--N_importance", "4",
+        "--log_interval", "3", "--compute_dtype", "float32", "--no_pallas",
+        "--use_occupancy", "--aabb", "-1.5", "-1.5", "-1.5",
+        "1.5", "1.5", "1.5", "--occ_grid_size", "8",
+        "--occ_dense_samples", "16", "--occ_update_every", "4",
+    ])
+    assert os.path.exists(os.path.join(out, "model_scene0_final.ckpt"))
+    assert os.path.exists(os.path.join(out, "model_scene1_final.ckpt"))
