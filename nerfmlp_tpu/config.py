@@ -204,7 +204,7 @@ class TrainConfig:
                                  # defaults) or windows shrink at
                                  # boundaries and each distinct size
                                  # costs one compile.
-    device_pool: bool = False    # keep the ray pool resident in device
+    device_pool: bool = True     # keep the ray pool resident in device
                                  # memory and let the train step
                                  # dynamic_index its batch from a per-epoch
                                  # on-device shuffle: ZERO host->device
@@ -213,3 +213,10 @@ class TrainConfig:
                                  # host loader; host streaming still
                                  # covers the precrop phase, --no_batching,
                                  # and pools smaller than one batch.
+                                 # DEFAULT ON (r4): measured A/B cut the
+                                 # tunnel's byte-proportional host leak
+                                 # 85% (43.4 -> 6.5 KB/step) at neutral
+                                 # wall-clock (docs/RESULTS.md); the
+                                 # loop falls back to host streaming
+                                 # automatically when ineligible (TP,
+                                 # --no_batching, tiny pools).
