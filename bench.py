@@ -209,6 +209,17 @@ def main():
     r = _train_throughput(occ, batch=1024)
     rows.append(_row("train_occupancy_16_48", r, "rays/s (batch 1024, occ grid)",
                      r / BASELINE_RAYS_PER_SEC))
+    # Parity-grade fast path (r4-certified, docs/RESULTS.md): occupancy
+    # sampling through the bf16x3 in-kernel fp32-high matmuls.
+    occ_fp32 = RenderConfig(
+        N_samples=16, N_importance=48, near=2.0, far=6.0, perturb=True,
+        compute_dtype="float32", fp32_precision="high", use_pallas=True,
+        use_occupancy=True, aabb=(-1.3, -1.3, -1.3, 1.3, 1.3, 1.3),
+    )
+    r = _train_throughput(occ_fp32, batch=1024)
+    rows.append(_row("train_fp32_high_occupancy_16_48", r,
+                     "rays/s (batch 1024, occ grid, bf16x3 in-kernel)",
+                     r / BASELINE_RAYS_PER_SEC))
 
     s = _render_seconds(RenderConfig(
         N_samples=64, N_importance=128, near=2.0, far=6.0, perturb=False,

@@ -71,6 +71,17 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="outputs/golden_lego.json")
     p.add_argument("--skip_reference", action="store_true",
                    help="render only our framework (no torch baseline)")
+    p.add_argument("--fast_recipe", action="store_true",
+                   help="ALSO render every view with the certified fast "
+                        "path (occupancy grid + fp32-high Pallas kernel, "
+                        "docs/RESULTS.md r4) and report its per-view delta "
+                        "vs the golden fp32 render and vs GT")
+    p.add_argument("--fast_samples", type=int, nargs=2, default=[32, 64],
+                   help="fast-recipe N_samples N_importance")
+    p.add_argument("--aabb", type=float, nargs=6,
+                   default=[-1.5, -1.5, -1.5, 1.5, 1.5, 1.5],
+                   help="occupancy-grid bounds for --fast_recipe (the "
+                        "nerf_synthetic scenes fit inside |x|<1.5)")
     args = p.parse_args(argv)
 
     datadir, weights = find_inputs(args.datadir, args.weights)
@@ -106,6 +117,27 @@ def main(argv=None):
         compute_dtype="float32", use_pallas=False,
     )
     params = load_params_any(weights, cfg=cfg.model_config())
+
+    fast_cfg = None
+    fast_grid = None
+    if args.fast_recipe:
+        import dataclasses
+
+        import jax
+
+        from nerfmlp_tpu.ops.occupancy import build_grid
+
+        fast_cfg = dataclasses.replace(
+            cfg,
+            N_samples=args.fast_samples[0],
+            N_importance=args.fast_samples[1],
+            use_occupancy=True,
+            aabb=tuple(args.aabb),
+            compute_dtype="float32",
+            fp32_precision="high",
+            use_pallas=True,
+        )
+        fast_grid = build_grid(params, fast_cfg, jax.random.PRNGKey(0))
 
     if args.view_idx >= 0:
         views = [args.view_idx]
@@ -145,6 +177,18 @@ def main(argv=None):
                "psnr_ours_vs_gt": round(float(psnr_images(ours, gt)), 4)}
         if vi == views[0]:
             save_png(args.out.rsplit(".", 1)[0] + "_ours.png", ours)
+        if fast_cfg is not None:
+            fast = np.asarray(render_image(
+                params, jnp.asarray(o), jnp.asarray(d), ds.H, ds.W,
+                fast_cfg, occ_grid=fast_grid,
+            ))
+            row.update({
+                "psnr_fast_vs_gt": round(float(psnr_images(fast, gt)), 4),
+                "psnr_fast_vs_golden": round(
+                    float(psnr_images(fast, ours)), 4),
+            })
+            if vi == views[0]:
+                save_png(args.out.rsplit(".", 1)[0] + "_fast.png", fast)
         if renderer is not None:
             import torch
 
@@ -177,6 +221,20 @@ def main(argv=None):
             float(np.mean([r["psnr_ours_vs_gt"] for r in per_view])), 4
         ),
     }
+    if fast_cfg is not None:
+        report.update({
+            "fast_recipe": {
+                "N_samples": args.fast_samples[0],
+                "N_importance": args.fast_samples[1],
+                "aabb": list(args.aabb),
+            },
+            "mean_psnr_fast_vs_gt": round(
+                float(np.mean([r["psnr_fast_vs_gt"] for r in per_view])), 4
+            ),
+            "mean_fast_delta_db": round(float(np.mean(
+                [abs(r["psnr_fast_vs_gt"] - r["psnr_ours_vs_gt"])
+                 for r in per_view])), 4),
+        })
     if renderer is not None:
         deltas = [r["delta_db"] for r in per_view]
         report.update({

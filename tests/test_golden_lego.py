@@ -50,6 +50,51 @@ def test_golden_lego_psnr_parity(tmp_path):
     )
 
 
+def test_golden_lego_fast_recipe_on_synthetic(tmp_path, monkeypatch):
+    """--fast_recipe renders every view a second time through the
+    occupancy + fp32-high path and reports its deltas; exercised here on a
+    tiny synthetic stand-in for Lego (same transforms_test.json layout)
+    with fabricated official-format weights, so the harness logic is
+    CPU-testable before the real assets mount."""
+    import json
+
+    import numpy as np
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.data.synthetic import make_synthetic_scene
+    from nerfmlp_tpu.models.mlp import init_model
+    from nerfmlp_tpu.train.checkpoint import save_params_npy
+    from scripts import golden_lego
+
+    import jax
+
+    scene = tmp_path / "scene"
+    make_synthetic_scene(str(scene), n_train=2, n_val=1, n_test=2,
+                         img_wh=(40, 40))
+    # Official-weights format: the npy object array golden_lego loads via
+    # load_params_any (N_importance=64 semantics -> single shared net).
+    cfg = RenderConfig(N_samples=8, N_importance=64, near=2.0, far=6.0)
+    params = init_model(jax.random.PRNGKey(0), cfg.model_config())
+    wpath = tmp_path / "model_fine.npy"
+    save_params_npy(str(wpath), params)
+
+    report = golden_lego.main([
+        "--datadir", str(scene), "--weights", str(wpath),
+        "--img_wh", "40", "40", "--skip_reference", "--fast_recipe",
+        "--fast_samples", "8", "16",
+        "--out", str(tmp_path / "g.json"),
+    ])
+    assert report["status"] == "ok"
+    assert report["fast_recipe"]["N_samples"] == 8
+    for row in report["per_view"]:
+        assert np.isfinite(row["psnr_fast_vs_gt"])
+        assert np.isfinite(row["psnr_fast_vs_golden"])
+    assert "mean_fast_delta_db" in report
+    on_disk = json.loads((tmp_path / "g.json").read_text())
+    assert on_disk["mean_psnr_fast_vs_gt"] == report["mean_psnr_fast_vs_gt"]
+    assert (tmp_path / "g_fast.png").exists()
+
+
 def test_golden_lego_skips_cleanly_without_data(tmp_path, monkeypatch):
     """The harness itself must not crash when inputs are missing."""
     from scripts import golden_lego
