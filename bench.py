@@ -21,6 +21,7 @@ the axon tunnel's block_until_ready does not actually block.
 """
 
 import argparse
+import dataclasses
 import json
 import time
 
@@ -208,6 +209,13 @@ def main():
     )
     r = _train_throughput(occ, batch=1024)
     rows.append(_row("train_occupancy_16_48", r, "rays/s (batch 1024, occ grid)",
+                     r / BASELINE_RAYS_PER_SEC))
+    # Max-throughput bf16 recipe (r4 A/B: occ_dense_samples 128->64 is
+    # quality-neutral in bf16, -0.08 dB; docs/RESULTS.md tuning table).
+    occ_turbo = dataclasses.replace(occ, occ_dense_samples=64)
+    r = _train_throughput(occ_turbo, batch=1024)
+    rows.append(_row("train_occupancy_16_48_d64", r,
+                     "rays/s (batch 1024, occ grid, 64 dense depths)",
                      r / BASELINE_RAYS_PER_SEC))
     # Parity-grade fast path (r4-certified, docs/RESULTS.md): occupancy
     # sampling through the bf16x3 in-kernel fp32-high matmuls.

@@ -285,7 +285,7 @@ def build_parser():
                    help="occupancy-grid sampling: replaces the coarse MLP "
                         "pass with a cached density grid (requires --aabb)")
     p.add_argument("--occ_grid_size", type=int, default=64)
-    p.add_argument("--occ_update_every", type=int, default=16)
+    p.add_argument("--occ_update_every", type=int, default=64)
     return p
 
 

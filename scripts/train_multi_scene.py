@@ -63,7 +63,7 @@ def main(argv=None):
     from nerfmlp_tpu.utils.cli import add_occupancy_flags
 
     add_occupancy_flags(p)
-    p.add_argument("--occ_update_every", type=int, default=16,
+    p.add_argument("--occ_update_every", type=int, default=64,
                    help="training steps between per-scene grid refreshes")
     args = p.parse_args(argv)
 

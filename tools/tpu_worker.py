@@ -41,6 +41,31 @@ def warm():
           f"in {time.time() - t0:.1f}s", flush=True)
 
 
+def wait_healthy(max_wait_s: float = 600.0) -> None:
+    """Block until a trivial device op succeeds.
+
+    The tunnel has transient multi-minute outage episodes where every op
+    fails with INVALID_ARGUMENT and then recovers in the same process
+    (CLAUDE.md r4). Probing here absorbs an outage at job START instead of
+    failing the job on its first op.
+    """
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    while True:
+        try:
+            float(jnp.ones((8, 8)).sum())
+            return
+        except Exception as e:
+            if time.time() - t0 > max_wait_s:
+                print(f"[worker] backend still unhealthy after "
+                      f"{max_wait_s:.0f}s: {e}", flush=True)
+                return  # let the job fail loudly rather than hang forever
+            print(f"[worker] backend unhealthy ({type(e).__name__}); "
+                  "retrying in 15s", flush=True)
+            time.sleep(15)
+
+
 def purge_repo_modules():
     for name in list(sys.modules):
         if name.split(".")[0] in ("nerfmlp_tpu", "scripts"):
@@ -117,6 +142,7 @@ def main():
         src = os.path.join(QUEUE, name)
         run = os.path.join(QUEUE, "_" + name)
         os.rename(src, run)
+        wait_healthy()
         run_job(run, name)
 
 
