@@ -37,8 +37,19 @@ def main(argv=None):
                    choices=["highest", "high"])
     p.add_argument("--separate_fine", action="store_true",
                    help="checkpoint holds separate coarse/fine nets")
-    from nerfmlp_tpu.utils.cli import add_arch_flags, arch_fields, params_template
+    from nerfmlp_tpu.utils.cli import (
+        add_arch_flags,
+        add_occupancy_flags,
+        arch_fields,
+        build_occ_grid,
+        occupancy_fields,
+        params_template,
+    )
     add_arch_flags(p)
+    # Occupancy-trained checkpoints must be RENDERED with their grid
+    # (docs/RESULTS.md protocol caveat) — the GT comparator has to speak
+    # the same protocol or turbo/certified-recipe models can't be diffed.
+    add_occupancy_flags(p)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -66,15 +77,18 @@ def main(argv=None):
                           "bfloat16" if args.use_pallas else "float32"),
                       fp32_precision=args.fp32_precision,
                       white_bkgd=args.dataset_type != "llff",
+                      **occupancy_fields(args),
                       **arch_fields(args))
     params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
+    occ_grid = build_occ_grid(args, rc, params, p)
 
     o, d, gt = ds.image_rays(args.view_idx)
     from nerfmlp_tpu.data import image_viewdirs
 
     vd = image_viewdirs(ds, args.view_idx)
     img = np.asarray(render_image(params, jnp.asarray(o), jnp.asarray(d),
-                                  ds.H, ds.W, rc, viewdirs=vd))
+                                  ds.H, ds.W, rc, viewdirs=vd,
+                                  occ_grid=occ_grid))
     print(f"view {args.view_idx}: PSNR {psnr_images(img, gt):.2f} dB | "
           f"SSIM {ssim(img, gt):.4f}")
 

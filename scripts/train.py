@@ -94,6 +94,9 @@ def parse_args(argv=None):
     )
 
 
+_DEFAULT_SAVE_DIR = "outputs/checkpoints"
+
+
 def build_parser():
     p = argparse.ArgumentParser(description="Train NeRF (TPU-native)")
     # Reference flags (train.py:180-192).
@@ -114,7 +117,7 @@ def build_parser():
     p.add_argument("--lrate_decay", type=int, default=250,
                    help="exponential lr decay horizon in 1000s of steps "
                         "(oracle --lrate_decay; decays x0.1 per horizon)")
-    p.add_argument("--save_dir", type=str, default="outputs/checkpoints")
+    p.add_argument("--save_dir", type=str, default=_DEFAULT_SAVE_DIR)
     p.add_argument("--basedir", type=str, default="./logs",
                    help="experiment root (oracle --basedir; used with --expname)")
     p.add_argument("--expname", type=str, default=None,
@@ -286,6 +289,11 @@ def build_parser():
                         "pass with a cached density grid (requires --aabb)")
     p.add_argument("--occ_grid_size", type=int, default=64)
     p.add_argument("--occ_update_every", type=int, default=64)
+    p.add_argument("--occ_dense_samples", type=int, default=128,
+                   help="grid-scored depths per ray before the inverse-CDF "
+                        "draw (no MLP cost; 64 is the bf16 'turbo' recipe — "
+                        "quality-neutral in bf16, costs ~0.4 dB at "
+                        "fp32-high, docs/RESULTS.md r4 tuning table)")
     return p
 
 
@@ -295,8 +303,11 @@ def main(argv=None):
     from nerfmlp_tpu.utils.cache import maybe_enable_from_args
 
     maybe_enable_from_args(args)
-    if args.expname:
-        # Oracle experiment layout: <basedir>/<expname> (run_nerf.py:659).
+    if args.expname and args.save_dir == _DEFAULT_SAVE_DIR:
+        # Oracle experiment layout: <basedir>/<expname> (run_nerf.py:659) —
+        # but an EXPLICIT --save_dir wins over a config file's expname
+        # (shipped configs set expname; "--config configs/lego.txt
+        # --save_dir /tmp/out" must write to /tmp/out).
         args.save_dir = os.path.join(args.basedir, args.expname)
     if args.i_embed == -1:
         # Identity embedding for both the point and direction branches
@@ -432,6 +443,7 @@ def main(argv=None):
         use_occupancy=args.use_occupancy,
         occ_grid_size=args.occ_grid_size,
         occ_update_every=args.occ_update_every,
+        occ_dense_samples=args.occ_dense_samples,
     )
     tc = TrainConfig(
         batch_size=args.batch_size, iters=args.iters, lr=args.lr,

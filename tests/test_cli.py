@@ -287,6 +287,41 @@ def test_zoom_cli(cli_scene, trained, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(out, "normal.png"))
 
 
+def test_compare_and_zoom_cli_occupancy(cli_scene, trained, tmp_path,
+                                        monkeypatch):
+    """compare_single_view and zoom_example speak the occupancy render
+    protocol (docs/RESULTS.md caveat: occ-trained checkpoints must render
+    with their grid) via the shared inference flags (utils/cli.py)."""
+    import zoom_example
+    from scripts.compare_single_view import main as cmp_main
+
+    occ = ["--use_occupancy", "--aabb", "-2", "-2", "-2", "2", "2", "2",
+           "--occ_grid_size", "8", "--occ_dense_samples", "16"]
+    out = str(tmp_path / "cmp_occ.png")
+    cmp_main([
+        "--datadir", cli_scene, "--img_wh", "32", "32",
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--view_idx", "0", "--out", out,
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+        "--compute_dtype", "float32", *occ,
+    ])
+    from PIL import Image
+
+    assert Image.open(out).size == (64, 32)
+
+    zdir = str(tmp_path / "zoom_occ")
+    monkeypatch.setattr(
+        zoom_example, "SCENARIOS", [("normal", (3.0, -3.0, 2.0), 1.0)]
+    )
+    zoom_example.main([
+        "--datadir", cli_scene,
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--out_dir", zdir, "--size", "32",
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas", *occ,
+    ])
+    assert os.path.exists(os.path.join(zdir, "normal.png"))
+
+
 def test_eval_cli(cli_scene, trained, tmp_path):
     from scripts.eval import main as eval_main
 

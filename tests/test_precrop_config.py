@@ -213,3 +213,28 @@ def test_multi_scene_name_dedup_no_collision():
     assert unique_scene_names(["a_0", "a", "a"]) == ["a_0", "a_1", "a_2"]
     assert unique_scene_names(["lego", "lego"]) == ["lego_0", "lego_1"]
     assert unique_scene_names(["x", "y"]) == ["x", "y"]
+
+
+def test_shipped_configs_parse():
+    """Every config file shipped in configs/ must parse through the train
+    CLI — they are user-facing recipes (the canonical bmild pair plus the
+    r4 certified/turbo occupancy recipes, docs/RESULTS.md)."""
+    import glob
+
+    from scripts.train import parse_args
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = sorted(glob.glob(os.path.join(root, "*.txt")))
+    assert len(files) >= 4, f"expected shipped configs in {root}"
+    for f in files:
+        a = parse_args(["--config", f])
+        assert a.datadir  # every recipe names its dataset
+    fast = parse_args(
+        ["--config", os.path.join(root, "lego_fast_fp32.txt")])
+    assert fast.use_occupancy and fast.compute_dtype == "float32"
+    assert fast.fp32_precision == "high" and len(fast.aabb) == 6
+    turbo = parse_args(
+        ["--config", os.path.join(root, "lego_turbo_bf16.txt")])
+    # --occ_dense_samples is the turbo recipe's defining knob; it must
+    # exist on the TRAINER (it was once inference-CLI-only).
+    assert turbo.occ_dense_samples == 64 and turbo.use_occupancy

@@ -34,8 +34,19 @@ def main(argv=None):
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false", default=True)
     p.add_argument("--separate_fine", action="store_true",
                    help="checkpoint holds separate coarse/fine nets")
-    from nerfmlp_tpu.utils.cli import add_arch_flags, arch_fields, params_template
+    from nerfmlp_tpu.utils.cli import (
+        add_arch_flags,
+        add_occupancy_flags,
+        arch_fields,
+        build_occ_grid,
+        occupancy_fields,
+        params_template,
+    )
     add_arch_flags(p)
+    # Occupancy-trained checkpoints render with their grid rebuilt from
+    # the weights (docs/RESULTS.md protocol caveat) — same flags as the
+    # other render CLIs.
+    add_occupancy_flags(p)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -64,9 +75,11 @@ def main(argv=None):
         N_samples=args.N_samples, N_importance=args.N_importance,
         perturb=False, use_pallas=args.use_pallas,
         compute_dtype="bfloat16" if args.use_pallas else "float32",
-        separate_fine=args.separate_fine, **arch_fields(args),
+        separate_fine=args.separate_fine, **occupancy_fields(args),
+        **arch_fields(args),
     )
     params = load_params_any(args.ckpt, params_template(rc), rc.model_config())
+    occ_grid = build_occ_grid(args, rc, params, p)
 
     for name, eye, fmul in SCENARIOS:
         eye = np.asarray(eye, dtype=np.float32)
@@ -82,6 +95,7 @@ def main(argv=None):
             jnp.asarray(o.reshape(-1, 3).copy()),
             jnp.asarray(d.reshape(-1, 3)),
             args.size, args.size, rc, near=near, far=far,
+            occ_grid=occ_grid,
         ))
         # Reference artifact names: {scenario}.png (reference :164).
         out = os.path.join(args.out_dir, f"{name}.png")
