@@ -207,6 +207,15 @@ class TrainConfig:
                                  # defaults) or windows shrink at
                                  # boundaries and each distinct size
                                  # costs one compile.
+                                 # (r4) With device_pool (default) the
+                                 # scan indexes the RESIDENT stack
+                                 # (make_pool_scan): zero upload, and the
+                                 # K=100 hazard above does not apply.
+                                 # Measured +7% at K=16 on the turbo
+                                 # recipe (the ~2 ms per-dispatch host
+                                 # floor binds once the device step ducks
+                                 # under ~4 ms); neutral on the 64+128
+                                 # flagship (device-bound).
     device_pool: bool = True     # keep the ray pool resident in device
                                  # memory and let the train step
                                  # dynamic_index its batch from a per-epoch

@@ -170,6 +170,81 @@ def make_train_scan(rc: RenderConfig, tc: TrainConfig, mesh=None, axis: str = "d
     )
 
 
+def make_pool_scan(
+    rc: RenderConfig,
+    tc: TrainConfig,
+    steps_per_epoch: int,
+    mesh=None,
+    axis: str = "data",
+):
+    """K pooled steps in ONE jitted dispatch: ``lax.scan`` of the
+    pool-indexing update over the device-resident batch stack.
+
+    Composes the two dispatch-cost tools: the device pool (zero
+    host->device bytes per step) and the K-step scan (K x fewer RPCs).
+    The r3 host-streamed scan was neutral-to-worse on this backend
+    because its (K, B, F) window upload serialized on the tunnel
+    (docs/RESULTS.md); a POOLED window ships nothing, and measured +7%
+    on the turbo recipe where the ~2 ms per-dispatch host floor was the
+    binding constraint. Per-step math/RNG are exactly ``make_pool_step``'s
+    (batch index = ``state.step % steps_per_epoch``, incrementing inside
+    the scan); a window must not cross an epoch boundary (the stack
+    reshuffles there) — the caller caps it.
+
+    Returns ``get(k)``: the jitted scan program for window length ``k``
+    (cached per distinct k — window sizes shrink at event boundaries,
+    each size compiles once, same as the host-streamed scan mode).
+    """
+    step_fn = make_step_fn(rc, tc)
+
+    def _body(stack, occ_grid):
+        def body(s, _):
+            i = jnp.mod(s.step, steps_per_epoch)
+            b = jax.lax.dynamic_index_in_dim(stack, i, axis=0,
+                                             keepdims=False)
+            return step_fn(s, b, occ_grid)
+
+        return body
+
+    def _build(k: int):
+        if rc.use_occupancy:
+            def scan_fn(state, stack, occ_grid):
+                return jax.lax.scan(
+                    _body(stack, occ_grid), state, None, length=k
+                )
+        else:
+            def scan_fn(state, stack):
+                return jax.lax.scan(
+                    _body(stack, None), state, None, length=k
+                )
+
+        if mesh is None:
+            return jax.jit(scan_fn, donate_argnums=(0,))
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        stack_shard = NamedSharding(mesh, P(None, axis, None))
+        in_shardings = (replicated, stack_shard) + (
+            (replicated,) if rc.use_occupancy else ()
+        )
+        return jax.jit(
+            scan_fn,
+            in_shardings=in_shardings,
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,),
+        )
+
+    cache: Dict[int, Any] = {}
+
+    def get(k: int):
+        if k not in cache:
+            cache[k] = _build(k)
+        return cache[k]
+
+    return get
+
+
 def make_pool_step(
     rc: RenderConfig,
     tc: TrainConfig,

@@ -183,15 +183,22 @@ class Trainer:
         # K-step scan dispatch (tc.steps_per_dispatch > 1): one compiled
         # lax.scan program per window. Not wired for tensor parallelism
         # (its step carries its own sharding contract; per-step dispatch
-        # cost is negligible next to TP's cross-chip matmuls anyway) nor
-        # for an active device pool (the pool step already ships zero
-        # bytes per dispatch — the scan's reason to exist).
+        # cost is negligible next to TP's cross-chip matmuls anyway).
+        # With an active device pool the scan indexes its K batches from
+        # the resident stack (make_pool_scan) — zero bytes AND K x fewer
+        # RPCs per window; measured +7% on the turbo recipe where the
+        # per-dispatch host floor binds (docs/RESULTS.md r4).
         self.scan_fn = None
+        self.pool_scan = None
         if tc.steps_per_dispatch > 1:
             if self._tp:
                 print("(steps_per_dispatch ignored under tensor parallelism)")
             elif self.pool is not None:
-                print("(steps_per_dispatch ignored with device_pool)")
+                from nerfmlp_tpu.parallel.train_step import make_pool_scan
+
+                self.pool_scan = make_pool_scan(
+                    rc, tc, self.pool.steps_per_epoch, mesh=mesh
+                )
             else:
                 from nerfmlp_tpu.parallel.train_step import make_train_scan
 
@@ -593,10 +600,11 @@ class Trainer:
         # K-step scan dispatch: windows end exactly at every step where the
         # blocks below need host work, so event cadence is unchanged.
         scan_mode = self.scan_fn is not None and not tc.profile_dir
-        if self.scan_fn is not None and tc.profile_dir:
+        pool_scan_mode = self.pool_scan is not None and not tc.profile_dir
+        if (self.scan_fn or self.pool_scan) is not None and tc.profile_dir:
             self._log("(steps_per_dispatch disabled while profiling: the "
                       "trace wants per-step dispatch boundaries)")
-        if scan_mode:
+        if scan_mode or pool_scan_mode:
             intervals = [tc.log_interval, tc.ckpt_interval,
                          tc.i_video, tc.i_testset, tc.i_img]
             if self.quick_val_ds is not None:
@@ -607,7 +615,7 @@ class Trainer:
                 intervals.append(rc.occ_update_every)
 
         def _window(s: int) -> int:
-            if not scan_mode:
+            if not (scan_mode or pool_scan_mode):
                 return 1
             return dispatch_window(
                 s, iters, tc.steps_per_dispatch, intervals,
@@ -705,13 +713,26 @@ class Trainer:
                     )
                 occ_args = (self.occ_grid,)
             if pool_active:
-                w = 1
                 stack = self.pool.ensure_epoch(self.pool.epoch_of(s - 1))
-                self.state, metrics = self.pool_step_fn(
-                    self.state, stack, *occ_args
-                )
-                run_loss = run_loss + metrics["loss"]
-                run_psnr = run_psnr + metrics["psnr"]
+                if pool_scan_mode:
+                    # Pooled K-step scan: window additionally capped at
+                    # the epoch boundary (the stack reshuffles there; a
+                    # window reads ONE stack).
+                    spe = self.pool.steps_per_epoch
+                    w = min(_window(s), spe - ((s - 1) % spe))
+                    self.state, mstack = self.pool_scan(w)(
+                        self.state, stack, *occ_args
+                    )
+                    metrics = jax.tree_util.tree_map(lambda a: a[-1], mstack)
+                    run_loss = run_loss + jnp.sum(mstack["loss"])
+                    run_psnr = run_psnr + jnp.sum(mstack["psnr"])
+                else:
+                    w = 1
+                    self.state, metrics = self.pool_step_fn(
+                        self.state, stack, *occ_args
+                    )
+                    run_loss = run_loss + metrics["loss"]
+                    run_psnr = run_psnr + metrics["psnr"]
             elif scan_mode:
                 w = int(batch.shape[0])
                 self.state, mstack = self.scan_fn(self.state, batch, *occ_args)

@@ -186,11 +186,14 @@ def build_parser():
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="batch K train steps into one jitted lax.scan "
                         "dispatch (identical math/cadence; K x fewer "
-                        "host<->device RPCs — only helps when a FIXED "
-                        "per-dispatch cost dominates the step; keep K "
-                        "small and dividing the logging/val intervals, "
-                        "e.g. 10 — large K serializes the stacked-window "
-                        "upload and costs wall-clock)")
+                        "host<->device RPCs). With the device pool (the "
+                        "default) the window indexes the resident stack — "
+                        "zero upload, measured +7%% on the occupancy turbo "
+                        "recipe at K=16 where the per-dispatch host floor "
+                        "binds; keep K dividing the logging/val intervals. "
+                        "With --no_device_pool large K serializes the "
+                        "stacked-window upload and COSTS wall-clock "
+                        "(measured; docs/RESULTS.md)")
     p.add_argument("--device_pool", action="store_true", default=True,
                    help="keep the ray pool resident in device memory; the "
                         "train step reads its batch from a per-epoch "

@@ -83,7 +83,9 @@ _SLOW_TESTS = {
     "test_trainer_device_pool_learns_like_host",
     "test_trainer_device_pool_resume_epoch",
     "test_device_pool_ignored_with_no_batching",
-    "test_device_pool_disables_scan_dispatch",
+    # r4 pooled-scan equality A/Bs: each trains two 30-iter runs.
+    "test_device_pool_scan_dispatch_matches_single_step",
+    "test_device_pool_scan_occupancy_refresh_cadence",
     # r4 budget re-true (VERDICT item 7): heaviest remaining fast-lane
     # tests, measured with --durations on the full run.
     "test_golden_lego_fast_recipe_on_synthetic",  # 2 trainings + 4 renders

@@ -200,9 +200,83 @@ def test_device_pool_ignored_with_no_batching(synthetic_scene, tmp_path):
     assert len(m["iteration_times"]) == 30
 
 
-def test_device_pool_disables_scan_dispatch(synthetic_scene, tmp_path):
-    t = _mk_trainer(synthetic_scene, str(tmp_path / "sc"), device_pool=True,
-                    steps_per_dispatch=5)
-    assert t.pool is not None and t.scan_fn is None
-    m = t.train()
-    assert len(m["iteration_times"]) == 30
+def test_device_pool_scan_dispatch_matches_single_step(synthetic_scene,
+                                                       tmp_path):
+    """device_pool + steps_per_dispatch composes (make_pool_scan): the
+    pooled K-window scan runs the SAME math as K pooled single dispatches
+    — identical batch indexing (state.step % spe inside the scan), RNG
+    folding, and event cadence — across log/quick-val boundaries AND an
+    epoch boundary (batch 512 -> 18 steps/epoch < 30 iters; windows are
+    capped at the reshuffle, never reading two stacks)."""
+    def mk(name, k):
+        ds = BlenderDataset(synthetic_scene, "train", img_wh=(40, 40))
+        val = BlenderDataset(synthetic_scene, "val", img_wh=(40, 40))
+        near, far = ds.dynamic_near_far()
+        rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far,
+                          perturb=True)
+        tc = TrainConfig(batch_size=512, iters=30, quick_val_interval=15,
+                         full_val_interval=0, quick_val_subset=1,
+                         log_interval=10, ckpt_interval=30,
+                         device_pool=True, steps_per_dispatch=k)
+        return Trainer(rc, tc, ds, val, val,
+                       save_dir=str(tmp_path / name), verbose=False)
+
+    t1 = mk("ps1", 1)
+    assert t1.pool is not None and t1.pool.steps_per_epoch == 18
+    m1 = t1.train()
+    t5 = mk("ps5", 5)
+    assert t5.pool is not None and t5.pool_scan is not None
+    assert t5.scan_fn is None  # the host-streamed scan is NOT built
+    m5 = t5.train()
+    assert t5.pool.epoch == 1  # the run crossed the epoch boundary
+
+    a, _ = jax.tree_util.tree_flatten(jax.device_get(t1.state.params))
+    b, _ = jax.tree_util.tree_flatten(jax.device_get(t5.state.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, rtol=2e-4, atol=2e-6)
+    assert m1["val_steps"] == m5["val_steps"]
+    assert len(m1["iteration_times"]) == len(m5["iteration_times"]) == 30
+    np.testing.assert_allclose(m1["train_losses"], m5["train_losses"],
+                               rtol=1e-3)
+
+
+def test_device_pool_scan_occupancy_refresh_cadence(synthetic_scene,
+                                                    tmp_path):
+    """Pooled scan windows break at occ_update_every so the grid refresh
+    fires on the same steps with the same RNG fold as per-step dispatch."""
+    def spy(t):
+        folds, orig = [], t._occ_update
+
+        def f(grid, params, rng, decay):
+            folds.append(np.asarray(rng))
+            return orig(grid, params, rng, decay)
+
+        t._occ_update = f
+        return folds
+
+    def mk(name, k):
+        ds = BlenderDataset(synthetic_scene, "train", img_wh=(40, 40))
+        val = BlenderDataset(synthetic_scene, "val", img_wh=(40, 40))
+        near, far = ds.dynamic_near_far()
+        rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far,
+                          perturb=True, use_occupancy=True,
+                          aabb=(-1.5, -1.5, -1.2, 1.5, 1.5, 1.5),
+                          occ_grid_size=16, occ_dense_samples=16,
+                          occ_update_every=10)
+        tc = TrainConfig(batch_size=256, iters=30, quick_val_interval=15,
+                         full_val_interval=0, quick_val_subset=1,
+                         log_interval=10, ckpt_interval=30,
+                         device_pool=True, steps_per_dispatch=k)
+        return Trainer(rc, tc, ds, val, val,
+                       save_dir=str(tmp_path / name), verbose=False)
+
+    t1 = mk("oc1", 1)
+    f1 = spy(t1)
+    t1.train()
+    t5 = mk("oc5", 5)
+    assert t5.pool_scan is not None
+    f5 = spy(t5)
+    t5.train()
+    assert len(f1) == len(f5) == 3  # steps 1, 11, 21
+    for x, y in zip(f1, f5):
+        np.testing.assert_array_equal(x, y)
