@@ -445,15 +445,21 @@ class RenderService:
             if not force and (path, mtime) == (self.ckpt["path"],
                                                self.ckpt["mtime"]):
                 return None
-            params = self.reload_fn(path)
+            loaded = self.reload_fn(path)
+            # reload_fn may return (params, step) — one decode instead
+            # of re-parsing the checkpoint just for /health's step.
+            step = None
+            if isinstance(loaded, tuple):
+                loaded, step = loaded
             # Swap FIRST, record the metadata only once the new weights
             # are actually served: committing self.ckpt before a failed
             # swap would make /health lie AND make the force=False
             # watcher skip this checkpoint forever ((path, mtime) would
             # already match) — stale weights served silently.
-            self.swap_params(params, source=path)
+            self.swap_params(loaded, source=path)
             self.ckpt = {"path": path, "mtime": mtime,
-                         "step": _ckpt_step(path)}
+                         "step": step if step is not None
+                         else _ckpt_step(path)}
             return dict(self.ckpt)
 
     def watch(self, interval_s: float,
@@ -592,6 +598,13 @@ def _pose_from_request(req: Dict) -> np.ndarray:
 # HTTP layer (stdlib only)
 # ------------------------------------------------------------------ #
 class _Handler(BaseHTTPRequestHandler):
+    # Socket timeout (StreamRequestHandler honors this): a client that
+    # advertises a body and then stalls would otherwise block its handler
+    # thread in rfile.read() forever — N such connections starve the
+    # ThreadingHTTPServer. On timeout the read raises and the connection
+    # is closed; 60 s is generous against the multi-second renders.
+    timeout = 60
+
     # Quiet by default: per-request stderr lines are the service log's job.
     def log_message(self, fmt, *args):  # noqa: D102
         pass
@@ -632,6 +645,12 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 n = int(self.headers.get("Content-Length", 0))
             except (TypeError, ValueError):
+                self._reply_json(400, {"error": "bad Content-Length"})
+                return
+            if n < 0:
+                # A negative length would both dodge the size cap below
+                # AND turn rfile.read(n) into read-until-EOF — exactly
+                # the unbounded buffering the cap exists to prevent.
                 self._reply_json(400, {"error": "bad Content-Length"})
                 return
             if n > MAX_BODY_BYTES:

@@ -86,7 +86,8 @@ def save_params_npy(path: str, params: Dict, cfg=None) -> None:
     np.save(path, obj)
 
 
-def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None):
+def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None,
+                    with_step: bool = False):
     """Load params from a .npy official weight list, a torch reference
     ``.pth`` checkpoint, or a .ckpt msgpack file — the superset of
     render_example.py:166-207's dual loading.
@@ -94,15 +95,23 @@ def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None)
     Returns the renderer-shaped dict ``{"coarse": ..., ["fine": ...]}``
     regardless of whether the file stored bare model params or the full
     coarse/fine dict (``.npy``/``.pth`` checkpoints are always one
-    network — the reference shares it for coarse+fine, renderer.py:76)."""
+    network — the reference shares it for coarse+fine, renderer.py:76).
+
+    ``with_step=True`` returns ``(params, step)`` instead, with the step
+    taken from the filename or — for a full-TrainState ``.ckpt`` — from
+    the state itself, in the SAME decode (serving's hot reload wants both
+    without msgpack-parsing a multi-MB file twice)."""
+    step = step_from_filename(path)
     if path.endswith(".npy"):
         from nerfmlp_tpu.models.import_tf import load_npy_weights, params_from_numpy
 
-        return {"coarse": params_from_numpy(load_npy_weights(path), cfg)}
+        p = {"coarse": params_from_numpy(load_npy_weights(path), cfg)}
+        return (p, step) if with_step else p
     if path.endswith(".pth") or path.endswith(".pt"):
         from nerfmlp_tpu.models.import_torch import load_pth
 
-        return {"coarse": load_pth(path, cfg)}
+        p = {"coarse": load_pth(path, cfg)}
+        return (p, step) if with_step else p
     if template_params is None:
         raise ValueError(".ckpt loading requires a template param pytree")
     if "coarse" in template_params:
@@ -122,13 +131,20 @@ def load_params_any(path: str, template_params: Optional[Dict] = None, cfg=None)
         # A full TrainState (metrics_latest.ckpt — the file auto-resume
         # prefers): extract its params so every render/eval CLI can point
         # at it directly (optimizer moments are irrelevant to rendering).
+        if not step and "step" in raw:
+            try:
+                step = int(np.asarray(raw["step"]))
+            except (TypeError, ValueError):
+                pass
         raw = raw["params"]
     if "coarse" in raw:  # {"coarse": ..., ["fine": ...]}
         template = {
             k: (fine_t if k == "fine" else coarse_t) for k in raw.keys()
         }
-        return serialization.from_state_dict(template, raw)
-    return {"coarse": serialization.from_state_dict(coarse_t, raw)}
+        p = serialization.from_state_dict(template, raw)
+    else:
+        p = {"coarse": serialization.from_state_dict(coarse_t, raw)}
+    return (p, step) if with_step else p
 
 
 def load_state_or_params(path: str, template_state: Any):

@@ -22,7 +22,12 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+if __package__ in (None, ""):
+    # Run as a file from a checkout (python scripts/train.py): make
+    # the repo root importable. As an installed module
+    # (nerfmlp_tpu.scripts.*) the package is already on the path and
+    # inserting site-packages/nerfmlp_tpu would shadow user modules.
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 REFERENCE = "/root/reference"
 

@@ -24,7 +24,12 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+if __package__ in (None, ""):
+    # Run as a file from a checkout (python scripts/train.py): make
+    # the repo root importable. As an installed module
+    # (nerfmlp_tpu.scripts.*) the package is already on the path and
+    # inserting site-packages/nerfmlp_tpu would shadow user modules.
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def build_service(args, parser):
@@ -93,7 +98,10 @@ def build_service(args, parser):
           + (" | NDC rays" if ndc else ""))
 
     def reload_fn(path):
-        return load_params_any(path, template, model_cfg)
+        # (params, step) in one decode: RenderService.reload would
+        # otherwise msgpack-parse the same multi-MB file a second time
+        # just to report the step in /health.
+        return load_params_any(path, template, model_cfg, with_step=True)
 
     occ_rebuild_fn = None
     if occ_grid is not None:

@@ -104,6 +104,30 @@ def test_load_params_any_full_state(tmp_path, params):
     _leaves_equal(rt["coarse"], params["coarse"])
 
 
+def test_load_params_any_with_step(tmp_path, params):
+    """with_step=True returns (params, step) in ONE decode: from the
+    state for a no-step-in-name full-TrainState file, from the filename
+    for stepped names (serving's hot reload uses this for /health)."""
+    state = {
+        "step": 41,
+        "params": params,
+        "opt_state": {"m": np.zeros(3)},
+        "rng": np.zeros(2, np.uint32),
+    }
+    path = str(tmp_path / "metrics_latest.ckpt")
+    save_checkpoint(path, state)
+    cfg = RenderConfig().model_config()
+    rt, step = load_params_any(path, params, cfg, with_step=True)
+    _leaves_equal(rt["coarse"], params["coarse"])
+    assert step == 41
+    # Stepped filename wins without needing the state.
+    p2 = str(tmp_path / "model_500.ckpt")
+    save_checkpoint(p2, params)
+    rt2, step2 = load_params_any(p2, params, cfg, with_step=True)
+    assert step2 == 500
+    _leaves_equal(rt2["coarse"], params["coarse"])
+
+
 def test_net_selection_honored_for_ckpt_destination(tmp_path):
     """--net fine with a .ckpt destination writes a ONE-net checkpoint
     (it was silently ignored, r3 review)."""

@@ -39,11 +39,29 @@ def test_version_single_sourced():
     assert installed == nerfmlp_tpu.__version__
 
 
+def _pkg_dir(cfg):
+    return cfg["tool"]["setuptools"].get("package-dir", {})
+
+
 def test_declared_packages_exist():
     cfg = _pyproject()
+    pkg_dir = _pkg_dir(cfg)
     for pkg in cfg["tool"]["setuptools"]["packages"]:
-        path = os.path.join(ROOT, *pkg.split("."), "__init__.py")
+        rel = pkg_dir.get(pkg, os.path.join(*pkg.split(".")))
+        path = os.path.join(ROOT, rel, "__init__.py")
         assert os.path.exists(path), f"declared package missing: {pkg}"
+
+
+def test_no_top_level_scripts_package_installed():
+    """The wheel must not claim the generic top-level `scripts` name in
+    site-packages: the CLI layer installs as nerfmlp_tpu.scripts via
+    package-dir (the repo keeps scripts/ at the root for the reference's
+    `python scripts/train.py` layout)."""
+    cfg = _pyproject()
+    assert "scripts" not in cfg["tool"]["setuptools"]["packages"]
+    assert _pkg_dir(cfg).get("nerfmlp_tpu.scripts") == "scripts"
+    for target in cfg["project"]["scripts"].values():
+        assert target.startswith("nerfmlp_tpu.scripts."), target
 
 
 def test_console_entry_points_resolve():
@@ -54,7 +72,10 @@ def test_console_entry_points_resolve():
         assert want in entries
     for name, target in entries.items():
         mod_name, func_name = target.split(":")
-        mod = importlib.import_module(mod_name)
+        # In a checkout nerfmlp_tpu.scripts only exists through the
+        # package-dir mapping; resolve through the repo-root alias.
+        alias = mod_name.replace("nerfmlp_tpu.scripts.", "scripts.")
+        mod = importlib.import_module(alias)
         fn = getattr(mod, func_name)
         assert callable(fn), f"{name} -> {target} is not callable"
 

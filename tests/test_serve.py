@@ -680,3 +680,64 @@ def test_metrics_latest_reports_true_step(tmp_path):
     assert info["path"].endswith("metrics_latest.ckpt")
     assert info["step"] == 777
     assert svc.health()["ckpt"]["step"] == 777
+
+
+def test_http_negative_content_length_rejected(server_url):
+    """A negative Content-Length must be a 400, not an unbounded
+    read-until-EOF (it would dodge the MAX_BODY_BYTES cap AND make
+    rfile.read(-1) buffer whatever the client streams)."""
+    import http.client
+
+    host, port = server_url.rsplit("//", 1)[1].split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.putrequest("POST", "/render")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"Content-Length" in resp.read()
+    finally:
+        conn.close()
+
+
+def test_http_oversize_body_rejected(server_url):
+    """Bodies over MAX_BODY_BYTES get a 413 without being buffered."""
+    import http.client
+
+    from nerfmlp_tpu.serve import MAX_BODY_BYTES
+
+    host, port = server_url.rsplit("//", 1)[1].split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        body = b"x" * (MAX_BODY_BYTES + 1)
+        conn.request("POST", "/render", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 413
+    finally:
+        conn.close()
+
+
+def test_reload_fn_tuple_step_single_decode(tmp_path):
+    """A reload_fn returning (params, step) supplies /health's step in the
+    same decode — RenderService must NOT re-read the checkpoint file."""
+    import nerfmlp_tpu.serve as serve_mod
+
+    svc = _reloadable_service(tmp_path)
+    svc.reload_fn = lambda p: (
+        {"coarse": init_model(jax.random.PRNGKey(5),
+                              RenderConfig(N_samples=8, N_importance=4,
+                                           near=2.0, far=6.0).model_config())},
+        777,
+    )
+    calls = []
+    orig = serve_mod._ckpt_step
+    serve_mod._ckpt_step = lambda p: calls.append(p) or 0
+    try:
+        _save_params(str(tmp_path / "model_300.ckpt"), seed=2)
+        info = svc.reload(force=False)
+    finally:
+        serve_mod._ckpt_step = orig
+    assert info["step"] == 777
+    assert calls == []  # no second decode of the checkpoint
+    assert svc.health()["ckpt"]["step"] == 777

@@ -141,7 +141,14 @@ def main():
         name = jobs[0]
         src = os.path.join(QUEUE, name)
         run = os.path.join(QUEUE, "_" + name)
-        os.rename(src, run)
+        try:
+            os.rename(src, run)
+        except OSError:
+            # Lost the dequeue race (a ghost twin grabbed it — the exact
+            # stale-pidfile scenario in CLAUDE.md). Losing a job to the
+            # twin is survivable; crashing the healthy worker is not.
+            time.sleep(0.5)
+            continue
         wait_healthy()
         run_job(run, name)
 
