@@ -107,6 +107,7 @@ class RenderService:
         occ_rebuild_fn: Optional[Callable[[Dict], object]] = None,
         watch_dir: Optional[str] = None,
         ckpt_path: Optional[str] = None,
+        ckpt_step: Optional[int] = None,
         mesh=None,
         log=print,
     ):
@@ -152,7 +153,10 @@ class RenderService:
         self.ckpt = {
             "path": ckpt_path,
             "mtime": _mtime(ckpt_path),
-            "step": _ckpt_step(ckpt_path),
+            # The caller usually just decoded the checkpoint for params;
+            # take its step rather than re-parsing the file here.
+            "step": ckpt_step if ckpt_step is not None
+            else _ckpt_step(ckpt_path),
         }
         self.reloads = 0
         self.log = log
@@ -227,9 +231,15 @@ class RenderService:
                     render_image_sharded,
                 )
 
+                # ``tile`` means rays per dispatch in BOTH modes (same
+                # contract as the batch CLIs, utils/cli.py::render_frame):
+                # divide it across the mesh so each chip's tile — and the
+                # padding a small frame pays — stays comparable.
+                n_dev = self.mesh.shape["data"]
                 out = render_image_sharded(
                     self.params, o, d, H, W, self.cfg, self.mesh,
-                    tile=self.tile, near=near, far=far,
+                    tile=max(256, -(-self.tile // n_dev)),
+                    near=near, far=far,
                     occ_grid=self.occ_grid, viewdirs=vd, maps=tuple(maps),
                 )
             else:
@@ -645,13 +655,17 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 n = int(self.headers.get("Content-Length", 0))
             except (TypeError, ValueError):
+                # The advertised body was never read — keep-alive would
+                # parse it as the next request line. Close instead.
                 self._reply_json(400, {"error": "bad Content-Length"})
+                self.close_connection = True
                 return
             if n < 0:
                 # A negative length would both dodge the size cap below
                 # AND turn rfile.read(n) into read-until-EOF — exactly
                 # the unbounded buffering the cap exists to prevent.
                 self._reply_json(400, {"error": "bad Content-Length"})
+                self.close_connection = True
                 return
             if n > MAX_BODY_BYTES:
                 # Reject without BUFFERING: an unbounded read-into-memory

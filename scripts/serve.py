@@ -90,7 +90,11 @@ def build_service(args, parser):
     )
     template = params_template(rc)
     model_cfg = rc.model_config()
-    params = load_params_any(args.ckpt, template, model_cfg)
+    # (params, step) in one decode — RenderService would otherwise
+    # re-parse the same (multi-MB for full-TrainState files) checkpoint
+    # a second time at startup just to report the step in /health.
+    params, ckpt_step = load_params_any(
+        args.ckpt, template, model_cfg, with_step=True)
     occ_grid = build_occ_grid(args, rc, params, parser)
     print(f"loaded {args.ckpt} | {W}x{H} focal={focal:.2f} "
           f"near={rc.near:.3f} far={rc.far:.3f} "
@@ -139,7 +143,7 @@ def build_service(args, parser):
         tile=args.tile, occ_grid=occ_grid, max_pixels=args.max_pixels,
         reload_fn=reload_fn, occ_rebuild_fn=occ_rebuild_fn,
         watch_dir=watch_dir, ckpt_path=os.path.abspath(args.ckpt),
-        mesh=mesh,
+        ckpt_step=ckpt_step, mesh=mesh,
     )
 
 

@@ -542,11 +542,21 @@ def main(argv=None):
     # 3x3 comprehensive grid + a focused 2-panel convergence figure; the
     # 6-panel progress report is this framework's own addition).
     try:
-        from scripts.plot_training_progress import (
-            create_comprehensive_report,
-            create_convergence_plot,
-            create_progress_plot,
-        )
+        try:
+            from scripts.plot_training_progress import (
+                create_comprehensive_report,
+                create_convergence_plot,
+                create_progress_plot,
+            )
+        except ModuleNotFoundError:
+            # Installed console entry point (nerfmlp-train): the wheel
+            # ships the CLI layer as nerfmlp_tpu.scripts only — no
+            # top-level `scripts` exists in site-packages.
+            from nerfmlp_tpu.scripts.plot_training_progress import (
+                create_comprehensive_report,
+                create_convergence_plot,
+                create_progress_plot,
+            )
 
         metrics_json = os.path.join(args.save_dir, "metrics_latest.json")
         create_progress_plot(

@@ -10,7 +10,13 @@ installed.
 
 import importlib
 import os
-import tomllib
+
+try:
+    import tomllib  # stdlib from 3.11
+except ModuleNotFoundError:  # pragma: no cover - 3.10 (requires-python
+    import pytest              # floor) has no stdlib TOML parser
+
+    tomllib = pytest.importorskip("tomli")
 
 import nerfmlp_tpu
 

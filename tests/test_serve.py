@@ -554,6 +554,34 @@ def test_sharded_service_matches_single_device(svc):
     assert sharded.health()["renders"] == 1
 
 
+def test_sharded_service_divides_tile_across_mesh(monkeypatch):
+    """``tile`` is rays per DISPATCH in both modes (the batch CLIs'
+    contract, utils/cli.py::render_frame): the sharded path must hand
+    render_image_sharded tile/n_dev, not the full value — otherwise an
+    8-chip server dispatches 8x more rays than asked and pads small
+    frames up to tile*n_dev."""
+    import nerfmlp_tpu.serve as serve_mod
+    from nerfmlp_tpu.parallel import render_parallel
+    from nerfmlp_tpu.parallel.mesh import make_mesh
+
+    sharded = _service(mesh=make_mesh(n_devices=8), log=lambda *a: None)
+    seen = {}
+    orig = render_parallel.render_image_sharded
+
+    def spy(*a, **kw):
+        seen["tile"] = kw["tile"]
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(render_parallel, "render_image_sharded", spy)
+    sharded.tile = 4096
+    sharded.render_pose(pose_spherical(10.0, -20.0, 4.0))
+    assert seen["tile"] == 512  # 4096 / 8 devices
+    # The floor keeps tiny tiles from under-filling a chip.
+    sharded.tile = 64
+    sharded.render_pose(pose_spherical(10.0, -20.0, 4.0))
+    assert seen["tile"] == 256
+
+
 def test_sharded_service_swap_keeps_placement(svc):
     """swap_params on a sharded service re-replicates the new weights and
     changes the served image (placement happens at swap, not per frame)."""

@@ -98,6 +98,7 @@ def run_job(path: str, orig_name: str) -> None:
     old_out, old_err = sys.stdout, sys.stderr
     old_argv = sys.argv
     ok = True
+    interrupted = False
     try:
         purge_repo_modules()
         sys.stdout = Tee(old_out, buf)
@@ -110,6 +111,13 @@ def run_job(path: str, orig_name: str) -> None:
         ok = (e.code in (None, 0))
         if not ok:
             buf.write(f"\n[worker] SystemExit({e.code})\n")
+    except KeyboardInterrupt:
+        # Mark the job failed but let Ctrl-C actually STOP the worker —
+        # swallowing it here would leave an uninterruptible process
+        # stealing queue jobs (the CLAUDE.md ghost-worker hazard).
+        ok = False
+        interrupted = True
+        buf.write("\n[worker] KeyboardInterrupt\n")
     except BaseException:
         ok = False
         traceback.print_exc(file=sys.stdout)
@@ -125,6 +133,8 @@ def run_job(path: str, orig_name: str) -> None:
         f.write(f"{dt:.1f}\n")
     print(f"[worker] {'ok' if ok else 'FAIL'} "
           f"{os.path.basename(path)} in {dt:.1f}s", flush=True)
+    if interrupted:
+        raise KeyboardInterrupt
 
 
 def main():
