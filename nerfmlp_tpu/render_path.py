@@ -15,9 +15,11 @@ Used by both the in-training i_video / i_testset events
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, Optional, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from nerfmlp_tpu.config import RenderConfig
@@ -66,6 +68,57 @@ def rays_for_pose(
         return o, d, vd
     o_n, d_n = ndc_rays(H, W, focal, 1.0, o, d)
     return np.asarray(o_n), np.asarray(d_n), vd
+
+
+@functools.lru_cache(maxsize=16)
+def _raygen_fn(H: int, W: int, ndc: bool, has_vd_pose: bool):
+    """One compiled on-device ray generator per (H, W, mode)."""
+    import jax
+
+    from nerfmlp_tpu.ops.rays import get_rays, ndc_rays
+
+    @jax.jit
+    def gen(c2w, vd_c2w, focal):
+        o, d = get_rays(H, W, focal, c2w)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        vd_src = d
+        if has_vd_pose:
+            _, vd_src = get_rays(H, W, focal, vd_c2w)
+            vd_src = vd_src.reshape(-1, 3)
+        if not ndc and not has_vd_pose:
+            return o, d, None
+        vd = vd_src / jnp.linalg.norm(vd_src, axis=-1, keepdims=True)
+        if not ndc:
+            return o, d, vd
+        o_n, d_n = ndc_rays(H, W, focal, 1.0, o, d)
+        return o_n, d_n, vd
+
+    return gen
+
+
+def rays_for_pose_device(
+    pose: np.ndarray,
+    H: int,
+    W: int,
+    focal: float,
+    cfg: RenderConfig,
+    viewdirs_pose: Optional[np.ndarray] = None,
+):
+    """Device-side twin of :func:`rays_for_pose` — same outputs as jnp
+    arrays, generated ON the accelerator from the 16-float pose.
+
+    The host variant uploads 2-3 full (H*W, 3) ray arrays per frame
+    (~15 MB at 800²) before rendering can start; this one ships one 4x4
+    matrix and a focal scalar, which measured ~0.55 s/frame faster at
+    800² through the TPU tunnel (docs/RESULTS.md, serving study). Used by
+    the serving hot path and the local (non-sharded) trajectory renderer;
+    the sharded renderer keeps host rays (it places shards itself)."""
+    gen = _raygen_fn(int(H), int(W), bool(cfg.ndc), viewdirs_pose is not None)
+    c2w = jnp.asarray(np.asarray(pose, np.float32))
+    vd_c2w = (jnp.asarray(np.asarray(viewdirs_pose, np.float32))
+              if viewdirs_pose is not None else c2w)
+    return gen(c2w, vd_c2w, jnp.float32(focal))
 
 
 def render_path(
@@ -121,13 +174,14 @@ def render_path(
     rgbs, disps = [], []
     psnrs = [] if gt_images is not None else None
     for i, pose in enumerate(np.asarray(poses)):
-        if static_cam_pose is not None:
-            o, d, vd = rays_for_pose(
-                static_cam_pose, H, W, focal, cfg, viewdirs_pose=pose
-            )
-        else:
-            o, d, vd = rays_for_pose(pose, H, W, focal, cfg)
         if mesh is not None:
+            # The sharded renderer places ray shards itself — host rays.
+            if static_cam_pose is not None:
+                o, d, vd = rays_for_pose(
+                    static_cam_pose, H, W, focal, cfg, viewdirs_pose=pose
+                )
+            else:
+                o, d, vd = rays_for_pose(pose, H, W, focal, cfg)
             out = render_image_sharded(
                 params, o, d, H, W, cfg, mesh,
                 tile=max(256, -(-tile // mesh.shape["data"])),
@@ -135,10 +189,18 @@ def render_path(
                 maps=("rgb_map", "disp_map"),
             )
         else:
+            # Local path: rays are generated ON device from the 16-float
+            # pose (rays_for_pose_device) — uploading full ray arrays
+            # costs ~0.55 s/frame at 800² through the tunnel.
+            if static_cam_pose is not None:
+                o, d, vd = rays_for_pose_device(
+                    static_cam_pose, H, W, focal, cfg, viewdirs_pose=pose
+                )
+            else:
+                o, d, vd = rays_for_pose_device(pose, H, W, focal, cfg)
             out = render_image_maps(
-                params, jnp.asarray(o), jnp.asarray(d), H, W, cfg,
-                tile=tile, occ_grid=occ_grid,
-                viewdirs=None if vd is None else jnp.asarray(vd),
+                params, o, d, H, W, cfg,
+                tile=tile, occ_grid=occ_grid, viewdirs=vd,
                 maps=("rgb_map", "disp_map"),
             )
         rgb = np.asarray(out["rgb_map"], dtype=np.float32)

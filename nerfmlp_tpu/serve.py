@@ -201,7 +201,9 @@ class RenderService:
         checkpoint, config, and compiled tile program held resident.
         """
         from nerfmlp_tpu.ops.render import render_image_maps
-        from nerfmlp_tpu.render_path import rays_for_pose
+        from nerfmlp_tpu.render_path import (
+            rays_for_pose, rays_for_pose_device,
+        )
 
         try:
             H = int(self.defaults["H"] if H is None else H)
@@ -221,9 +223,18 @@ class RenderService:
         c2w = _as_pose(c2w, "c2w")
         if viewdirs_c2w is not None:
             viewdirs_c2w = _as_pose(viewdirs_c2w, "viewdirs_c2w")
-        o, d, vd = rays_for_pose(
-            c2w, H, W, focal, self.cfg, viewdirs_pose=viewdirs_c2w
-        )
+        if self.mesh is None:
+            # Hot path: rays are generated ON device from the 16-float
+            # pose — uploading full (H*W, 3) ray arrays per request costs
+            # ~0.55 s at 800² through the tunnel (docs/RESULTS.md).
+            o, d, vd = rays_for_pose_device(
+                c2w, H, W, focal, self.cfg, viewdirs_pose=viewdirs_c2w
+            )
+        else:
+            # The sharded renderer places ray shards itself — host rays.
+            o, d, vd = rays_for_pose(
+                c2w, H, W, focal, self.cfg, viewdirs_pose=viewdirs_c2w
+            )
         with self._lock:
             t0 = time.perf_counter()
             if self.mesh is not None:

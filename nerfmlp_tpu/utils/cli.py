@@ -82,6 +82,30 @@ def occupancy_fields(args) -> dict:
     }
 
 
+def add_tile_flag(p) -> None:
+    """--tile/--chunk with a sampling-mode-aware default.
+
+    The oracle's ``--chunk`` (run_nerf.py:480, default 32768 rays) is a
+    host-memory knob; here the tile is the compiled dispatch shape, and
+    the throughput optimum depends on the sampling mode (measured on the
+    chip, docs/RESULTS.md r4 tile A/B): dense coarse+fine peaks at 4096
+    (2.18 s vs 2.27 s at 16384 for 800²) while occupancy peaks at 16384
+    (1.45 s vs 1.60 s at 4096 — the shallower 16+48 pipeline needs the
+    bigger tile to fill the MXU). Leave unset to get the measured
+    optimum for the parsed mode; pass a value to pin it."""
+    p.add_argument("--tile", "--chunk", type=int, default=None,
+                   help="rays per compiled dispatch (default: 4096 dense, "
+                        "16384 with --use_occupancy — measured optima)")
+
+
+def resolve_tile(args) -> int:
+    """The parsed --tile, or the measured per-mode optimum (see
+    :func:`add_tile_flag`)."""
+    if args.tile is not None:
+        return args.tile
+    return 16384 if getattr(args, "use_occupancy", False) else 4096
+
+
 def build_occ_grid(args, rc, params, parser):
     """One-shot occupancy grid from a loaded checkpoint, or None.
 
@@ -127,6 +151,7 @@ def render_frame(args, params, o, d, H, W, rc, occ_grid=None,
     import jax.numpy as jnp
     import numpy as np
 
+    tile = resolve_tile(args)
     if getattr(args, "shard_render", False):
         if jax.device_count() > 1:
             from nerfmlp_tpu.parallel.mesh import make_mesh
@@ -136,7 +161,7 @@ def render_frame(args, params, o, d, H, W, rc, occ_grid=None,
 
             mesh = make_mesh()
             n_dev = mesh.shape["data"]
-            per_dev = max(256, -(-args.tile // n_dev))
+            per_dev = max(256, -(-tile // n_dev))
             return render_image_sharded(
                 params, np.asarray(o), np.asarray(d), H, W, rc, mesh,
                 tile=per_dev, occ_grid=occ_grid, viewdirs=viewdirs,
@@ -146,7 +171,7 @@ def render_frame(args, params, o, d, H, W, rc, occ_grid=None,
 
     return np.asarray(render_image(
         params, jnp.asarray(o), jnp.asarray(d), H, W, rc,
-        tile=args.tile, viewdirs=viewdirs, occ_grid=occ_grid,
+        tile=tile, viewdirs=viewdirs, occ_grid=occ_grid,
     ))
 
 

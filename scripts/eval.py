@@ -26,8 +26,8 @@ def main(argv=None):
                    help="deepvoxels scene name (oracle --shape)")
     from nerfmlp_tpu.utils.cli import (
         add_arch_flags, add_llff_flags, add_occupancy_flags, add_shard_flag,
-        arch_fields, build_occ_grid, dataset_class, dataset_kwargs,
-        occupancy_fields, params_template, render_frame,
+        add_tile_flag, arch_fields, build_occ_grid, dataset_class,
+        dataset_kwargs, occupancy_fields, params_template, render_frame,
     )
     add_llff_flags(p)
     add_occupancy_flags(p)
@@ -52,7 +52,7 @@ def main(argv=None):
                    default=True)
     p.add_argument("--separate_fine", action="store_true",
                    help="checkpoint holds separate coarse/fine nets")
-    p.add_argument("--tile", "--chunk", type=int, default=4096)
+    add_tile_flag(p)
     add_arch_flags(p)
     from nerfmlp_tpu.utils.cache import (
         add_compilation_cache_flag, maybe_enable_from_args,

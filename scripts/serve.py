@@ -39,7 +39,7 @@ def build_service(args, parser):
     from nerfmlp_tpu.train.checkpoint import load_params_any
     from nerfmlp_tpu.utils.cli import (
         arch_fields, build_occ_grid, dataset_class, dataset_kwargs,
-        occupancy_fields, params_template,
+        occupancy_fields, params_template, resolve_tile,
     )
 
     W, H = args.img_wh
@@ -140,7 +140,8 @@ def build_service(args, parser):
             print(f"sharded frame rendering over {n_dev} devices")
     return RenderService(
         params, rc, H, W, focal,
-        tile=args.tile, occ_grid=occ_grid, max_pixels=args.max_pixels,
+        tile=resolve_tile(args), occ_grid=occ_grid,
+        max_pixels=args.max_pixels,
         reload_fn=reload_fn, occ_rebuild_fn=occ_rebuild_fn,
         watch_dir=watch_dir, ckpt_path=os.path.abspath(args.ckpt),
         ckpt_step=ckpt_step, mesh=mesh,
@@ -152,6 +153,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="Persistent NeRF render server (TPU-native)")
     from nerfmlp_tpu.utils.cli import (
         add_arch_flags, add_llff_flags, add_occupancy_flags,
+        add_tile_flag,
     )
     p.add_argument("--ckpt", "--model_path", type=str, required=True,
                    help=".ckpt/.pth/.npy checkpoint to serve")
@@ -194,7 +196,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "grid over all devices)")
     p.add_argument("--n_devices", type=int, default=0,
                    help="devices for sharded serving (default: all)")
-    p.add_argument("--tile", "--chunk", type=int, default=4096)
+    add_tile_flag(p)
     p.add_argument("--max_pixels", type=int, default=4096 * 4096,
                    help="reject render requests above this pixel count")
     p.add_argument("--no_warmup", dest="warmup", action="store_false",

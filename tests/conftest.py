@@ -99,6 +99,9 @@ _SLOW_TESTS = {
     "test_render_rays_routes_fp32_high_to_pallas",
     "test_output_keys_and_shapes",
     "test_total_loss_includes_coarse_term",
+    # r4 worker health-probe tests: real 15s-retry / hang-wait sleeps.
+    "test_wait_healthy_gives_up_on_erroring_backend",
+    "test_wait_healthy_waits_out_a_hanging_probe",
 }
 
 

@@ -601,3 +601,23 @@ def test_train_cli_fp32_high_pallas(cli_scene, tmp_path):
     ])
     assert np.isfinite(m["train_losses"][-1])
     assert os.path.exists(os.path.join(out, "model_final.ckpt"))
+
+
+def test_tile_default_is_sampling_mode_aware():
+    """--tile left unset resolves to the measured per-mode optimum
+    (docs/RESULTS.md r4 tile A/B): 4096 dense, 16384 with occupancy;
+    an explicit value always wins."""
+    import argparse
+
+    from nerfmlp_tpu.utils.cli import (
+        add_occupancy_flags, add_tile_flag, resolve_tile,
+    )
+
+    p = argparse.ArgumentParser()
+    add_occupancy_flags(p)
+    add_tile_flag(p)
+    assert resolve_tile(p.parse_args([])) == 4096
+    assert resolve_tile(p.parse_args(["--use_occupancy"])) == 16384
+    assert resolve_tile(p.parse_args(
+        ["--use_occupancy", "--tile", "256"])) == 256
+    assert resolve_tile(p.parse_args(["--chunk", "512"])) == 512

@@ -143,6 +143,45 @@ def test_rays_for_pose_ndc_keeps_world_viewdirs():
     np.testing.assert_allclose(d, np.asarray(d_n), atol=1e-5)
 
 
+def test_rays_for_pose_device_matches_host():
+    """The on-device ray generator (16-float pose upload, serving hot
+    path) must produce the host twin's outputs in every mode: metric,
+    NDC (pre-NDC world viewdirs), and staticcam viewdirs."""
+    from nerfmlp_tpu.render_path import rays_for_pose_device
+
+    H = W = 8
+    focal = 10.0
+    pose = pose_spherical(30.0, -30.0, 4.0)
+    moving = pose_spherical(75.0, -10.0, 4.0)
+
+    # Metric: no viewdirs.
+    cfg = RenderConfig(N_samples=4, N_importance=0, ndc=False)
+    ho, hd, hv = rays_for_pose(pose, H, W, focal, cfg)
+    do, dd, dv = rays_for_pose_device(pose, H, W, focal, cfg)
+    assert hv is None and dv is None
+    np.testing.assert_allclose(np.asarray(do), ho, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dd), hd, atol=1e-5)
+
+    # Staticcam: geometry rays from `pose`, viewdirs from `moving`.
+    ho, hd, hv = rays_for_pose(pose, H, W, focal, cfg, viewdirs_pose=moving)
+    do, dd, dv = rays_for_pose_device(pose, H, W, focal, cfg,
+                                      viewdirs_pose=moving)
+    np.testing.assert_allclose(np.asarray(do), ho, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dd), hd, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), hv, atol=1e-5)
+
+    # NDC: reparameterized o/d + pre-NDC world viewdirs.
+    ndc_pose = np.eye(4, dtype=np.float32)
+    ndc_pose[2, 3] = 1.0
+    cfg_ndc = RenderConfig(N_samples=4, N_importance=0, ndc=True,
+                           near=0.0, far=1.0)
+    ho, hd, hv = rays_for_pose(ndc_pose, H, W, focal, cfg_ndc)
+    do, dd, dv = rays_for_pose_device(ndc_pose, H, W, focal, cfg_ndc)
+    np.testing.assert_allclose(np.asarray(do), ho, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dd), hd, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), hv, atol=1e-5)
+
+
 # --------------------------------------------------------------------- #
 # render_path end-to-end
 

@@ -48,22 +48,63 @@ def wait_healthy(max_wait_s: float = 600.0) -> None:
     fails with INVALID_ARGUMENT and then recovers in the same process
     (CLAUDE.md r4). Probing here absorbs an outage at job START instead of
     failing the job on its first op.
+
+    Hard outages are worse: the probe op can HANG indefinitely instead of
+    raising (observed 90+ min on 2026-08-19 — it wedged this loop silently
+    between jobs). The probe therefore runs in a daemon thread: a probe
+    that ERRORS is retried every 15 s and gives up after ``max_wait_s``
+    (the job then fails loudly); a probe that HANGS is logged every
+    minute and waited out indefinitely — the pending RPC completes when
+    the tunnel recovers, running the job would just hang deeper in, and
+    restarting the process pays the 7-13 min fresh-tunnel stall. A spare
+    probe is launched every 10 min of hang in case the original RPC was
+    dropped rather than queued; the first to succeed wins.
     """
+    import threading
+
     import jax.numpy as jnp
 
-    t0 = time.time()
-    while True:
+    state = {"ok": False, "err": None}
+
+    def probe():
         try:
             float(jnp.ones((8, 8)).sum())
-            return
-        except Exception as e:
-            if time.time() - t0 > max_wait_s:
-                print(f"[worker] backend still unhealthy after "
-                      f"{max_wait_s:.0f}s: {e}", flush=True)
-                return  # let the job fail loudly rather than hang forever
-            print(f"[worker] backend unhealthy ({type(e).__name__}); "
-                  "retrying in 15s", flush=True)
-            time.sleep(15)
+            state["ok"] = True
+        except Exception as e:  # noqa: BLE001 — any backend error counts
+            state["err"] = e
+
+    t0 = time.time()
+    launched = 0
+    threads = []
+    while not state["ok"]:
+        if not any(th.is_alive() for th in threads):
+            # No probe in flight: either first iteration or the last
+            # probe ERRORED (a finished probe either set ok or err).
+            err = state["err"]
+            if err is not None:
+                if time.time() - t0 > max_wait_s:
+                    print(f"[worker] backend still unhealthy after "
+                          f"{time.time() - t0:.0f}s: {err}", flush=True)
+                    return  # let the job fail loudly rather than hang
+                print(f"[worker] backend unhealthy "
+                      f"({type(err).__name__}); retrying in 15s",
+                      flush=True)
+                time.sleep(15)
+                state["err"] = None
+        elif launched and (time.time() - t0) > 600 * launched:
+            # Probes are hanging; add a spare every 10 minutes.
+            pass  # falls through to the launch below
+        else:
+            hung_min = (time.time() - t0) / 60
+            if hung_min >= 1:
+                print(f"[worker] health probe HANGING {hung_min:.0f} min "
+                      "(tunnel outage; waiting for recovery)", flush=True)
+            time.sleep(60 if hung_min >= 1 else 5)
+            continue
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        threads.append(th)
+        launched += 1
 
 
 def purge_repo_modules():
