@@ -47,7 +47,11 @@ Device dispatch is serialized by a lock: one XLA program at a time per
 chip (concurrent dispatch interleaves and slows both requests; two TPU
 *processes* additionally serialize behind this environment's tunnel).
 HTTP threads queue on the lock, so the server stays correct under
-concurrent clients while the device runs at full tilt.
+concurrent clients while the device runs at full tilt. Queue depth is
+bounded (``max_queue``, default 8): excess requests are shed with HTTP
+503 + Retry-After (~one median render) instead of stacking unbounded
+queueing latency — measured 4 concurrent clients at 400² take p50 from
+832 ms to 3159 ms by queueing alone (docs/RESULTS.md serving study).
 
 Multi-chip: pass a data-parallel ``mesh`` (scripts/serve.py builds one by
 default when >1 devices are visible) and every frame's pixel grid is
@@ -83,6 +87,17 @@ class RequestError(ValueError):
     """A malformed render request (maps to HTTP 400)."""
 
 
+class ServiceOverloaded(RuntimeError):
+    """Render queue is full (maps to HTTP 503 + Retry-After).
+
+    Device dispatch is serialized behind one lock, so under sustained
+    overload every accepted request adds a full render time of pure
+    queueing latency (measured: 4 concurrent clients took p50 from 832 ms
+    to 3159 ms at 400² — docs/RESULTS.md serving study). Shedding load at
+    a bounded queue depth keeps accepted requests' latency bounded and
+    tells clients when to retry instead of silently stacking them."""
+
+
 class RenderService:
     """A loaded model + render config held resident for repeated frames.
 
@@ -103,6 +118,7 @@ class RenderService:
         tile: int = 4096,
         occ_grid=None,
         max_pixels: int = 4096 * 4096,
+        max_queue: int = 8,
         reload_fn: Optional[Callable[[str], Dict]] = None,
         occ_rebuild_fn: Optional[Callable[[Dict], object]] = None,
         watch_dir: Optional[str] = None,
@@ -142,6 +158,13 @@ class RenderService:
         # (padded) ray count is fine — the tile program is shared — but
         # host-side ray gen + assembly memory is O(H*W).
         self.max_pixels = int(max_pixels)
+        # Admission control: at most max_queue requests rendering-or-
+        # waiting at once (0 = unbounded); excess requests are shed with
+        # ServiceOverloaded -> HTTP 503 + Retry-After instead of stacking
+        # unbounded queueing latency behind the dispatch lock.
+        self.max_queue = int(max_queue)
+        self._inflight = 0
+        self.rejected = 0
         # Hot reload: reload_fn loads a checkpoint path into a params
         # pytree (same architecture: the compiled programs are reused
         # as-is — a swap never recompiles); occ_rebuild_fn refreshes an
@@ -200,11 +223,6 @@ class RenderService:
         (``/root/reference/scripts/render_example.py:226-275``) with the
         checkpoint, config, and compiled tile program held resident.
         """
-        from nerfmlp_tpu.ops.render import render_image_maps
-        from nerfmlp_tpu.render_path import (
-            rays_for_pose, rays_for_pose_device,
-        )
-
         try:
             H = int(self.defaults["H"] if H is None else H)
             W = int(self.defaults["W"] if W is None else W)
@@ -223,6 +241,34 @@ class RenderService:
         c2w = _as_pose(c2w, "c2w")
         if viewdirs_c2w is not None:
             viewdirs_c2w = _as_pose(viewdirs_c2w, "viewdirs_c2w")
+        # Admission BEFORE any device work; the warmup render
+        # (_record_stats=False, pre-traffic) bypasses it.
+        if _record_stats:
+            with self._stats_lock:
+                if self.max_queue and self._inflight >= self.max_queue:
+                    self.rejected += 1
+                    raise ServiceOverloaded(
+                        f"{self._inflight} renders in flight "
+                        f"(max_queue={self.max_queue})"
+                    )
+                self._inflight += 1
+        try:
+            return self._render_admitted(
+                c2w, viewdirs_c2w, H, W, focal, near, far, maps,
+                _record_stats,
+            )
+        finally:
+            if _record_stats:
+                with self._stats_lock:
+                    self._inflight -= 1
+
+    def _render_admitted(self, c2w, viewdirs_c2w, H, W, focal, near, far,
+                         maps, _record_stats):
+        from nerfmlp_tpu.ops.render import render_image_maps
+        from nerfmlp_tpu.render_path import (
+            rays_for_pose, rays_for_pose_device,
+        )
+
         if self.mesh is None:
             # Hot path: rays are generated ON device from the 16-float
             # pose — uploading full (H*W, 3) ray arrays per request costs
@@ -369,11 +415,22 @@ class RenderService:
         return {
             "defaults": dict(self.defaults),
             "tile": self.tile,
+            "max_pixels": self.max_pixels,
+            "max_queue": self.max_queue,
             "occupancy": self.occ_grid is not None,
             "hot_reload": self.reload_fn is not None,
             "watch_dir": self.watch_dir,
             "render_config": dataclasses.asdict(self.cfg),
         }
+
+    def retry_after_s(self) -> int:
+        """Whole-second Retry-After hint for shed requests: one median
+        render (a queue slot frees roughly that often), floor 1 s."""
+        with self._stats_lock:
+            times = sorted(self._times)
+        if not times:
+            return 1
+        return max(1, round(times[len(times) // 2]))
 
     def health(self) -> Dict:
         # Stats lock only: /health must answer instantly even while a
@@ -381,6 +438,8 @@ class RenderService:
         with self._stats_lock:
             raw = list(self._times)
             renders = self.renders
+            inflight = self._inflight
+            rejected = self.rejected
         times = sorted(raw)
         lat = None
         if times:
@@ -403,6 +462,11 @@ class RenderService:
         return {
             "status": "ok",
             "renders": renders,
+            # Queue pressure: requests rendering-or-waiting right now,
+            # the admission bound, and how many were shed with 503.
+            "queued": inflight,
+            "max_queue": self.max_queue,
+            "rejected": rejected,
             "warm": self.warm,
             "warmup_s": None if self.warmup_s is None
             else round(self.warmup_s, 2),
@@ -702,6 +766,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, body, ctype)
         except RequestError as e:
             self._reply_json(400, {"error": str(e)})
+        except ServiceOverloaded as e:
+            # Load shed: the render queue is at max_queue. 503 with a
+            # Retry-After of ~one median render so clients back off
+            # instead of stacking unbounded queueing latency.
+            retry = self.service.retry_after_s()
+            body = json.dumps(
+                {"error": str(e), "retry_after_s": retry}
+            ).encode()
+            self.send_response(503)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", str(retry))
+            self.end_headers()
+            self.wfile.write(body)
         except json.JSONDecodeError as e:
             self._reply_json(400, {"error": f"bad JSON: {e}"})
         except Exception as e:  # render bug: report, keep serving

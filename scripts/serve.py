@@ -141,7 +141,7 @@ def build_service(args, parser):
     return RenderService(
         params, rc, H, W, focal,
         tile=resolve_tile(args), occ_grid=occ_grid,
-        max_pixels=args.max_pixels,
+        max_pixels=args.max_pixels, max_queue=args.max_queue,
         reload_fn=reload_fn, occ_rebuild_fn=occ_rebuild_fn,
         watch_dir=watch_dir, ckpt_path=os.path.abspath(args.ckpt),
         ckpt_step=ckpt_step, mesh=mesh,
@@ -199,6 +199,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_tile_flag(p)
     p.add_argument("--max_pixels", type=int, default=4096 * 4096,
                    help="reject render requests above this pixel count")
+    p.add_argument("--max_queue", type=int, default=8,
+                   help="max renders rendering-or-waiting at once; excess "
+                        "requests get 503 + Retry-After (0 = unbounded)")
     p.add_argument("--no_warmup", dest="warmup", action="store_false",
                    default=True,
                    help="skip the startup compile render (first request "

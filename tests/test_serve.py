@@ -769,3 +769,110 @@ def test_reload_fn_tuple_step_single_decode(tmp_path):
     assert info["step"] == 777
     assert calls == []  # no second decode of the checkpoint
     assert svc.health()["ckpt"]["step"] == 777
+
+
+# ------------------------------------------------------------------ #
+# Admission control / load shedding
+# ------------------------------------------------------------------ #
+def _wait_until(pred, timeout=10.0):
+    t0 = time.time()
+    while not pred():
+        if time.time() - t0 > timeout:
+            raise AssertionError("condition not reached in time")
+        time.sleep(0.01)
+
+
+def test_admission_sheds_excess_requests():
+    """With max_queue=1, a request arriving while one renders raises
+    ServiceOverloaded; the admitted request completes normally and the
+    rejection is counted in /health."""
+    from nerfmlp_tpu.serve import ServiceOverloaded
+
+    svc = _service(max_queue=1)
+    pose = pose_spherical(20.0, -30.0, 4.0)
+    svc.render_pose(pose)  # compile outside the contention window
+    results, errors = [], []
+
+    with svc._lock:  # park the admitted request at the dispatch lock
+        def admitted():
+            try:
+                results.append(svc.render_pose(pose)["rgb_map"])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        t = threading.Thread(target=admitted)
+        t.start()
+        _wait_until(lambda: svc._inflight == 1)
+        with pytest.raises(ServiceOverloaded):
+            svc.render_pose(pose)
+    t.join(timeout=30)
+    assert not errors and len(results) == 1
+    h = svc.health()
+    assert h["queued"] == 0
+    assert h["rejected"] == 1
+    assert h["max_queue"] == 1
+
+
+def test_admission_unbounded_and_warmup_bypass():
+    """max_queue=0 never sheds; the warmup render (_record_stats=False)
+    bypasses admission even when the queue reads full."""
+    pose = pose_spherical(20.0, -30.0, 4.0)
+    svc = _service(max_queue=0)
+    with svc._stats_lock:
+        svc._inflight = 99  # simulate heavy load
+    try:
+        svc.render_pose(pose)  # unbounded: admitted regardless
+    finally:
+        with svc._stats_lock:
+            svc._inflight = 0
+
+    svc2 = _service(max_queue=1)
+    with svc2._stats_lock:
+        svc2._inflight = 1  # queue reads full
+    try:
+        svc2.render_pose(pose, _record_stats=False)  # warmup path
+    finally:
+        with svc2._stats_lock:
+            svc2._inflight = 0
+    assert svc2.rejected == 0
+
+
+def test_http_503_with_retry_after():
+    """Over HTTP, a shed request gets 503, a Retry-After header, and a
+    JSON body naming the queue bound."""
+    svc = _service(max_queue=1)
+    server = RenderServer(svc, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    url = f"http://{host}:{port}"
+    body = json.dumps({"theta": 0, "phi": -30, "radius": 4}).encode()
+    try:
+        status, _, _ = _post(url + "/render", body)
+        assert status == 200  # compile + populate latency stats
+        statuses = []
+
+        with svc._lock:
+            t = threading.Thread(
+                target=lambda: statuses.append(_post(url + "/render", body))
+            )
+            t.start()
+            _wait_until(lambda: svc._inflight == 1)
+            req = urllib.request.Request(
+                url + "/render", data=body, method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=30):
+                    raise AssertionError("expected HTTP 503")
+            except urllib.error.HTTPError as e:
+                assert e.code == 503
+                assert int(e.headers["Retry-After"]) >= 1
+                shed = json.loads(e.read())
+                assert "max_queue=1" in shed["error"]
+                assert shed["retry_after_s"] >= 1
+        t.join(timeout=60)
+        assert statuses and statuses[0][0] == 200  # parked request finished
+        assert svc.health()["rejected"] == 1
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
