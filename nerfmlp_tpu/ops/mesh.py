@@ -445,16 +445,17 @@ def extract_mesh(
 # ------------------------------------------------------------------ #
 # Writers (.ply binary/ascii with optional vertex color, .obj)
 # ------------------------------------------------------------------ #
-def save_ply(
-    path: str,
+def ply_bytes(
     verts: np.ndarray,
     faces: np.ndarray,
     colors: Optional[np.ndarray] = None,
     normals: Optional[np.ndarray] = None,
     binary: bool = True,
-) -> None:
+) -> bytes:
     """Standard PLY: float32 xyz [+ float32 nxnynz] [+ uchar rgb], int32
-    triangle lists. Binary little-endian by default (ascii for eyeballs)."""
+    triangle lists. Binary little-endian by default (ascii for eyeballs).
+    Returns the full file as bytes (the serve layer ships it over HTTP;
+    :func:`save_ply` writes it to disk)."""
     verts = np.asarray(verts, "<f4")
     faces = np.asarray(faces, "<i4")
     n_v, n_f = verts.shape[0], faces.shape[0]
@@ -480,33 +481,47 @@ def save_ply(
         "property list uchar int vertex_indices\n"
         "end_header\n"
     )
+    parts = [header.encode("ascii")]
+    if binary:
+        fields = []
+        for c in cols:
+            for k in range(c.shape[1]):
+                fields.append((f"f{len(fields)}", c.dtype.str))
+        rec = np.empty(n_v, np.dtype(fields))
+        i = 0
+        for c in cols:
+            for k in range(c.shape[1]):
+                rec[f"f{i}"] = c[:, k]
+                i += 1
+        parts.append(rec.tobytes())
+        frec = np.empty(
+            n_f, np.dtype([("n", "u1"), ("idx", "<i4", (3,))])
+        )
+        frec["n"] = 3
+        frec["idx"] = faces
+        parts.append(frec.tobytes())
+    else:
+        for row in np.concatenate(
+            [np.asarray(c, np.float64) for c in cols], 1
+        ):
+            parts.append((" ".join(_fmt_ascii(row, cols)) + "\n").encode())
+        for face in faces:
+            parts.append(f"3 {face[0]} {face[1]} {face[2]}\n".encode())
+    return b"".join(parts)
+
+
+def save_ply(
+    path: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
+    binary: bool = True,
+) -> None:
+    """Write :func:`ply_bytes` to disk."""
     with open(path, "wb") as f:
-        f.write(header.encode("ascii"))
-        if binary:
-            fields = []
-            for c in cols:
-                for k in range(c.shape[1]):
-                    fields.append((f"f{len(fields)}", c.dtype.str))
-            rec = np.empty(n_v, np.dtype(fields))
-            i = 0
-            for c in cols:
-                for k in range(c.shape[1]):
-                    rec[f"f{i}"] = c[:, k]
-                    i += 1
-            f.write(rec.tobytes())
-            frec = np.empty(
-                n_f, np.dtype([("n", "u1"), ("idx", "<i4", (3,))])
-            )
-            frec["n"] = 3
-            frec["idx"] = faces
-            f.write(frec.tobytes())
-        else:
-            for row in np.concatenate(
-                [np.asarray(c, np.float64) for c in cols], 1
-            ):
-                f.write((" ".join(_fmt_ascii(row, cols)) + "\n").encode())
-            for face in faces:
-                f.write(f"3 {face[0]} {face[1]} {face[2]}\n".encode())
+        f.write(ply_bytes(verts, faces, colors=colors, normals=normals,
+                          binary=binary))
 
 
 def _fmt_ascii(row, cols):
@@ -520,24 +535,34 @@ def _fmt_ascii(row, cols):
     return out
 
 
+def obj_str(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+) -> str:
+    """Wavefront OBJ (1-based faces). Vertex color uses the widely read
+    'v x y z r g b' extension when given."""
+    lines = ["# nerfmlp_tpu extract_mesh"]
+    for i, v in enumerate(np.asarray(verts, np.float64)):
+        line = f"v {v[0]:.7g} {v[1]:.7g} {v[2]:.7g}"
+        if colors is not None:
+            c = np.clip(np.asarray(colors[i], np.float64), 0.0, 1.0)
+            line += f" {c[0]:.5g} {c[1]:.5g} {c[2]:.5g}"
+        lines.append(line)
+    for face in np.asarray(faces):
+        lines.append(f"f {face[0] + 1} {face[1] + 1} {face[2] + 1}")
+    return "\n".join(lines) + "\n"
+
+
 def save_obj(
     path: str,
     verts: np.ndarray,
     faces: np.ndarray,
     colors: Optional[np.ndarray] = None,
 ) -> None:
-    """Wavefront OBJ (1-based faces). Vertex color uses the widely read
-    'v x y z r g b' extension when given."""
+    """Write :func:`obj_str` to disk."""
     with open(path, "w") as f:
-        f.write("# nerfmlp_tpu extract_mesh\n")
-        for i, v in enumerate(np.asarray(verts, np.float64)):
-            line = f"v {v[0]:.7g} {v[1]:.7g} {v[2]:.7g}"
-            if colors is not None:
-                c = np.clip(np.asarray(colors[i], np.float64), 0.0, 1.0)
-                line += f" {c[0]:.5g} {c[1]:.5g} {c[2]:.5g}"
-            f.write(line + "\n")
-        for face in np.asarray(faces):
-            f.write(f"f {face[0] + 1} {face[1] + 1} {face[2] + 1}\n")
+        f.write(obj_str(verts, faces, colors=colors))
 
 
 def save_mesh(path: str, mesh: Dict[str, np.ndarray], binary: bool = True):

@@ -22,6 +22,10 @@ API:
     GET  /spec      -> model / render configuration + defaults
     POST /render    -> image bytes (png, default), .npy bytes, or JSON
     POST /reload    -> hot-swap to the newest checkpoint in the watch dir
+    POST /mesh      -> density-isosurface mesh of the CURRENTLY SERVED
+                       weights (ops/mesh.py): binary .ply (default),
+                       .obj, or JSON stats; composes with hot reload —
+                       extract geometry from a model while it trains
 
 Hot reload serves a model WHILE IT TRAINS: point the watch dir at a
 Trainer ``--save_dir`` and every new layered checkpoint (the same files
@@ -69,6 +73,7 @@ import os
 import threading
 import time
 from collections import deque
+from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Dict, Optional, Tuple
 
@@ -119,6 +124,7 @@ class RenderService:
         occ_grid=None,
         max_pixels: int = 4096 * 4096,
         max_queue: int = 8,
+        max_mesh_resolution: int = 256,
         reload_fn: Optional[Callable[[str], Dict]] = None,
         occ_rebuild_fn: Optional[Callable[[Dict], object]] = None,
         watch_dir: Optional[str] = None,
@@ -165,6 +171,11 @@ class RenderService:
         self.max_queue = int(max_queue)
         self._inflight = 0
         self.rejected = 0
+        # /mesh grid cap: G^3 MLP evals — 256^3 is ~17M points, seconds
+        # on a chip but a deliberate ceiling against one request pinning
+        # the device for minutes (0 disables the /mesh route entirely).
+        self.max_mesh_resolution = int(max_mesh_resolution)
+        self.meshes = 0
         # Hot reload: reload_fn loads a checkpoint path into a params
         # pytree (same architecture: the compiled programs are reused
         # as-is — a swap never recompiles); occ_rebuild_fn refreshes an
@@ -243,7 +254,18 @@ class RenderService:
             viewdirs_c2w = _as_pose(viewdirs_c2w, "viewdirs_c2w")
         # Admission BEFORE any device work; the warmup render
         # (_record_stats=False, pre-traffic) bypasses it.
-        if _record_stats:
+        with self._admit(_record_stats):
+            return self._render_admitted(
+                c2w, viewdirs_c2w, H, W, focal, near, far, maps,
+                _record_stats,
+            )
+
+    @contextmanager
+    def _admit(self, record: bool = True):
+        """Admission slot: raises :class:`ServiceOverloaded` when
+        ``max_queue`` requests are already rendering-or-waiting. Renders
+        AND mesh extractions share the pool — both hold the device."""
+        if record:
             with self._stats_lock:
                 if self.max_queue and self._inflight >= self.max_queue:
                     self.rejected += 1
@@ -253,12 +275,9 @@ class RenderService:
                     )
                 self._inflight += 1
         try:
-            return self._render_admitted(
-                c2w, viewdirs_c2w, H, W, focal, near, far, maps,
-                _record_stats,
-            )
+            yield
         finally:
-            if _record_stats:
+            if record:
                 with self._stats_lock:
                     self._inflight -= 1
 
@@ -409,6 +428,95 @@ class RenderService:
             return json.dumps(body).encode(), "application/json"
         raise RequestError(f"unknown format {fmt!r}; png | npy | json")
 
+    def mesh_request(self, req: Dict) -> Tuple[bytes, str]:
+        """``POST /mesh``: density-isosurface mesh of the served weights.
+
+        Request keys (all optional unless the server has no AABB):
+        ``resolution`` (grid nodes/axis, default 128, capped at
+        ``max_mesh_resolution``), ``threshold`` (sigma iso level, default
+        25), ``aabb`` (6 floats; default = the server's render-config
+        AABB, e.g. from ``--aabb``), ``color`` (bake per-vertex RGB,
+        default true), ``format`` ("ply" binary | "obj" | "json" stats).
+
+        Holds the same dispatch lock and admission slot as a render —
+        it IS device work (G^3 MLP evals through ops/mesh.py) — so a
+        mesh extraction queues behind frames and counts against
+        ``max_queue``. Reads the params reference once, so a hot reload
+        mid-extraction affects the next request, not this one.
+        """
+        if not isinstance(req, dict):
+            raise RequestError("request body must be a JSON object")
+        if not self.max_mesh_resolution:
+            raise RequestError("mesh extraction disabled on this server "
+                               "(max_mesh_resolution=0)")
+        try:
+            resolution = int(req.get("resolution", 128))
+            threshold = float(req.get("threshold", 25.0))
+        except (TypeError, ValueError) as e:
+            raise RequestError(f"resolution/threshold must be numeric: {e}")
+        if not 2 <= resolution <= self.max_mesh_resolution:
+            raise RequestError(
+                f"resolution must be in [2, {self.max_mesh_resolution}]"
+            )
+        if not np.isfinite(threshold):
+            raise RequestError("threshold must be finite")
+        aabb = req.get("aabb", self.cfg.aabb)
+        if aabb is None:
+            raise RequestError(
+                'no scene bounds: pass "aabb": [xmin,ymin,zmin,'
+                "xmax,ymax,zmax] or start the server with --aabb"
+            )
+        try:
+            aabb = tuple(float(v) for v in aabb)
+        except (TypeError, ValueError) as e:
+            raise RequestError(f"aabb must be 6 numbers: {e}")
+        if len(aabb) != 6 or not all(np.isfinite(aabb)) or not all(
+            aabb[i] < aabb[i + 3] for i in range(3)
+        ):
+            raise RequestError("aabb must be 6 finite numbers with "
+                               "min < max per axis")
+        color = bool(req.get("color", True))
+        fmt = req.get("format", "ply")
+        if fmt not in ("ply", "obj", "json"):
+            raise RequestError(f"unknown format {fmt!r}; ply | obj | json")
+
+        from nerfmlp_tpu.ops.mesh import extract_mesh, obj_str, ply_bytes
+
+        with self._admit():
+            with self._lock:
+                t0 = time.perf_counter()
+                # One params read: a concurrent hot reload swaps the
+                # attribute, never mutates the old tree.
+                mesh = extract_mesh(
+                    self.params, self.cfg, resolution=resolution,
+                    threshold=threshold, aabb=aabb, color=color,
+                )
+                dt = time.perf_counter() - t0
+        with self._stats_lock:
+            self.meshes += 1
+        self.log(f"mesh {resolution}^3 iso {threshold:g}: "
+                 f"{len(mesh['verts'])} verts / {len(mesh['faces'])} faces "
+                 f"in {dt:.1f}s")
+        if fmt == "json":
+            return json.dumps({
+                "verts": len(mesh["verts"]),
+                "faces": len(mesh["faces"]),
+                "sigma_min": mesh["sigma_min"],
+                "sigma_max": mesh["sigma_max"],
+                "resolution": resolution,
+                "threshold": threshold,
+                "aabb": list(aabb),
+                "seconds": round(dt, 3),
+            }).encode(), "application/json"
+        if fmt == "obj":
+            body = obj_str(mesh["verts"], mesh["faces"],
+                           colors=mesh.get("colors"))
+            return body.encode(), "text/plain; charset=utf-8"
+        return ply_bytes(
+            mesh["verts"], mesh["faces"], colors=mesh.get("colors"),
+            normals=mesh["normals"], binary=True,
+        ), "application/octet-stream"
+
     def spec(self) -> Dict:
         import dataclasses
 
@@ -417,6 +525,7 @@ class RenderService:
             "tile": self.tile,
             "max_pixels": self.max_pixels,
             "max_queue": self.max_queue,
+            "max_mesh_resolution": self.max_mesh_resolution,
             "occupancy": self.occ_grid is not None,
             "hot_reload": self.reload_fn is not None,
             "watch_dir": self.watch_dir,
@@ -438,6 +547,7 @@ class RenderService:
         with self._stats_lock:
             raw = list(self._times)
             renders = self.renders
+            meshes = self.meshes
             inflight = self._inflight
             rejected = self.rejected
         times = sorted(raw)
@@ -462,6 +572,7 @@ class RenderService:
         return {
             "status": "ok",
             "renders": renders,
+            "meshes": meshes,
             # Queue pressure: requests rendering-or-waiting right now,
             # the admission bound, and how many were shed with 503.
             "queued": inflight,
@@ -717,7 +828,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_json(404, {"error": f"no route {self.path}"})
 
     def do_POST(self):  # noqa: N802
-        if self.path not in ("/render", "/reload"):
+        if self.path not in ("/render", "/reload", "/mesh"):
             self._reply_json(404, {"error": f"no route {self.path}"})
             return
         try:
@@ -762,7 +873,10 @@ class _Handler(BaseHTTPRequestHandler):
                 self.close_connection = True
                 return
             req = json.loads(self.rfile.read(n) or b"{}")
-            body, ctype = self.service.render_request(req)
+            if self.path == "/mesh":
+                body, ctype = self.service.mesh_request(req)
+            else:
+                body, ctype = self.service.render_request(req)
             self._reply(200, body, ctype)
         except RequestError as e:
             self._reply_json(400, {"error": str(e)})

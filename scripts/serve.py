@@ -142,6 +142,7 @@ def build_service(args, parser):
         params, rc, H, W, focal,
         tile=resolve_tile(args), occ_grid=occ_grid,
         max_pixels=args.max_pixels, max_queue=args.max_queue,
+        max_mesh_resolution=args.max_mesh_resolution,
         reload_fn=reload_fn, occ_rebuild_fn=occ_rebuild_fn,
         watch_dir=watch_dir, ckpt_path=os.path.abspath(args.ckpt),
         ckpt_step=ckpt_step, mesh=mesh,
@@ -202,6 +203,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_queue", type=int, default=8,
                    help="max renders rendering-or-waiting at once; excess "
                         "requests get 503 + Retry-After (0 = unbounded)")
+    p.add_argument("--max_mesh_resolution", type=int, default=256,
+                   help="POST /mesh grid-resolution cap (0 disables the "
+                        "mesh route)")
     p.add_argument("--no_warmup", dest="warmup", action="store_false",
                    default=True,
                    help="skip the startup compile render (first request "

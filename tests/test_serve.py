@@ -876,3 +876,135 @@ def test_http_503_with_retry_after():
         server.shutdown()
         server.server_close()
         thread.join(timeout=5)
+
+
+# ------------------------------------------------------------------ #
+# POST /mesh — geometry of the currently served weights
+# ------------------------------------------------------------------ #
+def _mesh_service(**kw):
+    cfg = RenderConfig(N_samples=8, N_importance=0, near=2.0, far=6.0,
+                       perturb=False, depth=2, width=32,
+                       aabb=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0))
+    params = {"coarse": init_model(jax.random.PRNGKey(0), cfg.model_config())}
+    base = dict(H=16, W=16, focal=20.0, tile=256)
+    base.update(kw)
+    return RenderService(params, cfg, **base)
+
+
+def test_mesh_request_json_then_ply():
+    """JSON stats probe the sigma range; extracting at a threshold inside
+    that range yields a parseable binary PLY with colors+normals."""
+    from test_mesh import _parse_ply
+
+    svc = _mesh_service()
+    body, ctype = svc.mesh_request(
+        {"resolution": 10, "threshold": 1e9, "format": "json"})
+    assert ctype == "application/json"
+    stats = json.loads(body)
+    assert stats["verts"] == 0 and stats["faces"] == 0
+    assert stats["sigma_max"] >= stats["sigma_min"] >= 0.0
+
+    thr = 0.5 * (stats["sigma_min"] + stats["sigma_max"])
+    body, ctype = svc.mesh_request({"resolution": 10, "threshold": thr})
+    assert ctype == "application/octet-stream"
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".ply", delete=False) as f:
+        f.write(body)
+        path = f.name
+    vdat, fdat, names = _parse_ply(path)
+    assert names == ["x", "y", "z", "nx", "ny", "nz",
+                     "red", "green", "blue"]
+    assert len(fdat) > 0 and fdat.max() < len(vdat)
+    assert svc.health()["meshes"] == 2
+    assert svc.spec()["max_mesh_resolution"] == 256
+
+    body, ctype = svc.mesh_request(
+        {"resolution": 10, "threshold": thr, "format": "obj",
+         "color": False})
+    assert ctype.startswith("text/plain")
+    lines = body.decode().splitlines()
+    n_v = sum(1 for l in lines if l.startswith("v "))
+    n_f = sum(1 for l in lines if l.startswith("f "))
+    assert n_v == len(vdat) and n_f == len(fdat)
+
+
+def test_mesh_request_validation():
+    svc = _mesh_service()
+    for bad in (
+        {"resolution": 1},
+        {"resolution": 100000},
+        {"resolution": "huge"},
+        {"threshold": float("nan")},
+        {"format": "stl"},
+        {"aabb": [0, 0, 0, -1, 1, 1]},   # min > max
+        {"aabb": [0, 0, 0, 1, 1]},       # 5 values
+        {"aabb": ["a"] * 6},
+    ):
+        with pytest.raises(RequestError):
+            svc.mesh_request({"resolution": 6, **bad})
+
+    # No AABB anywhere -> actionable error; explicit request aabb works.
+    cfg = RenderConfig(N_samples=8, N_importance=0, near=2.0, far=6.0,
+                       perturb=False, depth=2, width=32)
+    params = {"coarse": init_model(jax.random.PRNGKey(0),
+                                   cfg.model_config())}
+    svc2 = RenderService(params, cfg, H=16, W=16, focal=20.0, tile=256)
+    with pytest.raises(RequestError, match="aabb"):
+        svc2.mesh_request({"resolution": 6})
+    body, _ = svc2.mesh_request(
+        {"resolution": 6, "threshold": 1e9, "format": "json",
+         "aabb": [-1, -1, -1, 1, 1, 1]})
+    assert json.loads(body)["faces"] == 0
+
+    # max_mesh_resolution=0 disables the route.
+    svc3 = _mesh_service(max_mesh_resolution=0)
+    with pytest.raises(RequestError, match="disabled"):
+        svc3.mesh_request({"resolution": 6})
+
+
+def test_mesh_counts_against_admission_queue():
+    """Mesh extraction holds a queue slot: with max_queue=1 and one
+    request in flight, /mesh is shed like a render."""
+    from nerfmlp_tpu.serve import ServiceOverloaded
+
+    svc = _mesh_service(max_queue=1)
+    with svc._stats_lock:
+        svc._inflight = 1
+    try:
+        with pytest.raises(ServiceOverloaded):
+            svc.mesh_request({"resolution": 6, "threshold": 1e9})
+    finally:
+        with svc._stats_lock:
+            svc._inflight = 0
+    assert svc.rejected == 1
+
+
+def test_mesh_http_route():
+    svc = _mesh_service()
+    server = RenderServer(svc, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    url = f"http://{host}:{port}"
+    try:
+        status, body, ctype = _post(
+            url + "/mesh",
+            json.dumps({"resolution": 8, "threshold": 1e9,
+                        "format": "json"}).encode())
+        assert status == 200 and ctype == "application/json"
+        assert json.loads(body)["faces"] == 0
+        # Malformed -> 400 with the validation message.
+        req = urllib.request.Request(
+            url + "/mesh", data=json.dumps({"format": "stl"}).encode(),
+            method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=30):
+                raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "format" in json.loads(e.read())["error"]
+        assert svc.health()["meshes"] == 1
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
