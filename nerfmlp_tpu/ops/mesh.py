@@ -120,31 +120,45 @@ def _corner_offsets() -> np.ndarray:
     return np.stack([c & 1, (c >> 1) & 1, (c >> 2) & 1], -1).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cell_size", "threshold"))
+@jax.jit
 def _tet_triangles(
     corner_vals: jnp.ndarray,  # (C, 8) f32 cube-corner densities
-    origins: jnp.ndarray,      # (C, 3) f32 world position of corner 0
-    cell_size: Tuple[float, float, float],
-    threshold: float,
+    cell_idx: jnp.ndarray,     # (C, 3) i32 integer cell coordinates
+    box_min: jnp.ndarray,      # (3,) f32
+    cell_size: jnp.ndarray,    # (3,) f32
+    threshold: jnp.ndarray,    # () f32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Marching tetrahedra over a static-size batch of surface cells.
 
     Returns (C, 6, 2, 3, 3) triangle vertex positions and a (C, 6, 2)
     validity mask. Padded cells (all-zero corners with threshold > 0, or
     any cells whose corners are all on one side) produce case 0/15 ->
-    mask False. Static shapes + one-hot contractions throughout.
+    mask False. Static shapes + one-hot contractions throughout; every
+    non-shape input is traced, so one compile serves every
+    threshold/aabb/resolution at a given chunk size.
+
+    Corner positions are computed from INTEGER node indices
+    (box_min + (cell_idx + corner_bits) * cell_size): neighboring cells
+    and tets evaluate the exact same expression on the exact same values
+    for a shared grid node, so shared edge intersection points come out
+    BIT-IDENTICAL across cells — which is what lets mesh_from_volume
+    weld by exact equality instead of fuzzy quantization. (Interpolation
+    direction is consistent too: tet-edge endpoint order follows cube
+    corner-id order, which is the (z, y, x)-lexicographic order of the
+    global node coordinates in every cell that shares the edge.)
     """
     cs = jnp.asarray(cell_size, jnp.float32)
-    offs = jnp.asarray(_corner_offsets()) * cs  # (8, 3) world offsets
     sel = jnp.asarray(_SEL)
     valid_tab = jnp.asarray(_VALID)
-    thr = jnp.float32(threshold)
+    thr = threshold.astype(jnp.float32)
+    corner_bits = jnp.asarray(_corner_offsets())  # (8, 3) 0/1 floats
 
     tris, valids = [], []
     for t in range(6):
         ids = TET_CORNERS[t]  # static python ints
         vals = corner_vals[:, ids]                     # (C, 4)
-        pos = origins[:, None, :] + offs[ids][None]    # (C, 4, 3)
+        node = cell_idx[:, None, :].astype(jnp.float32) + corner_bits[ids]
+        pos = box_min + node * cs                      # (C, 4, 3)
         inside = (vals > thr).astype(jnp.int32)
         case = (
             inside[:, 0]
@@ -175,6 +189,59 @@ def _tet_triangles(
     return jnp.stack(tris, 1), jnp.stack(valids, 1) > 0.5
 
 
+def _const_dir_enc(cfg, n: int):
+    """Encoded constant view direction (density is view-independent —
+    same trick as ops/occupancy.py::update_grid), or None."""
+    if not cfg.use_viewdirs:
+        return None
+    from nerfmlp_tpu.ops.encoding import positional_encoding
+
+    const_dir = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, -1.0], jnp.float32), (n, 3)
+    )
+    return positional_encoding(const_dir, cfg.dir_enc_L)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "fine", "g", "chunk")
+)
+def _grid_sigma_chunk(net, start, box_min, box_span, cfg, fine, g, chunk):
+    """relu(sigma) at ``chunk`` consecutive flattened grid nodes starting
+    at traced index ``start``.
+
+    Grid-node positions are generated ON DEVICE from the index — the
+    host ships one scalar per chunk instead of a (chunk, 3) point upload
+    (the same dispatch-cost lesson as serving's on-device ray
+    generation, render_path.rays_for_pose_device). Module-level jit +
+    traced start: ONE compile per (cfg, g, chunk), reused across chunks,
+    calls, and serve requests.
+    """
+    n = start + jnp.arange(chunk, dtype=jnp.int32)
+    n = jnp.minimum(n, g * g * g - 1)  # tail pad: recompute a valid node
+    i = n // (g * g)
+    j = (n // g) % g
+    k = n % g
+    pts01 = jnp.stack([i, j, k], -1).astype(jnp.float32) / max(g - 1, 1)
+    pts = box_min + pts01 * box_span
+    from nerfmlp_tpu.ops.render import _query_mlp
+
+    raw = _query_mlp(net, pts[:, None, :], _const_dir_enc(cfg, chunk),
+                     cfg, fine=fine)
+    return jax.nn.relu(raw[:, 0, 3].astype(jnp.float32))
+
+
+def _check_aabb(aabb):
+    aabb = tuple(float(v) for v in aabb)
+    if len(aabb) != 6 or not all(np.isfinite(aabb)) or not all(
+        aabb[i] < aabb[i + 3] for i in range(3)
+    ):
+        raise ValueError(
+            "aabb must be 6 finite numbers with min < max per axis, got "
+            f"{aabb!r}"
+        )
+    return aabb
+
+
 def density_volume(
     params: Dict,
     cfg,
@@ -188,9 +255,10 @@ def density_volume(
     occupancy grid refreshes from (ops/occupancy.py::update_grid —
     including the final-net selection and the constant view direction,
     which does not affect density). Chunked at a fixed size so one
-    compiled program serves every chunk.
+    compiled program serves every chunk; node positions are generated on
+    device (see :func:`_grid_sigma_chunk`).
     """
-    from nerfmlp_tpu.ops.render import _final_net, _query_mlp
+    from nerfmlp_tpu.ops.render import _final_net
 
     aabb = cfg.aabb if aabb is None else aabb
     if aabb is None:
@@ -198,43 +266,26 @@ def density_volume(
             "mesh extraction needs scene bounds: pass aabb= or set "
             "RenderConfig.aabb"
         )
+    aabb = _check_aabb(aabb)
+    g = int(resolution)
+    if g < 2:
+        raise ValueError(f"resolution must be >= 2, got {g}")
     net, fine = (params, False)
     if "coarse" in params:
         net, fine = _final_net(params, cfg)
 
-    g = int(resolution)
-    box_min = np.asarray(aabb[:3], np.float32)
-    box_max = np.asarray(aabb[3:], np.float32)
-    lin = np.arange(g, dtype=np.float32) / max(g - 1, 1)
-    ii, jj, kk = np.meshgrid(lin, lin, lin, indexing="ij")
-    pts = np.stack([ii, jj, kk], -1).reshape(-1, 3)
-    pts = box_min + pts * (box_max - box_min)
-
-    @jax.jit
-    def query(p, x):
-        dirs_enc = None
-        if cfg.use_viewdirs:
-            from nerfmlp_tpu.ops.encoding import positional_encoding
-
-            const_dir = jnp.broadcast_to(
-                jnp.array([0.0, 0.0, -1.0], jnp.float32), (x.shape[0], 3)
-            )
-            dirs_enc = positional_encoding(const_dir, cfg.dir_enc_L)
-        raw = _query_mlp(p, x[:, None, :], dirs_enc, cfg, fine=fine)
-        return jax.nn.relu(raw[:, 0, 3].astype(jnp.float32))
-
-    n = pts.shape[0]
+    box_min = jnp.asarray(aabb[:3], jnp.float32)
+    box_span = jnp.asarray(
+        np.asarray(aabb[3:], np.float32) - np.asarray(aabb[:3], np.float32)
+    )
+    n = g * g * g
     chunk = max(1, min(int(chunk), n))
     out = np.empty(n, np.float32)
     for s in range(0, n, chunk):
-        block = pts[s : s + chunk]
-        if block.shape[0] < chunk:  # pad the tail into the same program
-            block = np.concatenate(
-                [block, np.zeros((chunk - block.shape[0], 3), np.float32)]
-            )
-        out[s : s + chunk] = np.asarray(query(net, jnp.asarray(block)))[
-            : n - s
-        ]
+        block = np.asarray(_grid_sigma_chunk(
+            net, jnp.int32(s), box_min, box_span, cfg, fine, g, chunk
+        ))
+        out[s : s + chunk] = block[: n - s]
     return out.reshape(g, g, g)
 
 
@@ -247,17 +298,19 @@ def mesh_from_volume(
     """Surface the `density > threshold` level set of a (G, G, G) volume.
 
     Returns (verts (V, 3) float32 world coords, faces (T, 3) int32).
-    Vertices shared between adjacent cells are welded (quantized to 1e-3
-    of a cell — far above float ulp noise, far below geometry); every
-    face is oriented so its normal points along DECREASING density
-    (outward for a solid object). Empty level sets return (0,3)/(0,3)
-    arrays rather than erroring — render-time code treats "nothing above
-    threshold" the same way (ops/occupancy.py::occupancy_weights).
+    Vertices shared between adjacent cells/tets are welded by EXACT
+    equality — the tet kernel computes them bit-identically from integer
+    node indices (see :func:`_tet_triangles`); every face is oriented so
+    its normal points along DECREASING density (outward for a solid
+    object). Empty level sets return (0,3)/(0,3) arrays rather than
+    erroring — render-time code treats "nothing above threshold" the
+    same way (ops/occupancy.py::occupancy_weights).
     """
     vol = np.asarray(vol, np.float32)
     g = vol.shape[0]
     if vol.shape != (g, g, g) or g < 2:
         raise ValueError(f"volume must be (G,G,G) with G>=2, got {vol.shape}")
+    aabb = _check_aabb(aabb)
     box_min = np.asarray(aabb[:3], np.float32)
     box_max = np.asarray(aabb[3:], np.float32)
     cell = (box_max - box_min) / (g - 1)
@@ -278,23 +331,22 @@ def mesh_from_volume(
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
 
     corner_vals = stack[active]  # (A, 8)
-    origins = box_min + idx.astype(np.float32) * cell
 
     # Stage 3 (device): fixed-size batches through the jitted tet kernel.
     chunk = max(1, int(chunk))
+    bmin = jnp.asarray(box_min)
+    cs = jnp.asarray(cell)
+    thr = jnp.float32(threshold)
     all_tris = []
     for s in range(0, corner_vals.shape[0], chunk):
         cv = corner_vals[s : s + chunk]
-        og = origins[s : s + chunk]
+        ci = idx[s : s + chunk].astype(np.int32)
         if cv.shape[0] < chunk:
             pad = chunk - cv.shape[0]
             cv = np.concatenate([cv, np.zeros((pad, 8), np.float32)])
-            og = np.concatenate([og, np.zeros((pad, 3), np.float32)])
+            ci = np.concatenate([ci, np.zeros((pad, 3), np.int32)])
         tris, valid = _tet_triangles(
-            jnp.asarray(cv),
-            jnp.asarray(og),
-            tuple(float(c) for c in cell),
-            float(threshold),
+            jnp.asarray(cv), jnp.asarray(ci), bmin, cs, thr
         )
         tris = np.asarray(tris)
         valid = np.asarray(valid)
@@ -303,13 +355,13 @@ def mesh_from_volume(
     if tris.shape[0] == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
 
-    # Weld: adjacent cells compute shared edge points from the same two
-    # corner densities but not bit-identical positions (idx*c + c vs
-    # (idx+1)*c differ in the last ulp), so quantize at 1e-3 cells.
+    # Weld by exact equality: shared edge points are bit-identical across
+    # cells and tets by construction (_tet_triangles computes them from
+    # integer node indices), so no fuzzy quantization is needed — and no
+    # quantization boundary can split an ulp-pair into a hairline crack.
     flat = tris.reshape(-1, 3)
-    quant = np.round(flat / (cell.min() * 1e-3)).astype(np.int64)
     _, first, inverse = np.unique(
-        quant, axis=0, return_index=True, return_inverse=True
+        flat, axis=0, return_index=True, return_inverse=True
     )
     verts = flat[first]
     faces = inverse.reshape(-1, 3).astype(np.int32)
@@ -370,20 +422,11 @@ def vertex_colors(
     semantics match the renderer (sigmoid of raw[..., :3],
     /root/reference/nerfmlp/renderer.py:114-133).
     """
-    from nerfmlp_tpu.ops.encoding import positional_encoding
-    from nerfmlp_tpu.ops.render import _final_net, _query_mlp
+    from nerfmlp_tpu.ops.render import _final_net
 
     net, fine = (params, False)
     if "coarse" in params:
         net, fine = _final_net(params, cfg)
-
-    @jax.jit
-    def query(p, x, d):
-        dirs_enc = (
-            positional_encoding(d, cfg.dir_enc_L) if cfg.use_viewdirs else None
-        )
-        raw = _query_mlp(p, x[:, None, :], dirs_enc, cfg, fine=fine)
-        return jax.nn.sigmoid(raw[:, 0, :3].astype(jnp.float32))
 
     n = verts.shape[0]
     if n == 0:
@@ -401,9 +444,24 @@ def vertex_colors(
                 [dv, np.tile(np.array([[0, 0, -1]], np.float32), (pad, 1))]
             )
         out[s : s + chunk] = np.asarray(
-            query(net, jnp.asarray(xv), jnp.asarray(dv))
+            _color_chunk(net, jnp.asarray(xv), jnp.asarray(dv), cfg, fine)
         )[: n - s]
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fine"))
+def _color_chunk(net, pts, dirs, cfg, fine):
+    """sigmoid(rgb) at points with per-point view directions. Module-level
+    jit: one compile per (cfg, chunk shape), reused across calls."""
+    from nerfmlp_tpu.ops.encoding import positional_encoding
+    from nerfmlp_tpu.ops.render import _query_mlp
+
+    dirs_enc = (
+        positional_encoding(dirs, cfg.dir_enc_L) if cfg.use_viewdirs
+        else None
+    )
+    raw = _query_mlp(net, pts[:, None, :], dirs_enc, cfg, fine=fine)
+    return jax.nn.sigmoid(raw[:, 0, :3].astype(jnp.float32))
 
 
 def extract_mesh(

@@ -176,6 +176,8 @@ class RenderService:
         # the device for minutes (0 disables the /mesh route entirely).
         self.max_mesh_resolution = int(max_mesh_resolution)
         self.meshes = 0
+        self._mesh_times = deque(maxlen=16)  # wall seconds per extraction
+        self._mesh_active = 0  # extractions in progress (Retry-After hint)
         # Hot reload: reload_fn loads a checkpoint path into a params
         # pytree (same architecture: the compiled programs are reused
         # as-is — a swap never recompiles); occ_rebuild_fn refreshes an
@@ -480,20 +482,50 @@ class RenderService:
         if fmt not in ("ply", "obj", "json"):
             raise RequestError(f"unknown format {fmt!r}; ply | obj | json")
 
-        from nerfmlp_tpu.ops.mesh import extract_mesh, obj_str, ply_bytes
+        from nerfmlp_tpu.ops.mesh import (
+            density_volume, mesh_from_volume, obj_str, ply_bytes,
+            vertex_colors, vertex_normals,
+        )
 
         with self._admit():
-            with self._lock:
+            with self._stats_lock:
+                self._mesh_active += 1
+            try:
                 t0 = time.perf_counter()
                 # One params read: a concurrent hot reload swaps the
                 # attribute, never mutates the old tree.
-                mesh = extract_mesh(
-                    self.params, self.cfg, resolution=resolution,
-                    threshold=threshold, aabb=aabb, color=color,
-                )
+                params = self.params
+                # The dispatch lock covers only the DEVICE-heavy stages
+                # (G^3 density eval; per-vertex color bake). The welding/
+                # orientation stage is pure numpy — minutes of host work
+                # at large G must not block renders on an idle chip. The
+                # tet kernel's small batches inside mesh_from_volume do
+                # dispatch unlocked and may interleave with a render
+                # (slower for both, still correct) — milliseconds against
+                # the seconds the unlock saves.
+                with self._lock:
+                    vol = density_volume(
+                        params, self.cfg, resolution=resolution, aabb=aabb
+                    )
+                verts, faces = mesh_from_volume(vol, aabb, threshold)
+                normals = vertex_normals(verts, faces)
+                mesh = {
+                    "verts": verts, "faces": faces, "normals": normals,
+                    "sigma_min": float(vol.min()),
+                    "sigma_max": float(vol.max()),
+                }
+                if color:
+                    with self._lock:
+                        mesh["colors"] = vertex_colors(
+                            params, self.cfg, verts, normals
+                        )
                 dt = time.perf_counter() - t0
+            finally:
+                with self._stats_lock:
+                    self._mesh_active -= 1
         with self._stats_lock:
             self.meshes += 1
+            self._mesh_times.append(dt)
         self.log(f"mesh {resolution}^3 iso {threshold:g}: "
                  f"{len(mesh['verts'])} verts / {len(mesh['faces'])} faces "
                  f"in {dt:.1f}s")
@@ -534,12 +566,22 @@ class RenderService:
 
     def retry_after_s(self) -> int:
         """Whole-second Retry-After hint for shed requests: one median
-        render (a queue slot frees roughly that often), floor 1 s."""
+        render (a queue slot frees roughly that often), floor 1 s. While
+        a mesh extraction is in flight the hint stretches to one median
+        extraction (first one: a conservative 30 s — it also pays the
+        compile) — a render-sized hint during a G^3 extraction would
+        have clients collecting 503s every second."""
         with self._stats_lock:
             times = sorted(self._times)
-        if not times:
-            return 1
-        return max(1, round(times[len(times) // 2]))
+            mesh_times = sorted(self._mesh_times)
+            mesh_active = self._mesh_active
+        hint = times[len(times) // 2] if times else 1.0
+        if mesh_active:
+            hint = max(
+                hint, mesh_times[len(mesh_times) // 2] if mesh_times
+                else 30.0,
+            )
+        return max(1, round(hint))
 
     def health(self) -> Dict:
         # Stats lock only: /health must answer instantly even while a

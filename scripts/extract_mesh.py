@@ -72,6 +72,20 @@ def main(argv=None):
     args = p.parse_args(argv)
     maybe_enable_from_args(args)
 
+    # Fail on bad geometry inputs BEFORE the (possibly minutes-long)
+    # density evaluation, mirroring the serve route's checks.
+    import math
+
+    if args.resolution < 2:
+        p.error("--resolution must be >= 2")
+    if not all(math.isfinite(v) for v in args.aabb) or not all(
+        args.aabb[i] < args.aabb[i + 3] for i in range(3)
+    ):
+        p.error("--aabb must be xmin ymin zmin xmax ymax zmax with "
+                "min < max per axis")
+    if not math.isfinite(args.threshold):
+        p.error("--threshold must be finite")
+
     from nerfmlp_tpu.config import RenderConfig
     from nerfmlp_tpu.ops.mesh import extract_mesh, save_mesh
     from nerfmlp_tpu.train.checkpoint import load_params_any
