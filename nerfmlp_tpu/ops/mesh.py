@@ -202,10 +202,25 @@ def _const_dir_enc(cfg, n: int):
     return positional_encoding(const_dir, cfg.dir_enc_L)
 
 
+def _shard_rows(x, mesh):
+    """Constrain a (chunk, ...) array to be row-sharded over the mesh's
+    first axis — GSPMD then partitions the whole MLP eval (params are
+    replicated), the same pure-data-parallel layout as
+    parallel/render_parallel.py's whole-frame renderer."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(mesh.axis_names[0]))
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "fine", "g", "chunk")
+    jax.jit, static_argnames=("cfg", "fine", "g", "chunk", "mesh")
 )
-def _grid_sigma_chunk(net, start, box_min, box_span, cfg, fine, g, chunk):
+def _grid_sigma_chunk(net, start, box_min, box_span, cfg, fine, g, chunk,
+                      mesh=None):
     """relu(sigma) at ``chunk`` consecutive flattened grid nodes starting
     at traced index ``start``.
 
@@ -214,7 +229,9 @@ def _grid_sigma_chunk(net, start, box_min, box_span, cfg, fine, g, chunk):
     (the same dispatch-cost lesson as serving's on-device ray
     generation, render_path.rays_for_pose_device). Module-level jit +
     traced start: ONE compile per (cfg, g, chunk), reused across chunks,
-    calls, and serve requests.
+    calls, and serve requests. With a ``mesh``, the chunk's rows are
+    sharded over the devices (multi-chip serving extracts at full-slice
+    throughput).
     """
     n = start + jnp.arange(chunk, dtype=jnp.int32)
     n = jnp.minimum(n, g * g * g - 1)  # tail pad: recompute a valid node
@@ -222,7 +239,7 @@ def _grid_sigma_chunk(net, start, box_min, box_span, cfg, fine, g, chunk):
     j = (n // g) % g
     k = n % g
     pts01 = jnp.stack([i, j, k], -1).astype(jnp.float32) / max(g - 1, 1)
-    pts = box_min + pts01 * box_span
+    pts = _shard_rows(box_min + pts01 * box_span, mesh)
     from nerfmlp_tpu.ops.render import _query_mlp
 
     raw = _query_mlp(net, pts[:, None, :], _const_dir_enc(cfg, chunk),
@@ -248,6 +265,7 @@ def density_volume(
     resolution: int = 128,
     aabb=None,
     chunk: int = 65536,
+    mesh=None,
 ) -> np.ndarray:
     """relu(sigma) at (G, G, G) grid NODES spanning the AABB (inclusive).
 
@@ -280,10 +298,14 @@ def density_volume(
     )
     n = g * g * g
     chunk = max(1, min(int(chunk), n))
+    if mesh is not None:  # even per-device rows
+        d = int(np.prod(mesh.devices.shape))
+        chunk = -(-chunk // d) * d
     out = np.empty(n, np.float32)
     for s in range(0, n, chunk):
         block = np.asarray(_grid_sigma_chunk(
-            net, jnp.int32(s), box_min, box_span, cfg, fine, g, chunk
+            net, jnp.int32(s), box_min, box_span, cfg, fine, g, chunk,
+            mesh=mesh,
         ))
         out[s : s + chunk] = block[: n - s]
     return out.reshape(g, g, g)
@@ -413,6 +435,7 @@ def vertex_colors(
     verts: np.ndarray,
     normals: np.ndarray,
     chunk: int = 65536,
+    mesh=None,
 ) -> np.ndarray:
     """Per-vertex RGB by querying the model looking INTO the surface.
 
@@ -432,6 +455,9 @@ def vertex_colors(
     if n == 0:
         return np.zeros((0, 3), np.float32)
     chunk = max(1, min(int(chunk), n))
+    if mesh is not None:  # even per-device rows
+        d = int(np.prod(mesh.devices.shape))
+        chunk = -(-chunk // d) * d
     out = np.empty((n, 3), np.float32)
     dirs = -np.asarray(normals, np.float32)
     for s in range(0, n, chunk):
@@ -444,18 +470,21 @@ def vertex_colors(
                 [dv, np.tile(np.array([[0, 0, -1]], np.float32), (pad, 1))]
             )
         out[s : s + chunk] = np.asarray(
-            _color_chunk(net, jnp.asarray(xv), jnp.asarray(dv), cfg, fine)
+            _color_chunk(net, jnp.asarray(xv), jnp.asarray(dv), cfg, fine,
+                         mesh=mesh)
         )[: n - s]
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "fine"))
-def _color_chunk(net, pts, dirs, cfg, fine):
+@functools.partial(jax.jit, static_argnames=("cfg", "fine", "mesh"))
+def _color_chunk(net, pts, dirs, cfg, fine, mesh=None):
     """sigmoid(rgb) at points with per-point view directions. Module-level
     jit: one compile per (cfg, chunk shape), reused across calls."""
     from nerfmlp_tpu.ops.encoding import positional_encoding
     from nerfmlp_tpu.ops.render import _query_mlp
 
+    pts = _shard_rows(pts, mesh)
+    dirs = _shard_rows(dirs, mesh)
     dirs_enc = (
         positional_encoding(dirs, cfg.dir_enc_L) if cfg.use_viewdirs
         else None
@@ -473,6 +502,7 @@ def extract_mesh(
     color: bool = True,
     density_chunk: int = 65536,
     cell_chunk: int = 16384,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Checkpoint -> triangle mesh, end to end.
 
@@ -481,7 +511,8 @@ def extract_mesh(
     evaluated sigma volume's min/max for threshold diagnostics.
     """
     vol = density_volume(
-        params, cfg, resolution=resolution, aabb=aabb, chunk=density_chunk
+        params, cfg, resolution=resolution, aabb=aabb, chunk=density_chunk,
+        mesh=mesh,
     )
     use_aabb = cfg.aabb if aabb is None else aabb
     verts, faces = mesh_from_volume(
@@ -496,7 +527,8 @@ def extract_mesh(
         "sigma_max": float(vol.max()),
     }
     if color:
-        out["colors"] = vertex_colors(params, cfg, verts, normals)
+        out["colors"] = vertex_colors(params, cfg, verts, normals,
+                                      mesh=mesh)
     return out
 
 

@@ -505,7 +505,8 @@ class RenderService:
                 # the seconds the unlock saves.
                 with self._lock:
                     vol = density_volume(
-                        params, self.cfg, resolution=resolution, aabb=aabb
+                        params, self.cfg, resolution=resolution, aabb=aabb,
+                        mesh=self.mesh,
                     )
                 verts, faces = mesh_from_volume(vol, aabb, threshold)
                 normals = vertex_normals(verts, faces)
@@ -517,7 +518,8 @@ class RenderService:
                 if color:
                     with self._lock:
                         mesh["colors"] = vertex_colors(
-                            params, self.cfg, verts, normals
+                            params, self.cfg, verts, normals,
+                            mesh=self.mesh,
                         )
                 dt = time.perf_counter() - t0
             finally:

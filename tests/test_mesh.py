@@ -378,3 +378,24 @@ def test_extract_mesh_cli(tmp_path):
     assert vdat.shape[0] >= 0 and fdat.shape[0] >= 0
     if len(fdat):
         assert fdat.max() < len(vdat)
+
+
+def test_density_volume_sharded_matches_single():
+    """On a >1-device mesh the grid eval is row-sharded over the devices
+    (replicated params, GSPMD-partitioned MLP); values must match the
+    single-device eval."""
+    from nerfmlp_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg()
+    params = {"coarse": init_model(jax.random.PRNGKey(5), cfg.model_config())}
+    single = density_volume(params, cfg, resolution=9, chunk=100)
+    mesh = make_mesh(n_devices=8)
+    sharded = density_volume(params, cfg, resolution=9, chunk=100, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+    verts = np.random.default_rng(1).uniform(-1, 1, (23, 3)).astype(np.float32)
+    normals = verts / np.linalg.norm(verts, axis=-1, keepdims=True)
+    c_single = vertex_colors(params, cfg, verts, normals, chunk=16)
+    c_sharded = vertex_colors(params, cfg, verts, normals, chunk=16,
+                              mesh=mesh)
+    np.testing.assert_allclose(c_sharded, c_single, atol=2e-5)

@@ -1008,3 +1008,19 @@ def test_mesh_http_route():
         server.shutdown()
         server.server_close()
         thread.join(timeout=5)
+
+
+def test_mesh_request_on_sharded_service():
+    """A multi-chip service extracts through the sharded grid eval; the
+    result matches a single-device service bit-for-stat."""
+    from nerfmlp_tpu.parallel.mesh import make_mesh
+
+    single = _mesh_service()
+    sharded = _mesh_service(mesh=make_mesh(n_devices=8),
+                            log=lambda *a: None)
+    req = {"resolution": 9, "threshold": 0.05, "format": "json"}
+    a = json.loads(single.mesh_request(req)[0])
+    b = json.loads(sharded.mesh_request(req)[0])
+    for k in ("verts", "faces"):
+        assert a[k] == b[k], (k, a, b)
+    assert abs(a["sigma_max"] - b["sigma_max"]) < 1e-4
