@@ -183,6 +183,11 @@ class TrainConfig:
                                  # --i_img TB image logging, run_nerf.py:879)
     render_factor: int = 0       # downscale for the render events
                                  # (oracle --render_factor, run_nerf.py:529-531)
+    i_mesh: int = 0              # density-isosurface .ply snapshot every N
+                                 # steps (framework superset event; needs
+                                 # RenderConfig.aabb for the grid bounds)
+    mesh_resolution: int = 128   # grid nodes/axis for --i_mesh snapshots
+    mesh_threshold: float = 25.0  # sigma iso level for --i_mesh snapshots
     chunk: int = 4096            # ray tile for validation/eval renders
                                  # (oracle --chunk, run_nerf.py:488-489)
     steps_per_dispatch: int = 1  # batch K train steps into ONE jitted

@@ -450,6 +450,40 @@ class Trainer:
         except Exception as e:
             self._log(f"(i_testset event failed: {e})")
 
+    def _mesh_event(self, step: int) -> None:
+        """Dump a density-isosurface .ply snapshot of the current weights
+        (ops/mesh.py) — a geometry timelapse alongside the oracle's image
+        events. Framework superset: the reference has no geometry export.
+        Best-effort like the other events."""
+        try:
+            if self.rc.aabb is None:
+                if not getattr(self, "_mesh_warned", False):
+                    self._mesh_warned = True
+                    self._log("(i_mesh skipped: needs --aabb scene bounds)")
+                return
+            from nerfmlp_tpu.ops.mesh import extract_mesh, save_ply
+
+            mesh = extract_mesh(
+                self.state.params, self.rc,
+                resolution=self.tc.mesh_resolution,
+                threshold=self.tc.mesh_threshold,
+                mesh=self.render_mesh,
+            )
+            expname = os.path.basename(os.path.normpath(self.save_dir))
+            path = os.path.join(
+                self.save_dir, f"{expname}_mesh_{step:06d}.ply"
+            )
+            save_ply(path, mesh["verts"], mesh["faces"],
+                     colors=mesh.get("colors"), normals=mesh["normals"])
+            self._log(
+                f"🔺 i_mesh @ {step:,}: {len(mesh['verts'])} verts / "
+                f"{len(mesh['faces'])} faces (iso "
+                f"{self.tc.mesh_threshold:g}, sigma_max "
+                f"{mesh['sigma_max']:.3g}) -> {path}"
+            )
+        except Exception as e:
+            self._log(f"(i_mesh event failed: {e})")
+
     def quick_validate(self) -> Dict[str, float]:
         return self._validate(self.quick_val_ds, self.tc.quick_val_subset)
 
@@ -839,6 +873,9 @@ class Trainer:
                 and self.test_ds is not None
             ):
                 self._testset_event(step)
+                t_prev = time.time()
+            if tc.i_mesh and step % tc.i_mesh == 0 and step < iters:
+                self._mesh_event(step)
                 t_prev = time.time()
             # Holdout render dump (oracle --i_img, run_nerf.py:879-922).
             if tc.i_img and step % tc.i_img == 0 and step < iters:

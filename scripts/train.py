@@ -260,6 +260,13 @@ def build_parser():
     p.add_argument("--i_testset", type=int, default=0,
                    help="render the test set w/ per-frame PSNR every N steps "
                         "(oracle --i_testset, run_nerf.py:865-872; 0 = off)")
+    p.add_argument("--i_mesh", type=int, default=0,
+                   help="dump a density-isosurface .ply snapshot every N "
+                        "steps (geometry timelapse; needs --aabb; 0 = off)")
+    p.add_argument("--mesh_resolution", type=int, default=128,
+                   help="grid nodes per axis for --i_mesh snapshots")
+    p.add_argument("--mesh_threshold", type=float, default=25.0,
+                   help="sigma iso level for --i_mesh snapshots")
     p.add_argument("--render_only", action="store_true",
                    help="skip training: load the checkpoint and render the "
                         "trajectory (or, with --render_test, the test set) "
@@ -464,6 +471,8 @@ def main(argv=None):
         precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
         no_batching=args.no_batching, profile_dir=args.profile_dir,
         i_video=args.i_video, i_testset=args.i_testset, i_img=args.i_img,
+        i_mesh=args.i_mesh, mesh_resolution=args.mesh_resolution,
+        mesh_threshold=args.mesh_threshold,
         render_factor=args.render_factor, chunk=args.chunk,
         steps_per_dispatch=args.steps_per_dispatch,
         device_pool=args.device_pool,

@@ -89,12 +89,13 @@ def test_in_training_render_events(synthetic_scene, tmp_path):
     val = BlenderDataset(synthetic_scene, "val", img_wh=(40, 40))
     test = BlenderDataset(synthetic_scene, "test", img_wh=(40, 40))
     near, far = ds.dynamic_near_far()
-    rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far, perturb=True)
+    rc = RenderConfig(N_samples=8, N_importance=8, near=near, far=far,
+                      perturb=True, aabb=(-1.5,) * 3 + (1.5,) * 3)
     tc = TrainConfig(
         batch_size=256, iters=60, quick_val_interval=30,
         full_val_interval=0, quick_val_subset=1, log_interval=20,
         ckpt_interval=30, i_video=30, i_testset=30, i_img=30,
-        render_factor=2,
+        render_factor=2, i_mesh=30, mesh_resolution=10, mesh_threshold=5.0,
     )
     t = Trainer(
         rc, tc, ds, val, val, save_dir=save_dir, verbose=False,
@@ -118,6 +119,15 @@ def test_in_training_render_events(synthetic_scene, tmp_path):
 
     assert Image.open(os.path.join(tdir, "000.png")).size == (20, 20)
     assert t.history["testset_steps"] == [30]
+
+    # Geometry snapshot (framework superset --i_mesh): a structurally
+    # valid .ply at step 30 only (possibly empty this early in training).
+    meshes = glob.glob(os.path.join(save_dir, "*_mesh_000030.ply"))
+    assert meshes, os.listdir(save_dir)
+    assert not glob.glob(os.path.join(save_dir, "*_mesh_000060.ply"))
+    with open(meshes[0], "rb") as f:
+        head = f.read(200)
+    assert head.startswith(b"ply\n") and b"element vertex" in head
     assert np.isfinite(t.history["testset_psnrs"][0])
 
     # i_img holdout dumps: mid-training frame AND the final-model frame
