@@ -503,12 +503,24 @@ def extract_mesh(
     density_chunk: int = 65536,
     cell_chunk: int = 16384,
     mesh=None,
+    gamma: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Checkpoint -> triangle mesh, end to end.
 
     Returns dict with verts (V,3) f32, faces (T,3) i32, normals (V,3)
     f32, colors (V,3) f32 in [0,1] (present when ``color``), and the
     evaluated sigma volume's min/max for threshold diagnostics.
+
+    ``gamma`` encodes baked colors to sRGB: the model outputs LINEAR
+    radiance (the blender pipeline trains on sRGB->linear images,
+    data/blender.py), so 8-bit viewers show linear colors too dark —
+    same knob as the render CLIs' --apply_gamma
+    (/root/reference/scripts/render_example.py:246-252).
+
+    For NDC-trained checkpoints (LLFF forward-facing) the density field
+    lives in NDC coordinates — pass the ``aabb`` in NDC space (the unit
+    cube) rather than world metric units; point queries are untouched by
+    ray-space conversions.
     """
     vol = density_volume(
         params, cfg, resolution=resolution, aabb=aabb, chunk=density_chunk,
@@ -527,8 +539,12 @@ def extract_mesh(
         "sigma_max": float(vol.max()),
     }
     if color:
-        out["colors"] = vertex_colors(params, cfg, verts, normals,
-                                      mesh=mesh)
+        rgb = vertex_colors(params, cfg, verts, normals, mesh=mesh)
+        if gamma:
+            from nerfmlp_tpu.data.blender import linear_to_srgb
+
+            rgb = linear_to_srgb(np.clip(rgb, 0.0, 1.0))
+        out["colors"] = rgb
     return out
 
 

@@ -478,6 +478,7 @@ class RenderService:
             raise RequestError("aabb must be 6 finite numbers with "
                                "min < max per axis")
         color = bool(req.get("color", True))
+        gamma = bool(req.get("gamma", False))
         fmt = req.get("format", "ply")
         if fmt not in ("ply", "obj", "json"):
             raise RequestError(f"unknown format {fmt!r}; ply | obj | json")
@@ -517,10 +518,17 @@ class RenderService:
                 }
                 if color:
                     with self._lock:
-                        mesh["colors"] = vertex_colors(
+                        rgb = vertex_colors(
                             params, self.cfg, verts, normals,
                             mesh=self.mesh,
                         )
+                    if gamma:
+                        # Same knob as /render's "gamma" — the model
+                        # outputs linear radiance.
+                        from nerfmlp_tpu.data.blender import linear_to_srgb
+
+                        rgb = linear_to_srgb(np.clip(rgb, 0.0, 1.0))
+                    mesh["colors"] = rgb
                 dt = time.perf_counter() - t0
             finally:
                 with self._stats_lock:

@@ -45,6 +45,10 @@ def main(argv=None):
                    default=True,
                    help="skip per-vertex RGB (one extra MLP pass over "
                         "surface vertices)")
+    p.add_argument("--gamma", action="store_true",
+                   help="encode baked colors to sRGB (the model outputs "
+                        "linear radiance; same knob as the render CLIs' "
+                        "--apply_gamma)")
     p.add_argument("--ascii", dest="binary", action="store_false",
                    default=True, help="ascii .ply instead of binary")
     p.add_argument("--density_chunk", type=int, default=65536,
@@ -109,7 +113,7 @@ def main(argv=None):
     mesh = extract_mesh(
         params, rc,
         resolution=args.resolution, threshold=args.threshold,
-        color=args.color,
+        color=args.color, gamma=args.gamma,
         density_chunk=args.density_chunk, cell_chunk=args.cell_chunk,
     )
     dt = time.time() - t0

@@ -8,7 +8,6 @@ No reference analog (the reference's inference surface is image CLIs,
 fields and exhaustive case enumeration, never the module's own output.
 """
 
-import itertools
 import os
 
 import numpy as np
@@ -399,3 +398,56 @@ def test_density_volume_sharded_matches_single():
     c_sharded = vertex_colors(params, cfg, verts, normals, chunk=16,
                               mesh=mesh)
     np.testing.assert_allclose(c_sharded, c_single, atol=2e-5)
+
+
+def test_density_volume_uses_fine_net_under_separate_fine():
+    """With separate_fine, the mesh must surface the FINE net's field —
+    the net that renders the final image (_final_net semantics,
+    reference renderer.py:76,103) — not the coarse net's."""
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.ops.encoding import positional_encoding
+    from nerfmlp_tpu.ops.render import _query_mlp
+
+    cfg = _tiny_cfg(separate_fine=True, depth_fine=3, width_fine=48)
+    params = {
+        "coarse": init_model(jax.random.PRNGKey(6), cfg.model_config()),
+        "fine": init_model(jax.random.PRNGKey(7),
+                           cfg.model_config(fine=True)),
+    }
+    g = 5
+    vol = density_volume(params, cfg, resolution=g)
+    pts = _grid_points(g, cfg.aabb).reshape(-1, 3).astype(np.float32)
+    cd = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0], jnp.float32),
+                          (pts.shape[0], 3))
+    enc = positional_encoding(cd, cfg.dir_enc_L)
+    fine = np.maximum(np.asarray(
+        _query_mlp(params["fine"], jnp.asarray(pts)[:, None, :], enc, cfg,
+                   fine=True)[:, 0, 3]), 0)
+    coarse = np.maximum(np.asarray(
+        _query_mlp(params["coarse"], jnp.asarray(pts)[:, None, :], enc,
+                   cfg)[:, 0, 3]), 0)
+    np.testing.assert_allclose(vol.reshape(-1), fine, atol=1e-5)
+    assert np.abs(vol.reshape(-1) - coarse).max() > 1e-3  # really distinct
+
+
+def test_extract_mesh_gamma_encodes_colors():
+    """gamma=True srgb-encodes the baked colors (brighter than linear
+    everywhere in (0, 1)); geometry is untouched."""
+    cfg = _tiny_cfg()
+    params = {"coarse": init_model(jax.random.PRNGKey(8),
+                                   cfg.model_config())}
+    vol = density_volume(params, cfg, resolution=6)
+    thr = 0.5 * (vol.min() + vol.max())
+    lin = extract_mesh(params, cfg, resolution=6, threshold=thr)
+    srgb = extract_mesh(params, cfg, resolution=6, threshold=thr,
+                        gamma=True)
+    np.testing.assert_array_equal(lin["verts"], srgb["verts"])
+    if len(lin["verts"]):
+        from nerfmlp_tpu.data.blender import linear_to_srgb
+
+        np.testing.assert_allclose(
+            srgb["colors"], linear_to_srgb(np.clip(lin["colors"], 0, 1)),
+            atol=1e-6,
+        )
+        assert (srgb["colors"] >= lin["colors"] - 1e-6).all()

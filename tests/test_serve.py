@@ -1024,3 +1024,18 @@ def test_mesh_request_on_sharded_service():
     for k in ("verts", "faces"):
         assert a[k] == b[k], (k, a, b)
     assert abs(a["sigma_max"] - b["sigma_max"]) < 1e-4
+
+
+def test_mesh_request_gamma_changes_colors_only():
+    svc = _mesh_service()
+    stats = json.loads(svc.mesh_request(
+        {"resolution": 8, "threshold": 1e9, "format": "json"})[0])
+    thr = 0.5 * (stats["sigma_min"] + stats["sigma_max"])
+    lin, _ = svc.mesh_request({"resolution": 8, "threshold": thr})
+    srgb, _ = svc.mesh_request({"resolution": 8, "threshold": thr,
+                                "gamma": True})
+    # Same header and geometry byte-length; only color bytes may differ.
+    assert len(lin) == len(srgb)
+    head = lin.partition(b"end_header\n")[0]
+    assert srgb.startswith(head)
+    assert lin != srgb  # sRGB encode moved at least one color byte
