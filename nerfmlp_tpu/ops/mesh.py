@@ -217,28 +217,31 @@ def _shard_rows(x, mesh):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "fine", "g", "chunk", "mesh")
+    jax.jit, static_argnames=("cfg", "fine", "chunk", "mesh")
 )
-def _grid_sigma_chunk(net, start, box_min, box_span, cfg, fine, g, chunk,
+def _grid_sigma_chunk(net, start, g, box_min, box_span, cfg, fine, chunk,
                       mesh=None):
     """relu(sigma) at ``chunk`` consecutive flattened grid nodes starting
-    at traced index ``start``.
+    at traced index ``start`` of a traced ``g``-per-axis grid.
 
     Grid-node positions are generated ON DEVICE from the index — the
-    host ships one scalar per chunk instead of a (chunk, 3) point upload
-    (the same dispatch-cost lesson as serving's on-device ray
-    generation, render_path.rays_for_pose_device). Module-level jit +
-    traced start: ONE compile per (cfg, g, chunk), reused across chunks,
-    calls, and serve requests. With a ``mesh``, the chunk's rows are
-    sharded over the devices (multi-chip serving extracts at full-slice
-    throughput).
+    host ships two scalars per chunk instead of a (chunk, 3) point
+    upload (the same dispatch-cost lesson as serving's on-device ray
+    generation, render_path.rays_for_pose_device). Module-level jit with
+    start AND g traced: ONE compile per (cfg, chunk) serves every
+    resolution — a serve client sweeping resolutions must not recompile
+    the G^3 eval under the dispatch lock. With a ``mesh``, the chunk's
+    rows are sharded over the devices (multi-chip serving extracts at
+    full-slice throughput).
     """
+    g = g.astype(jnp.int32)
     n = start + jnp.arange(chunk, dtype=jnp.int32)
     n = jnp.minimum(n, g * g * g - 1)  # tail pad: recompute a valid node
     i = n // (g * g)
     j = (n // g) % g
     k = n % g
-    pts01 = jnp.stack([i, j, k], -1).astype(jnp.float32) / max(g - 1, 1)
+    denom = jnp.maximum(g - 1, 1).astype(jnp.float32)
+    pts01 = jnp.stack([i, j, k], -1).astype(jnp.float32) / denom
     pts = _shard_rows(box_min + pts01 * box_span, mesh)
     from nerfmlp_tpu.ops.render import _query_mlp
 
@@ -288,6 +291,11 @@ def density_volume(
     g = int(resolution)
     if g < 2:
         raise ValueError(f"resolution must be >= 2, got {g}")
+    if g > 1290:
+        # Flat node ids are generated on device in int32: g^3 - 1 must
+        # fit (1290^3 < 2^31 < 1291^3). Fail clearly, not at trace time.
+        raise ValueError(f"resolution must be <= 1290 (int32 node ids), "
+                         f"got {g}")
     net, fine = (params, False)
     if "coarse" in params:
         net, fine = _final_net(params, cfg)
@@ -297,15 +305,18 @@ def density_volume(
         np.asarray(aabb[3:], np.float32) - np.asarray(aabb[:3], np.float32)
     )
     n = g * g * g
-    chunk = max(1, min(int(chunk), n))
+    # Bucket the chunk to a power of two (capped by the request) so the
+    # number of distinct compiled programs stays O(log n) across
+    # resolutions rather than one per grid size.
+    chunk = max(1, min(int(chunk), 1 << (n - 1).bit_length()))
     if mesh is not None:  # even per-device rows
         d = int(np.prod(mesh.devices.shape))
         chunk = -(-chunk // d) * d
     out = np.empty(n, np.float32)
     for s in range(0, n, chunk):
         block = np.asarray(_grid_sigma_chunk(
-            net, jnp.int32(s), box_min, box_span, cfg, fine, g, chunk,
-            mesh=mesh,
+            net, jnp.int32(s), jnp.int32(g), box_min, box_span, cfg, fine,
+            chunk, mesh=mesh,
         ))
         out[s : s + chunk] = block[: n - s]
     return out.reshape(g, g, g)
@@ -504,12 +515,21 @@ def extract_mesh(
     cell_chunk: int = 16384,
     mesh=None,
     gamma: bool = False,
+    device_lock=None,
 ) -> Dict[str, np.ndarray]:
     """Checkpoint -> triangle mesh, end to end.
 
     Returns dict with verts (V,3) f32, faces (T,3) i32, normals (V,3)
     f32, colors (V,3) f32 in [0,1] (present when ``color``), and the
     evaluated sigma volume's min/max for threshold diagnostics.
+
+    ``device_lock``: optional context manager held around the two
+    DEVICE-heavy stages only (the G^3 density eval and the color bake) —
+    the serve layer passes its dispatch lock so the host-side
+    welding/orientation between them never blocks a concurrent render
+    on an idle chip. The tet kernel's small batches dispatch outside the
+    lock and may interleave with a render (slower for both, still
+    correct — milliseconds against the seconds the unlock saves).
 
     ``gamma`` encodes baked colors to sRGB: the model outputs LINEAR
     radiance (the blender pipeline trains on sRGB->linear images,
@@ -522,10 +542,14 @@ def extract_mesh(
     cube) rather than world metric units; point queries are untouched by
     ray-space conversions.
     """
-    vol = density_volume(
-        params, cfg, resolution=resolution, aabb=aabb, chunk=density_chunk,
-        mesh=mesh,
-    )
+    from contextlib import nullcontext
+
+    lock = device_lock if device_lock is not None else nullcontext()
+    with lock:
+        vol = density_volume(
+            params, cfg, resolution=resolution, aabb=aabb,
+            chunk=density_chunk, mesh=mesh,
+        )
     use_aabb = cfg.aabb if aabb is None else aabb
     verts, faces = mesh_from_volume(
         vol, use_aabb, threshold, chunk=cell_chunk
@@ -539,7 +563,8 @@ def extract_mesh(
         "sigma_max": float(vol.max()),
     }
     if color:
-        rgb = vertex_colors(params, cfg, verts, normals, mesh=mesh)
+        with lock:
+            rgb = vertex_colors(params, cfg, verts, normals, mesh=mesh)
         if gamma:
             from nerfmlp_tpu.data.blender import linear_to_srgb
 

@@ -438,7 +438,10 @@ class RenderService:
         ``max_mesh_resolution``), ``threshold`` (sigma iso level, default
         25), ``aabb`` (6 floats; default = the server's render-config
         AABB, e.g. from ``--aabb``), ``color`` (bake per-vertex RGB,
-        default true), ``format`` ("ply" binary | "obj" | "json" stats).
+        default true), ``gamma`` (sRGB-encode the baked colors — the
+        model outputs linear radiance, same knob as /render's "gamma";
+        default false), ``format`` ("ply" binary | "obj" | "json"
+        stats).
 
         Holds the same dispatch lock and admission slot as a render —
         it IS device work (G^3 MLP evals through ops/mesh.py) — so a
@@ -468,67 +471,36 @@ class RenderService:
                 'no scene bounds: pass "aabb": [xmin,ymin,zmin,'
                 "xmax,ymax,zmax] or start the server with --aabb"
             )
+        from nerfmlp_tpu.ops.mesh import _check_aabb
+
         try:
-            aabb = tuple(float(v) for v in aabb)
+            aabb = _check_aabb(aabb)
         except (TypeError, ValueError) as e:
-            raise RequestError(f"aabb must be 6 numbers: {e}")
-        if len(aabb) != 6 or not all(np.isfinite(aabb)) or not all(
-            aabb[i] < aabb[i + 3] for i in range(3)
-        ):
-            raise RequestError("aabb must be 6 finite numbers with "
-                               "min < max per axis")
+            raise RequestError(str(e))
         color = bool(req.get("color", True))
         gamma = bool(req.get("gamma", False))
         fmt = req.get("format", "ply")
         if fmt not in ("ply", "obj", "json"):
             raise RequestError(f"unknown format {fmt!r}; ply | obj | json")
 
-        from nerfmlp_tpu.ops.mesh import (
-            density_volume, mesh_from_volume, obj_str, ply_bytes,
-            vertex_colors, vertex_normals,
-        )
+        from nerfmlp_tpu.ops.mesh import extract_mesh, obj_str, ply_bytes
 
         with self._admit():
             with self._stats_lock:
                 self._mesh_active += 1
             try:
                 t0 = time.perf_counter()
-                # One params read: a concurrent hot reload swaps the
+                # device_lock=self._lock: extract_mesh holds the dispatch
+                # lock ONLY for its device-heavy stages (density eval,
+                # color bake) — the numpy welding/orientation between
+                # them must not block renders on an idle chip. One
+                # self.params read: a concurrent hot reload swaps the
                 # attribute, never mutates the old tree.
-                params = self.params
-                # The dispatch lock covers only the DEVICE-heavy stages
-                # (G^3 density eval; per-vertex color bake). The welding/
-                # orientation stage is pure numpy — minutes of host work
-                # at large G must not block renders on an idle chip. The
-                # tet kernel's small batches inside mesh_from_volume do
-                # dispatch unlocked and may interleave with a render
-                # (slower for both, still correct) — milliseconds against
-                # the seconds the unlock saves.
-                with self._lock:
-                    vol = density_volume(
-                        params, self.cfg, resolution=resolution, aabb=aabb,
-                        mesh=self.mesh,
-                    )
-                verts, faces = mesh_from_volume(vol, aabb, threshold)
-                normals = vertex_normals(verts, faces)
-                mesh = {
-                    "verts": verts, "faces": faces, "normals": normals,
-                    "sigma_min": float(vol.min()),
-                    "sigma_max": float(vol.max()),
-                }
-                if color:
-                    with self._lock:
-                        rgb = vertex_colors(
-                            params, self.cfg, verts, normals,
-                            mesh=self.mesh,
-                        )
-                    if gamma:
-                        # Same knob as /render's "gamma" — the model
-                        # outputs linear radiance.
-                        from nerfmlp_tpu.data.blender import linear_to_srgb
-
-                        rgb = linear_to_srgb(np.clip(rgb, 0.0, 1.0))
-                    mesh["colors"] = rgb
+                mesh = extract_mesh(
+                    self.params, self.cfg, resolution=resolution,
+                    threshold=threshold, aabb=aabb, color=color,
+                    gamma=gamma, mesh=self.mesh, device_lock=self._lock,
+                )
                 dt = time.perf_counter() - t0
             finally:
                 with self._stats_lock:

@@ -77,16 +77,17 @@ def main(argv=None):
     maybe_enable_from_args(args)
 
     # Fail on bad geometry inputs BEFORE the (possibly minutes-long)
-    # density evaluation, mirroring the serve route's checks.
+    # density evaluation — the same validators the serve route uses.
     import math
 
-    if args.resolution < 2:
-        p.error("--resolution must be >= 2")
-    if not all(math.isfinite(v) for v in args.aabb) or not all(
-        args.aabb[i] < args.aabb[i + 3] for i in range(3)
-    ):
-        p.error("--aabb must be xmin ymin zmin xmax ymax zmax with "
-                "min < max per axis")
+    from nerfmlp_tpu.ops.mesh import _check_aabb
+
+    if not 2 <= args.resolution <= 1290:
+        p.error("--resolution must be in [2, 1290]")
+    try:
+        _check_aabb(args.aabb)
+    except (TypeError, ValueError) as e:
+        p.error(str(e))
     if not math.isfinite(args.threshold):
         p.error("--threshold must be finite")
 

@@ -451,3 +451,13 @@ def test_extract_mesh_gamma_encodes_colors():
             atol=1e-6,
         )
         assert (srgb["colors"] >= lin["colors"] - 1e-6).all()
+
+
+def test_density_volume_resolution_cap():
+    """Flat node ids are int32 on device: g > 1290 must fail clearly at
+    validation, not at trace time."""
+    cfg = _tiny_cfg()
+    params = {"coarse": init_model(jax.random.PRNGKey(0),
+                                   cfg.model_config())}
+    with pytest.raises(ValueError, match="1290"):
+        density_volume(params, cfg, resolution=1291)
