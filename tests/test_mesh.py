@@ -461,3 +461,41 @@ def test_density_volume_resolution_cap():
                                    cfg.model_config())}
     with pytest.raises(ValueError, match="1290"):
         density_volume(params, cfg, resolution=1291)
+
+
+def test_sphere_mesh_signed_volume():
+    """Divergence theorem on the oriented closed mesh: the signed volume
+    sum(dot(v0, cross(v1, v2)))/6 must be POSITIVE (outward orientation)
+    and close to (4/3) pi r^3."""
+    g = 21
+    aabb = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+    pts = _grid_points(g, aabb)
+    radius = 0.6
+    vol = (radius - np.linalg.norm(pts, axis=-1)).astype(np.float32)
+    verts, faces = mesh_from_volume(vol, aabb, 0.0)
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    signed = np.sum(np.einsum("ij,ij->i", v0, np.cross(v1, v2))) / 6.0
+    true = 4.0 / 3.0 * np.pi * radius**3
+    assert signed > 0
+    assert abs(signed - true) / true < 0.1
+
+
+def test_two_components_topology():
+    """A field with two separated blobs must surface two closed
+    components: total Euler characteristic V - E + F == 4 and every edge
+    still borders exactly 2 faces."""
+    g = 21
+    aabb = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+    pts = _grid_points(g, aabb)
+    d1 = 0.3 - np.linalg.norm(pts - np.array([0.45, 0, 0]), axis=-1)
+    d2 = 0.3 - np.linalg.norm(pts + np.array([0.45, 0, 0]), axis=-1)
+    vol = np.maximum(d1, d2).astype(np.float32)
+    verts, faces = mesh_from_volume(vol, aabb, 0.0)
+    edges = np.sort(
+        np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]),
+        axis=1,
+    )
+    uniq, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    euler = len(verts) - len(uniq) + len(faces)
+    assert euler == 4  # two genus-0 components, chi = 2 each
