@@ -291,10 +291,12 @@ def density_volume(
     g = int(resolution)
     if g < 2:
         raise ValueError(f"resolution must be >= 2, got {g}")
-    if g > 1290:
-        # Flat node ids are generated on device in int32: g^3 - 1 must
-        # fit (1290^3 < 2^31 < 1291^3). Fail clearly, not at trace time.
-        raise ValueError(f"resolution must be <= 1290 (int32 node ids), "
+    if g > 1289:
+        # Flat node ids are generated on device in int32 and the tail
+        # chunk computes start + arange(chunk) BEFORE clamping: g^3 plus
+        # the 2^20 chunk cap below must fit (1289^3 + 2^20 < 2^31 <
+        # 1290^3 + 2^20). Fail clearly, not by silent int32 wraparound.
+        raise ValueError(f"resolution must be <= 1289 (int32 node ids), "
                          f"got {g}")
     net, fine = (params, False)
     if "coarse" in params:
@@ -307,8 +309,10 @@ def density_volume(
     n = g * g * g
     # Bucket the chunk to a power of two (capped by the request) so the
     # number of distinct compiled programs stays O(log n) across
-    # resolutions rather than one per grid size.
-    chunk = max(1, min(int(chunk), 1 << (n - 1).bit_length()))
+    # resolutions rather than one per grid size. Hard cap 2^20: bigger
+    # buys nothing (HBM working set) and keeps the tail chunk's
+    # start + arange(chunk) inside int32 at the max resolution.
+    chunk = max(1, min(int(chunk), 1 << 20, 1 << (n - 1).bit_length()))
     if mesh is not None:  # even per-device rows
         d = int(np.prod(mesh.devices.shape))
         chunk = -(-chunk // d) * d

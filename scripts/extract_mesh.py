@@ -82,8 +82,8 @@ def main(argv=None):
 
     from nerfmlp_tpu.ops.mesh import _check_aabb
 
-    if not 2 <= args.resolution <= 1290:
-        p.error("--resolution must be in [2, 1290]")
+    if not 2 <= args.resolution <= 1289:
+        p.error("--resolution must be in [2, 1289]")
     try:
         _check_aabb(args.aabb)
     except (TypeError, ValueError) as e:

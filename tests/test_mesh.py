@@ -459,8 +459,8 @@ def test_density_volume_resolution_cap():
     cfg = _tiny_cfg()
     params = {"coarse": init_model(jax.random.PRNGKey(0),
                                    cfg.model_config())}
-    with pytest.raises(ValueError, match="1290"):
-        density_volume(params, cfg, resolution=1291)
+    with pytest.raises(ValueError, match="1289"):
+        density_volume(params, cfg, resolution=1290)
 
 
 def test_sphere_mesh_signed_volume():
