@@ -1039,3 +1039,63 @@ def test_mesh_request_gamma_changes_colors_only():
     head = lin.partition(b"end_header\n")[0]
     assert srgb.startswith(head)
     assert lin != srgb  # sRGB encode moved at least one color byte
+
+
+def test_malformed_requests_never_500():
+    """Deterministic fuzz over the request surface: every malformed body
+    must map to a 4xx (RequestError/JSON/length handling), never a 500 —
+    the server treats only genuine render bugs as 500s."""
+    svc = _mesh_service()
+    server = RenderServer(svc, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    url = f"http://{host}:{port}"
+    bodies = [
+        b"",                         # empty -> defaults, may 400 (no cam)
+        b"not json at all",
+        b"[1, 2, 3]",                # JSON but not an object
+        b'"a string"',
+        b"{}",                       # no camera spec
+        json.dumps({"c2w": "nope"}).encode(),
+        json.dumps({"c2w": [[1, 2], [3, 4]]}).encode(),
+        json.dumps({"c2w": [[None] * 4] * 4}).encode(),
+        b'{"c2w": [[Infinity,0,0,0],[0,1,0,0],[0,0,1,0],[0,0,0,1]]}',
+        json.dumps({"theta": "x", "phi": 0, "radius": 1}).encode(),
+        json.dumps({"eye": [0, 0], "target": [0, 0, 0]}).encode(),
+        json.dumps({"eye": [0, 0, 4], "target": [0, 0, 0],
+                    "up": [1, 2]}).encode(),
+        json.dumps({"theta": 0, "phi": 0, "radius": 4,
+                    "maps": 5}).encode(),
+        json.dumps({"theta": 0, "phi": 0, "radius": 4,
+                    "format": "exr"}).encode(),
+        json.dumps({"theta": 0, "phi": 0, "radius": 4,
+                    "H": -4}).encode(),
+        json.dumps({"theta": 0, "phi": 0, "radius": 4,
+                    "H": 10**9, "W": 10**9}).encode(),
+        json.dumps({"theta": 0, "phi": 0, "radius": 4,
+                    "brightness": "dark"}).encode(),
+    ]
+    mesh_bodies = [
+        b"[]",
+        json.dumps({"resolution": -1}).encode(),
+        json.dumps({"resolution": "big"}).encode(),
+        json.dumps({"threshold": None}).encode(),
+        json.dumps({"aabb": "cube"}).encode(),
+        json.dumps({"aabb": [1, 1, 1, 0, 0, 0]}).encode(),
+        json.dumps({"format": "stl"}).encode(),
+    ]
+    try:
+        for body in bodies:
+            status, reply, _ = _post(url + "/render", body)
+            assert 400 <= status < 500, (status, body, reply[:200])
+        for body in mesh_bodies:
+            status, reply, _ = _post(url + "/mesh", body)
+            assert 400 <= status < 500, (status, body, reply[:200])
+        # The server is still healthy afterwards.
+        status, reply, _ = _get(url + "/health")
+        assert status == 200 and json.loads(reply)["status"] == "ok"
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
