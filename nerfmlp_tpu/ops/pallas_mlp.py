@@ -54,7 +54,7 @@ def _compiler_params(limit_mb: int = 32):
 
 
 # Fixed layer order for flattened weight lists fed to the kernels.
-_TRUNK = [f"pts_{i}" for i in range(8)]
+# The trunk is arch-dependent (pts_0..pts_{depth-1}); heads are fixed.
 _HEADS = ["bottleneck", "view", "rgb", "sigma"]
 
 DEFAULT_TILE = 1024
@@ -101,28 +101,39 @@ def _make_dot(hi_lo: bool):
 
 
 def _flatten_params(
-    params: Dict, skip_dim: int, dtype, hi_lo: bool = False
+    params: Dict,
+    skip_dim: int,
+    dtype,
+    hi_lo: bool = False,
+    depth: int = 8,
+    skips: Tuple[int, ...] = (5,),
+    bottleneck_ch: int = 256,
+    vdirs: bool = True,
 ) -> Tuple[list, list]:
     """Params pytree -> ordered [kernels...], [biases...] with the skip and
     view-layer kernels split into their two operand blocks.
 
     ``hi_lo=True`` (the fp32_precision="high" kernel mode) emits each
-    logical kernel as a (hi, lo) bf16 pair instead of one array."""
+    logical kernel as a (hi, lo) bf16 pair instead of one array.
+    ``depth``/``skips``/``bottleneck_ch``/``vdirs`` describe the
+    architecture (config.py::ModelConfig) — any depth/width, any skip set;
+    ``vdirs=False`` is the single-output-head variant (model.py:55)."""
     ks, bs = [], []
 
     def emit(k):
         ks.append(_split_bf16(k) if hi_lo else k.astype(dtype))
 
-    for name in _TRUNK + _HEADS:
+    trunk = [f"pts_{i}" for i in range(depth)]
+    for i, name in enumerate(trunk + (_HEADS if vdirs else ["output"])):
         k = params[name]["kernel"]
         b = params[name]["bias"].astype(jnp.float32).reshape(1, -1)
-        if name == "pts_5":
+        if i < depth and i in skips:
             emit(k[:skip_dim])   # encoded-input block
             emit(k[skip_dim:])   # hidden-state block
             bs.append(b)
         elif name == "view":
-            emit(k[:256])        # bottleneck block
-            emit(k[256:])        # viewdir block
+            emit(k[:bottleneck_ch])  # bottleneck block
+            emit(k[bottleneck_ch:])  # viewdir block
             bs.append(b)
         else:
             emit(k)
@@ -193,19 +204,24 @@ def _encode_tile(pts, enc_m, enc_kind, dt):
     return enc.astype(dt)
 
 
-def _mlp_tile_math(x, dirs, ks, bs, dt, hi_lo: bool = False):
+def _mlp_tile_math(x, dirs, ks, bs, dt, hi_lo: bool = False,
+                   depth: int = 8, skips: Tuple[int, ...] = (5,),
+                   vdirs: bool = True):
     """The full network on one (T, enc) tile; shared by fwd and bwd kernels.
 
     Returns (out, residuals) where residuals are the post-ReLU trunk
-    activations + head intermediates needed by the backward pass.
+    activations + head intermediates needed by the backward pass. The
+    Python loop unrolls at trace time, so any ``depth``/``skips`` works.
+    ``vdirs=False``: single output head, ``dirs`` ignored (model.py:55).
     """
     dot = _make_dot(hi_lo)
 
-    hs = []  # post-relu trunk activations h_0..h_7
+    hs = []  # post-relu trunk activations h_0..h_{depth-1}
     h = x
     ki = 0
-    for i in range(8):
-        if i == 5:
+    for i in range(depth):
+        if i in skips:
+            # concat([x, h]) @ W decomposed: x @ W[:enc] + h @ W[enc:].
             acc = dot(x, ks[ki]) + dot(h, ks[ki + 1]) + bs[i]
             ki += 2
         else:
@@ -214,12 +230,18 @@ def _mlp_tile_math(x, dirs, ks, bs, dt, hi_lo: bool = False):
         h = jnp.maximum(acc, 0.0).astype(dt)
         hs.append(h)
 
-    # Heads: ks[9]=Wb, ks[10]=Wv_bott, ks[11]=Wv_dirs, ks[12]=Wr, ks[13]=Ws
-    bott = (dot(h, ks[9]) + bs[8]).astype(dt)
-    v_acc = dot(bott, ks[10]) + dot(dirs, ks[11]) + bs[9]
+    # Heads (nt = depth + len(skips) flat trunk kernels precede them):
+    # ks[nt]=Wb, ks[nt+1]=Wv_bott, ks[nt+2]=Wv_dirs, ks[nt+3]=Wr, ks[nt+4]=Ws
+    # — or, no-viewdirs: ks[nt]=W_out only.
+    nt = ki
+    if not vdirs:
+        out = dot(h, ks[nt]) + bs[depth]
+        return out, (hs, None, None)
+    bott = (dot(h, ks[nt]) + bs[depth]).astype(dt)
+    v_acc = dot(bott, ks[nt + 1]) + dot(dirs, ks[nt + 2]) + bs[depth + 1]
     v = jnp.maximum(v_acc, 0.0).astype(dt)
-    rgb = dot(v, ks[12]) + bs[10]
-    sigma = dot(h, ks[13]) + bs[11]
+    rgb = dot(v, ks[nt + 3]) + bs[depth + 2]
+    sigma = dot(h, ks[nt + 4]) + bs[depth + 3]
     out = jnp.concatenate([rgb, sigma], axis=-1)
     return out, (hs, bott, v)
 
@@ -239,23 +261,27 @@ def _regroup_weights(raw: list, hi_lo: bool) -> list:
     return [(raw[2 * i], raw[2 * i + 1]) for i in range(len(raw) // 2)]
 
 
-def _fwd_kernel(n_weights, dt, hi_lo, pts_ref, d_ref, em_ref, ek_ref, *refs):
+def _fwd_kernel(n_weights, n_bias, dt, hi_lo, depth, skips, vdirs,
+                pts_ref, d_ref, em_ref, ek_ref, *refs):
     ks = _regroup_weights([refs[i][:] for i in range(n_weights)], hi_lo)
-    bs = [refs[n_weights + i][:] for i in range(12)]
-    out_ref = refs[n_weights + 12]
+    bs = [refs[n_weights + i][:] for i in range(n_bias)]
+    out_ref = refs[n_weights + n_bias]
     x = _encode_tile(pts_ref[:], em_ref[:], ek_ref[:], dt)
-    out, _ = _mlp_tile_math(x, d_ref[:], ks, bs, dt, hi_lo)
+    out, _ = _mlp_tile_math(x, d_ref[:], ks, bs, dt, hi_lo, depth, skips,
+                            vdirs)
     out_ref[:] = out.astype(jnp.float32)
 
 
 def _pallas_forward(
     pts: jnp.ndarray, dirs: jnp.ndarray, ks: list, bs: list,
-    n_freqs: int, dt, tile: int, hi_lo: bool = False
+    n_freqs: int, dt, tile: int, hi_lo: bool = False,
+    depth: int = 8, skips: Tuple[int, ...] = (5,), vdirs: bool = True,
 ) -> jnp.ndarray:
     n = pts.shape[0]
     grid = (n // tile,)
     ks_flat = _flat_weights(ks)
     n_w = len(ks_flat)
+    out_w = 4 if vdirs else bs[-1].shape[1]  # rgb+sigma, or output_ch
 
     # Weights are small; full-array blocks resident in VMEM every step.
     w_specs = [pl.BlockSpec(k.shape, lambda i: (0, 0)) for k in ks_flat]
@@ -264,7 +290,9 @@ def _pallas_forward(
     em, ek = _encode_consts(n_freqs)
     em, ek = jnp.asarray(em), jnp.asarray(ek)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_w, dt, hi_lo),
+        functools.partial(
+            _fwd_kernel, n_w, len(bs), dt, hi_lo, depth, skips, vdirs
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, pts.shape[1]), lambda i: (i, 0)),
@@ -274,15 +302,15 @@ def _pallas_forward(
             *w_specs,
             *b_specs,
         ],
-        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        out_specs=pl.BlockSpec((tile, out_w), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, out_w), jnp.float32),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(pts, dirs, em, ek, *ks_flat, *bs)
 
 
-def _bwd_kernel(n_weights, n_logical, dt, hi_lo, pts_ref, d_ref, em_ref,
-                ek_ref, *refs):
+def _bwd_kernel(n_weights, n_logical, n_bias, dt, hi_lo, depth, skips, vdirs,
+                pts_ref, d_ref, em_ref, ek_ref, *refs):
     """Recompute-forward backward: accumulates dW/db across grid steps.
 
     refs = [*ks_flat, *bs, g_ref, *dk_refs, *db_refs]; all dk/db blocks map
@@ -291,10 +319,10 @@ def _bwd_kernel(n_weights, n_logical, dt, hi_lo, pts_ref, d_ref, em_ref,
     dk outputs are always per LOGICAL weight, in fp32.
     """
     ks = _regroup_weights([refs[i][:] for i in range(n_weights)], hi_lo)
-    bs = [refs[n_weights + i][:] for i in range(12)]
-    g_ref = refs[n_weights + 12]
-    dk_refs = refs[n_weights + 13 : n_weights + 13 + n_logical]
-    db_refs = refs[n_weights + 13 + n_logical :]
+    bs = [refs[n_weights + i][:] for i in range(n_bias)]
+    g_ref = refs[n_weights + n_bias]
+    dk_refs = refs[n_weights + n_bias + 1 : n_weights + n_bias + 1 + n_logical]
+    db_refs = refs[n_weights + n_bias + 1 + n_logical :]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -303,7 +331,8 @@ def _bwd_kernel(n_weights, n_logical, dt, hi_lo, pts_ref, d_ref, em_ref,
 
     x = _encode_tile(pts_ref[:], em_ref[:], ek_ref[:], dt)
     dirs = d_ref[:]
-    _, (hs, bott, v) = _mlp_tile_math(x, dirs, ks, bs, dt, hi_lo)
+    _, (hs, bott, v) = _mlp_tile_math(x, dirs, ks, bs, dt, hi_lo, depth,
+                                      skips, vdirs)
 
     f32 = jnp.float32
     if not hi_lo:
@@ -336,57 +365,77 @@ def _bwd_kernel(n_weights, n_logical, dt, hi_lo, pts_ref, d_ref, em_ref,
             return dg(g_hi, k_hi) + dg(g_hi, k_lo) + dg(g_lo, k_hi)
 
     g = g_ref[:]
-    g_rgb = g[:, 0:3].astype(dt)
-    g_sigma = g[:, 3:4].astype(dt)
-    h7 = hs[7]
+    h_last = hs[-1]
 
-    # rgb head: rgb = v @ Wr + br
-    dk_refs[12][:] += dotT(v, g_rgb)
-    db_refs[10][:] += jnp.sum(g_rgb.astype(f32), 0, keepdims=True)
-    dv = dotKT(g_rgb, ks[12])
-    # v5e Mosaic has no bf16 compare — mask in f32.
-    dv = jnp.where(v.astype(f32) > 0, dv, 0.0).astype(dt)
-
-    # view layer: v = relu(bott @ Wv_b + dirs @ Wv_d + bv)
-    dk_refs[10][:] += dotT(bott, dv)
-    dk_refs[11][:] += dotT(dirs, dv)
-    db_refs[9][:] += jnp.sum(dv.astype(f32), 0, keepdims=True)
-    dbott = dotKT(dv, ks[10]).astype(dt)
-
-    # bottleneck: bott = h7 @ Wb + bb  (no relu)
-    dk_refs[9][:] += dotT(h7, dbott)
-    db_refs[8][:] += jnp.sum(dbott.astype(f32), 0, keepdims=True)
-
-    # sigma head: sigma = h7 @ Ws + bs
-    dk_refs[13][:] += dotT(h7, g_sigma)
-    db_refs[11][:] += jnp.sum(g_sigma.astype(f32), 0, keepdims=True)
-
-    dh = (dotKT(dbott, ks[9]) + dotKT(g_sigma, ks[13])).astype(dt)
-
-    # Trunk, reversed. Layer i consumed input a_i (= x for 0; h_{i-1}
-    # otherwise; for 5 both x and h_4) and produced h_i = relu(acc_i).
-    # Kernel-index map for trunk layers (layer 5 has two blocks).
+    # Kernel-index map for trunk layers (skip layers have two blocks);
+    # heads follow at nt = depth + len(skips).
     k_idx = []
     kk = 0
-    for i in range(8):
-        if i == 5:
+    for i in range(depth):
+        if i in skips:
             k_idx.append((kk, kk + 1))
             kk += 2
         else:
             k_idx.append((kk,))
             kk += 1
+    nt = kk  # first head kernel index
 
-    for i in range(7, -1, -1):
+    if not vdirs:
+        # Single output head: out = h_last @ W_out + b_out (no relu).
+        g_out = g.astype(dt)
+        dk_refs[nt][:] += dotT(h_last, g_out)
+        db_refs[depth][:] += jnp.sum(g_out.astype(f32), 0, keepdims=True)
+        dh = dotKT(g_out, ks[nt]).astype(dt)
+        _trunk_bwd(depth, skips, k_idx, ks, hs, x, dh, dk_refs, db_refs,
+                   dotT, dotKT, dt, f32)
+        return
+
+    g_rgb = g[:, 0:3].astype(dt)
+    g_sigma = g[:, 3:4].astype(dt)
+
+    # rgb head: rgb = v @ Wr + br
+    dk_refs[nt + 3][:] += dotT(v, g_rgb)
+    db_refs[depth + 2][:] += jnp.sum(g_rgb.astype(f32), 0, keepdims=True)
+    dv = dotKT(g_rgb, ks[nt + 3])
+    # v5e Mosaic has no bf16 compare — mask in f32.
+    dv = jnp.where(v.astype(f32) > 0, dv, 0.0).astype(dt)
+
+    # view layer: v = relu(bott @ Wv_b + dirs @ Wv_d + bv)
+    dk_refs[nt + 1][:] += dotT(bott, dv)
+    dk_refs[nt + 2][:] += dotT(dirs, dv)
+    db_refs[depth + 1][:] += jnp.sum(dv.astype(f32), 0, keepdims=True)
+    dbott = dotKT(dv, ks[nt + 1]).astype(dt)
+
+    # bottleneck: bott = h_last @ Wb + bb  (no relu)
+    dk_refs[nt][:] += dotT(h_last, dbott)
+    db_refs[depth][:] += jnp.sum(dbott.astype(f32), 0, keepdims=True)
+
+    # sigma head: sigma = h_last @ Ws + bs
+    dk_refs[nt + 4][:] += dotT(h_last, g_sigma)
+    db_refs[depth + 3][:] += jnp.sum(g_sigma.astype(f32), 0, keepdims=True)
+
+    dh = (dotKT(dbott, ks[nt]) + dotKT(g_sigma, ks[nt + 4])).astype(dt)
+    _trunk_bwd(depth, skips, k_idx, ks, hs, x, dh, dk_refs, db_refs,
+               dotT, dotKT, dt, f32)
+
+
+def _trunk_bwd(depth, skips, k_idx, ks, hs, x, dh, dk_refs, db_refs,
+               dotT, dotKT, dt, f32):
+    """Trunk backward walk, reversed. Layer i consumed input a_i (= x for
+    0; h_{i-1} otherwise; for a skip layer both x and h_{i-1}) and produced
+    h_i = relu(acc_i). Shared by the viewdirs and no-viewdirs heads."""
+    for i in range(depth - 1, -1, -1):
         dacc = jnp.where(hs[i].astype(f32) > 0, dh.astype(f32), 0.0).astype(dt)
         db_refs[i][:] += jnp.sum(dacc.astype(f32), 0, keepdims=True)
-        if i == 5:
-            i_x, i_h = k_idx[5]
+        a = x if i == 0 else hs[i - 1]
+        if i in skips:
+            i_x, i_h = k_idx[i]
             dk_refs[i_x][:] += dotT(x, dacc)
-            dk_refs[i_h][:] += dotT(hs[4], dacc)
-            dh = dotKT(dacc, ks[i_h]).astype(dt)  # d(enc) branch dropped
+            dk_refs[i_h][:] += dotT(a, dacc)
+            if i > 0:
+                dh = dotKT(dacc, ks[i_h]).astype(dt)  # d(enc) branch dropped
         else:
             (i_k,) = k_idx[i]
-            a = x if i == 0 else hs[i - 1]
             dk_refs[i_k][:] += dotT(a, dacc)
             if i > 0:
                 dh = dotKT(dacc, ks[i_k]).astype(dt)
@@ -402,6 +451,9 @@ def _pallas_backward(
     dt,
     tile: int,
     hi_lo: bool = False,
+    depth: int = 8,
+    skips: Tuple[int, ...] = (5,),
+    vdirs: bool = True,
 ):
     n = pts.shape[0]
     grid = (n // tile,)
@@ -420,7 +472,10 @@ def _pallas_backward(
     em, ek = _encode_consts(n_freqs)
     em, ek = jnp.asarray(em), jnp.asarray(ek)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, n_w, len(ks), dt, hi_lo),
+        functools.partial(
+            _bwd_kernel, n_w, len(ks), len(bs), dt, hi_lo, depth, skips,
+            vdirs
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, pts.shape[1]), lambda i: (i, 0)),
@@ -429,7 +484,7 @@ def _pallas_backward(
             pl.BlockSpec(ek.shape, lambda i: (0, 0)),
             *w_specs,
             *b_specs,
-            pl.BlockSpec((tile, 4), lambda i: (i, 0)),
+            pl.BlockSpec((tile, g.shape[1]), lambda i: (i, 0)),
         ],
         out_specs=[*dk_specs, *db_specs],
         out_shape=[
@@ -441,16 +496,17 @@ def _pallas_backward(
     )(pts, dirs, em, ek, *ks_flat, *bs, g)
 
 
-def _grads_to_pytree(dks: list, dbs: list, params: Dict) -> Dict:
+def _grads_to_pytree(
+    dks: list, dbs: list, params: Dict,
+    depth: int = 8, skips: Tuple[int, ...] = (5,), vdirs: bool = True,
+) -> Dict:
     """Reassemble flattened kernel/bias grads into the param pytree."""
     out = {}
     ki = 0
     bi = 0
-    for name in _TRUNK + _HEADS:
-        if name == "pts_5":
-            dk = jnp.concatenate([dks[ki], dks[ki + 1]], axis=0)
-            ki += 2
-        elif name == "view":
+    trunk = [f"pts_{i}" for i in range(depth)]
+    for i, name in enumerate(trunk + (_HEADS if vdirs else ["output"])):
+        if (i < depth and i in skips) or name == "view":
             dk = jnp.concatenate([dks[ki], dks[ki + 1]], axis=0)
             ki += 2
         else:
@@ -471,34 +527,40 @@ def _fwd_tile(n: int, tile: int) -> int:
     return 2 * tile if n % (2 * tile) == 0 and 2 * tile <= 2048 else tile
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _fused_apply(params, pts, dirs, n_freqs: int, dt_name: str, tile: int,
-                 hi_lo: bool = False):
+                 hi_lo: bool = False,
+                 arch: Tuple = (8, (5,), 256, True)):
+    depth, skips, bott_ch, vdirs = arch
     dt = jnp.dtype(dt_name)
     enc_dim = 3 + 6 * n_freqs
-    ks, bs = _flatten_params(params, enc_dim, dt, hi_lo)
+    ks, bs = _flatten_params(params, enc_dim, dt, hi_lo, depth, skips,
+                             bott_ch, vdirs)
     fwd_tile = tile if hi_lo else _fwd_tile(pts.shape[0], tile)
     return _pallas_forward(
-        pts, dirs.astype(dt), ks, bs, n_freqs, dt, fwd_tile, hi_lo
+        pts, dirs.astype(dt), ks, bs, n_freqs, dt, fwd_tile, hi_lo,
+        depth, skips, vdirs
     )
 
 
-def _fused_fwd(params, pts, dirs, n_freqs, dt_name, tile, hi_lo):
-    out = _fused_apply(params, pts, dirs, n_freqs, dt_name, tile, hi_lo)
+def _fused_fwd(params, pts, dirs, n_freqs, dt_name, tile, hi_lo, arch):
+    out = _fused_apply(params, pts, dirs, n_freqs, dt_name, tile, hi_lo, arch)
     return out, (params, pts, dirs)
 
 
-def _fused_bwd(n_freqs, dt_name, tile, hi_lo, res, g):
+def _fused_bwd(n_freqs, dt_name, tile, hi_lo, arch, res, g):
     params, pts, dirs = res
+    depth, skips, bott_ch, vdirs = arch
     dt = jnp.dtype(dt_name)
     enc_dim = 3 + 6 * n_freqs
-    ks, bs = _flatten_params(params, enc_dim, dt, hi_lo)
+    ks, bs = _flatten_params(params, enc_dim, dt, hi_lo, depth, skips,
+                             bott_ch, vdirs)
     outs = _pallas_backward(
         pts, dirs.astype(dt), ks, bs, g.astype(jnp.float32), n_freqs, dt,
-        tile, hi_lo
+        tile, hi_lo, depth, skips, vdirs
     )
     dks, dbs = outs[: len(ks)], outs[len(ks) :]
-    dparams = _grads_to_pytree(dks, dbs, params)
+    dparams = _grads_to_pytree(dks, dbs, params, depth, skips, vdirs)
     return dparams, jnp.zeros_like(pts), jnp.zeros_like(dirs)
 
 
@@ -513,35 +575,38 @@ def fused_nerf_mlp(
     tile: int = DEFAULT_TILE,
     mc=None,
 ) -> jnp.ndarray:
-    """Fused encode->MLP->(rgb, sigma) Pallas kernel. pts: (N, 3) -> raw (N, 4).
+    """Fused encode->MLP->raw Pallas kernel. pts: (N, 3) -> raw (N, 4).
 
-    Supports the reference architecture (8x256 trunk, skip at 5, 256-wide
-    bottleneck) — other shapes take the XLA path via use_pallas=False.
+    Generic over the whole architecture space (r4 — the network loop
+    unrolls at trace time): any ``--netdepth``/``--netwidth``/skip set,
+    the view-dependent head of nerfmlp/model.py:44-53, AND the no-viewdirs
+    single-output-head variant (model.py:55; pass ``dirs_enc_flat=None``,
+    output is (N, output_ch)).
 
     Differentiable w.r.t. ``params`` (positions/dirs get zero cotangents —
     fine for NeRF training where ray geometry is data, renderer.py:88
     stop-gradients the sampled depths anyway).
     """
-    if not cfg.use_viewdirs or dirs_enc_flat is None:
-        raise NotImplementedError(
-            "fused kernel currently requires use_viewdirs=True; "
-            "set use_pallas=False for the no-viewdirs architecture"
-        )
-    # The kernels hardcode the reference architecture; fail actionably on
-    # anything else instead of deep inside Mosaic shape errors. ``mc``:
-    # the resolved net config (callers pass the fine net's when querying
-    # it; default = the coarse architecture).
+    vdirs = bool(cfg.use_viewdirs) and dirs_enc_flat is not None
+    # ``mc``: the resolved net config (callers pass the fine net's when
+    # querying it; default = the coarse architecture). Fail actionably on
+    # a params/arch mismatch instead of deep inside Mosaic shape errors.
     mc = mc or cfg.model_config()
+    head = "view" if vdirs else "output"
     if (
-        mc.depth != 8 or mc.skips != (5,) or mc.width != 256
-        or mc.bottleneck_ch != 256 or mc.view_width != 128
-        or "pts_7" not in params
+        f"pts_{mc.depth - 1}" not in params
+        or f"pts_{mc.depth}" in params
+        or head not in params
+        or any(not 0 <= s < mc.depth for s in mc.skips)
     ):
         raise NotImplementedError(
-            "fused kernel supports only the reference architecture "
-            "(8x256 trunk, skip at 5, 256-wide bottleneck); "
-            "set use_pallas=False for custom shapes"
+            f"params do not match the configured architecture (depth "
+            f"{mc.depth}, skips {mc.skips}, {head} head); set "
+            "use_pallas=False or fix --netdepth/--netwidth/--use_viewdirs"
         )
+    if not vdirs:
+        # The kernels still take a dirs operand; feed a 1-lane dummy.
+        dirs_enc_flat = jnp.zeros((pts_flat.shape[0], 1), jnp.float32)
     # fp32_precision="high" in fp32 mode: hand-rolled bf16x3 (3 bf16 MXU
     # passes per logical matmul, fp32 accumulation/activations). Mosaic's
     # own fp32-matmul decomposition is avoided entirely — the renderer
@@ -553,9 +618,13 @@ def fused_nerf_mlp(
     n = pts_flat.shape[0]
     tile = min(tile, max(256, 1 << (n - 1).bit_length()))
     # The backward kernel's stored activations OOM VMEM beyond tile 1024
-    # (the forward pass doubles the tile itself when shapes allow). In
-    # hi_lo mode activations are fp32 (2x VMEM) — halve the tile.
-    tile = min(tile, DEFAULT_TILE // 2 if hi_lo else DEFAULT_TILE)
+    # for the reference 8x256 trunk (the forward pass doubles the tile
+    # itself when shapes allow). Scale that measured-good point by the
+    # trunk's activation footprint (depth x width) for other shapes; in
+    # hi_lo mode activations are fp32 (2x VMEM) — halve again.
+    cap = DEFAULT_TILE * 8 * 256 // max(mc.depth * mc.width, 1)
+    cap = max(128, 1 << max(cap, 1).bit_length() - 1)  # pow2, floor 128
+    tile = min(tile, cap // 2 if hi_lo else cap, DEFAULT_TILE)
     pad = (-n) % tile
     if pad:
         pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
@@ -564,5 +633,6 @@ def fused_nerf_mlp(
     out = _fused_apply(
         params, pts_flat, dirs_enc_flat, cfg.pos_enc_L,
         str(jnp.dtype(cfg.compute_dtype)), tile, hi_lo,
+        (mc.depth, tuple(mc.skips), mc.bottleneck_ch, vdirs),
     )
     return out[:n]

@@ -66,11 +66,11 @@ def _query_mlp(
     # fp32 accumulation, pallas_mlp.py::_make_dot). fp32 "highest" (the
     # 6-pass golden-parity mode) stays on XLA: Mosaic's own fp32-matmul
     # decomposition explodes compile times (~8 min observed).
-    # The no-viewdirs architecture and non-canonical trunk shapes also
-    # fall back (not worth kernel variants for non-default modes).
+    # The kernel is generic over the full architecture space (r4):
+    # --netdepth/--netwidth/skips and both head variants (view-dependent
+    # and the no-viewdirs single output head).
     use_pallas = (
         cfg.use_pallas
-        and cfg.use_viewdirs
         and (
             jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
             or (
@@ -78,8 +78,6 @@ def _query_mlp(
                 and cfg.fp32_precision == "high"
             )
         )
-        and mc.depth == 8
-        and mc.width == 256
     )
     dirs = None
     if viewdirs_enc is not None:

@@ -55,7 +55,10 @@ def test_total_loss_includes_coarse_term():
 
 
 def test_pallas_flag_with_no_viewdirs_falls_back():
-    """use_pallas + use_viewdirs=False must silently use the XLA path."""
+    """use_pallas + use_viewdirs=False renders finite maps (late-r4 this
+    routes through the fused kernel's single-output-head variant; before
+    that it silently used the XLA path — either way the flag must not
+    break the no-viewdirs architecture)."""
     rc = RenderConfig(N_samples=8, N_importance=0, perturb=False,
                       use_viewdirs=False, use_pallas=True,
                       compute_dtype="bfloat16")
