@@ -22,10 +22,12 @@ from nerfmlp_tpu.data.blender import linear_to_srgb
 from nerfmlp_tpu.ops.rays import get_rays_np, look_at_matrix
 
 
-def _scene_density_color(pts: np.ndarray):
+def _scene_density_color(pts: np.ndarray, xp=np):
     """Analytic radiance field: density (N,) and albedo (N, 3) at points.
 
-    Three soft spheres and one box, all inside |x| < 1.2.
+    Three soft spheres and one box, all inside |x| < 1.2. ``xp`` selects
+    the array backend (numpy default; pass ``jax.numpy`` for the jitted
+    GT fast path in ``render_analytic``).
     """
     f32 = np.float32
     blobs = [
@@ -39,32 +41,152 @@ def _scene_density_color(pts: np.ndarray):
          np.array([0.25, 0.35, 0.95], f32), f32(15.0)),
     ]
     pts = pts.astype(f32)
-    sigma = np.zeros(pts.shape[0], dtype=f32)
-    color_acc = np.zeros((pts.shape[0], 3), dtype=f32)
+    sigma = xp.zeros(pts.shape[0], dtype=f32)
+    color_acc = xp.zeros((pts.shape[0], 3), dtype=f32)
     for center, radius, color, peak in blobs:
-        d2 = np.sum((pts - center) ** 2, axis=-1)
-        s = peak * np.exp(-d2 / (2.0 * (radius / 2.0) ** 2))
-        sigma += s
-        color_acc += s[:, None] * color
+        d2 = xp.sum((pts - center) ** 2, axis=-1)
+        s = peak * xp.exp(-d2 / (2.0 * (radius / 2.0) ** 2))
+        sigma = sigma + s
+        color_acc = color_acc + s[:, None] * color
     # Box at the bottom (a "ground slab").
     inside = (
-        (np.abs(pts[:, 0]) < 0.9)
-        & (np.abs(pts[:, 1]) < 0.9)
+        (xp.abs(pts[:, 0]) < 0.9)
+        & (xp.abs(pts[:, 1]) < 0.9)
         & (pts[:, 2] > -0.75)
         & (pts[:, 2] < -0.55)
     )
-    s_box = np.where(inside, 25.0, 0.0).astype(np.float32)
-    sigma += s_box
-    color_acc += s_box[:, None] * np.array([0.85, 0.75, 0.4], dtype=np.float32)
+    s_box = xp.where(inside, 25.0, 0.0).astype(np.float32)
+    sigma = sigma + s_box
+    color_acc = color_acc + s_box[:, None] * np.array(
+        [0.85, 0.75, 0.4], dtype=np.float32
+    )
 
-    albedo = color_acc / np.maximum(sigma[:, None], 1e-8)
-    albedo = np.where(sigma[:, None] > 1e-6, albedo, 1.0)
+    albedo = color_acc / xp.maximum(sigma[:, None], 1e-8)
+    albedo = xp.where(sigma[:, None] > 1e-6, albedo, 1.0)
     return sigma, albedo.astype(np.float32)
+
+
+def _hard_density_color(pts: np.ndarray, xp=np):
+    """Hard benchmark field (r5): density (N,) and albedo (N, 3).
+
+    The default scene (``_scene_density_color``) is three smooth blobs and
+    a box — every training configuration saturates 40+ dB on it, which
+    compresses real quality differences into tenths of a dB. This field
+    puts the golden config in the reference's own expectation band for
+    real content (20-25+ dB at high res, /root/reference/README.md:223;
+    26-34 dB here at 400^2) with the three ingredients that band comes
+    from: high-frequency albedo, thin repeated geometry, hard edges.
+
+    Contents, all inside |x| < 1.2 (same AABB as the default scene so the
+    occupancy-grid protocol carries over unchanged):
+      * a checkered sphere (r 0.55) — 3-D checker albedo with steep tanh
+        edges (w=40: half-period ~0.08 world units ~ 11 px from the
+        radius-4 cameras at 400^2),
+      * a lattice of thin vertical rods (radius 0.02 ~ 5 px diameter) on
+        a 0.45 grid with high-frequency stripe coloring — the classic
+        thin-structure stressor,
+      * a ground slab with two-octave sinusoid "noise" texture and a
+        sharp-edged top surface for hard shadow-like occlusion boundaries.
+
+    Edges use steep-but-finite transitions (tanh, pow-8 shells) so the
+    ground truth stays near-band-limited: the benchmark's difficulty is
+    the content, not sampling noise in the GT renderer.
+    """
+    f32 = np.float32
+    pts = pts.astype(f32)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+
+    # (a) Checkered sphere: steep shell, near-binary checker albedo.
+    r = xp.sqrt(x * x + y * y + z * z)
+    s_sph = (f32(60.0) * xp.exp(-((r / f32(0.55)) ** 8))).astype(f32)
+    w = f32(40.0)
+    edge = xp.tanh(f32(6.0) * xp.sin(w * x) * xp.sin(w * y) * xp.sin(w * z))
+    t = (f32(0.5) + f32(0.5) * edge)[:, None].astype(f32)
+    c_sph = t * np.array([0.9, 0.15, 0.1], f32) + (1 - t) * np.array(
+        [0.95, 0.85, 0.1], f32
+    )
+    sigma = s_sph
+    color_acc = s_sph[:, None] * c_sph
+
+    # (b) Thin vertical rods on a 0.45 grid, outside the sphere.
+    gx = (x + f32(1.125)) % f32(0.45) - f32(0.225)
+    gy = (y + f32(1.125)) % f32(0.45) - f32(0.225)
+    d_rod = xp.sqrt(gx * gx + gy * gy)
+    rod_core = f32(0.5) - f32(0.5) * xp.tanh(
+        (d_rod - f32(0.02)) * f32(400.0)
+    )  # ~1 inside radius 0.02, ~0 outside, ~5e-3 edge width
+    s_rod = (
+        f32(160.0) * rod_core * (xp.abs(z) < 0.95) * (r > 0.62)
+    ).astype(f32)
+    stripe = (f32(0.5) + f32(0.5) * xp.tanh(
+        f32(4.0) * xp.sin(f32(50.0) * z)
+    )).astype(f32)
+    c_rod = xp.stack(
+        [f32(0.05) + f32(0.9) * stripe, f32(0.9) - f32(0.8) * stripe,
+         xp.full_like(stripe, f32(0.55))], axis=-1,
+    )
+    sigma = sigma + s_rod
+    color_acc = color_acc + s_rod[:, None] * c_rod
+
+    # (c) Textured ground slab with a sharp top edge.
+    in_xy = (xp.abs(x) < 1.05) & (xp.abs(y) < 1.05)
+    edge_top = f32(0.5) - f32(0.5) * xp.tanh((z + f32(0.62)) * f32(200.0))
+    edge_bot = f32(0.5) + f32(0.5) * xp.tanh((z + f32(0.8)) * f32(200.0))
+    s_slab = (f32(120.0) * in_xy * edge_top * edge_bot).astype(f32)
+    n1 = xp.sin(f32(13.7) * x + f32(1.3)) * xp.sin(f32(17.9) * y + f32(0.7))
+    n2 = xp.sin(f32(31.4) * x - f32(2.1)) * xp.sin(f32(27.2) * y + f32(1.9))
+    tex = xp.clip(
+        f32(0.55) + f32(0.3) * n1 + f32(0.15) * n2, 0.0, 1.0
+    ).astype(f32)
+    c_slab = xp.stack(
+        [tex, f32(0.55) * tex + f32(0.2), f32(0.35) + f32(0.25) * (1 - tex)],
+        axis=-1,
+    )
+    sigma = sigma + s_slab
+    color_acc = color_acc + s_slab[:, None] * c_slab
+
+    # Guard at 1e-3 (not the default field's 1e-6): the steep tanh tails
+    # differ between numpy and jax in their last ulps, and dividing by a
+    # sub-1e-3 sigma amplifies that into O(1) albedo noise. Density below
+    # 1e-3 contributes alpha < 1e-5 per sample — invisible either way.
+    albedo = color_acc / xp.maximum(sigma[:, None], 1e-8)
+    albedo = xp.where(sigma[:, None] > 1e-3, albedo, 1.0)
+    return sigma.astype(f32), albedo.astype(np.float32)
+
+
+FIELDS = {"default": _scene_density_color, "hard": _hard_density_color}
+
+
+def _integrate_chunk_np(o, d, t, dists_t, field, xp):
+    """One chunk of analytic GT: march ``t`` along rays, composite.
+
+    Backend-agnostic body shared by the numpy path and the jitted jax
+    fast path (same equations as ops/integrate.py::composite_rays)."""
+    n_samples = t.shape[0]
+    pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
+    sigma, albedo = field(pts.reshape(-1, 3), xp=xp)
+    sigma = sigma.reshape(-1, n_samples)
+    albedo = albedo.reshape(-1, n_samples, 3)
+
+    dists = dists_t[None, :] * xp.linalg.norm(d, axis=-1, keepdims=True)
+    alpha = 1.0 - xp.exp(-sigma * dists)
+    trans = xp.cumprod(
+        xp.concatenate(
+            [xp.ones_like(alpha[:, :1]), 1.0 - alpha[:, :-1] + 1e-10],
+            axis=-1,
+        ),
+        axis=-1,
+    )
+    weights = alpha * trans
+    rgb = xp.sum(weights[..., None] * albedo, axis=1)
+    acc = xp.sum(weights, axis=-1, keepdims=True)
+    return rgb + (1.0 - acc)  # white background
 
 
 def render_analytic(
     pose: np.ndarray, H: int, W: int, focal: float, n_samples: int = 192,
     near: float = 2.0, far: float = 6.0, chunk: int = 16384,
+    field=None, use_jax: bool = False,
 ) -> np.ndarray:
     """Ground-truth render of the analytic field (linear RGB + white bkgd).
 
@@ -78,28 +200,40 @@ def render_analytic(
     t = np.linspace(near, far, n_samples, dtype=np.float32)
     dists_t = np.diff(t, append=np.float32(1e10)).astype(np.float32)
 
+    field = field or _scene_density_color
     out = np.empty((rays_o.shape[0], 3), dtype=np.float32)
-    for s in range(0, rays_o.shape[0], chunk):
-        o = rays_o[s : s + chunk]
-        d = rays_d[s : s + chunk]
-        pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
-        sigma, albedo = _scene_density_color(pts.reshape(-1, 3))
-        sigma = sigma.reshape(-1, n_samples)
-        albedo = albedo.reshape(-1, n_samples, 3)
+    if use_jax:
+        # Jitted path: ~2 orders of magnitude faster than the numpy loop
+        # (the hard field's trig at 400^2 x AA2 x 512 samples costs ~11
+        # min/view in numpy). Fixed chunk shape -> one compile; the tail
+        # chunk is padded. Runs on whatever backend jax resolved (CPU in
+        # tests, the TPU inside a worker job).
+        import functools
 
-        dists = dists_t[None, :] * np.linalg.norm(d, axis=-1, keepdims=True)
-        alpha = 1.0 - np.exp(-sigma * dists)
-        trans = np.cumprod(
-            np.concatenate(
-                [np.ones_like(alpha[:, :1]), 1.0 - alpha[:, :-1] + 1e-10],
-                axis=-1,
-            ),
-            axis=-1,
-        )
-        weights = alpha * trans
-        rgb = np.sum(weights[..., None] * albedo, axis=1)
-        acc = np.sum(weights, axis=-1, keepdims=True)
-        out[s : s + chunk] = rgb + (1.0 - acc)  # white background
+        import jax
+        import jax.numpy as jnp
+
+        fn = jax.jit(functools.partial(
+            _integrate_chunk_np, field=field, xp=jnp
+        ))
+        tj, dj = jnp.asarray(t), jnp.asarray(dists_t)
+        for s in range(0, rays_o.shape[0], chunk):
+            o = rays_o[s : s + chunk]
+            d = rays_d[s : s + chunk]
+            n = o.shape[0]
+            if n < chunk:
+                o = np.pad(o, ((0, chunk - n), (0, 0)))
+                d = np.pad(d, ((0, chunk - n), (0, 0)), constant_values=1.0)
+            out[s : s + n] = np.asarray(
+                fn(jnp.asarray(o), jnp.asarray(d), tj, dj)
+            )[:n]
+    else:
+        for s in range(0, rays_o.shape[0], chunk):
+            o = rays_o[s : s + chunk]
+            d = rays_d[s : s + chunk]
+            out[s : s + chunk] = _integrate_chunk_np(
+                o, d, t, dists_t, field, np
+            )
     return np.clip(out, 0.0, 1.0).reshape(H, W, 3)
 
 
@@ -112,10 +246,22 @@ def make_synthetic_scene(
     radius: float = 4.0,
     camera_angle_x: float = 0.6911112070083618,  # Lego's FOV
     seed: int = 0,
+    field: str = "default",
+    aa: int = 1,
+    n_samples: int = 192,
+    use_jax: bool = False,
 ) -> str:
-    """Write transforms_{train,val,test}.json + PNGs under ``outdir``."""
+    """Write transforms_{train,val,test}.json + PNGs under ``outdir``.
+
+    ``field`` selects the analytic radiance field ("default" smooth scene
+    or the "hard" high-frequency benchmark field). ``aa`` supersamples the
+    ground truth aa x aa per pixel (box-downsampled in linear RGB) —
+    recommended 2 for the hard field so the benchmark measures model
+    quality, not point-sampling aliasing in the GT. ``n_samples`` is the
+    GT ray-march density (raise for thin geometry)."""
     from PIL import Image
 
+    field_fn = FIELDS[field]
     rng = np.random.default_rng(seed)
     W, H = img_wh
     focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
@@ -136,8 +282,14 @@ def make_synthetic_scene(
             )
             pose = look_at_matrix(eye, np.zeros(3))
             img_linear = render_analytic(
-                pose, H, W, focal, near=radius - 2.0, far=radius + 2.0
+                pose, H * aa, W * aa, focal * aa,
+                near=radius - 2.0, far=radius + 2.0,
+                field=field_fn, n_samples=n_samples, use_jax=use_jax,
             )
+            if aa > 1:  # box-downsample in LINEAR RGB (then sRGB-encode)
+                img_linear = img_linear.reshape(H, aa, W, aa, 3).mean(
+                    axis=(1, 3)
+                )
             # Store as sRGB PNGs (the loader converts back to linear).
             img_srgb = (linear_to_srgb(img_linear) * 255.0).round().astype(np.uint8)
             name = f"r_{k}"

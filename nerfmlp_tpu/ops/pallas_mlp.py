@@ -567,6 +567,47 @@ def _fused_bwd(n_freqs, dt_name, tile, hi_lo, arch, res, g):
 _fused_apply.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _weight_elems(mc) -> int:
+    """Total logical weight elements of the architecture described by mc.
+
+    Mirrors the param shapes built by models/mlp.py:43-79 (trunk with
+    skip-concat, view-dependent head or single output layer)."""
+    total = 0
+    in_ch = mc.input_ch
+    for i in range(mc.depth):
+        d_in = in_ch if i == 0 else (
+            mc.width + in_ch if i in mc.skips else mc.width
+        )
+        total += d_in * mc.width
+    if mc.use_viewdirs:
+        total += mc.width * 1                                   # sigma
+        total += mc.width * mc.bottleneck_ch                    # bottleneck
+        total += (mc.bottleneck_ch + mc.input_ch_views) * mc.view_width
+        total += mc.view_width * 3                              # rgb
+    else:
+        total += mc.width * mc.output_ch
+    return total
+
+
+def backward_fits_vmem(mc, hi_lo: bool, budget_bytes: int = 28 << 20) -> bool:
+    """True when the backward kernel's tile-independent VMEM residents fit.
+
+    The backward kernel keeps EVERY weight (bf16; hi/lo bf16 pairs in
+    hi_lo mode) plus one fp32 grad accumulator per logical weight resident
+    in VMEM for the whole grid — a width^2-scaling cost the activation-tile
+    cap at fused_nerf_mlp's call site cannot bound (advisor r4). Estimate
+    that footprint from the architecture and report whether it fits the
+    32MB scoped-VMEM budget (_compiler_params) with headroom for the
+    tile-proportional activations (min tile 128). Widest on-chip-validated
+    trunk is 384; this gate sends ~768+ trunks back to the XLA path with
+    their pre-r4 behavior instead of a Mosaic allocation error."""
+    w_elems = _weight_elems(mc)
+    w_bytes = 4 if hi_lo else 2          # bf16, doubled for hi/lo pairs
+    resident = w_elems * (w_bytes + 4)   # weights + fp32 dk accumulators
+    act_min = (mc.depth + 2) * 128 * max(mc.width, mc.input_ch) * 4
+    return resident + act_min <= budget_bytes
+
+
 def fused_nerf_mlp(
     params: Dict,
     pts_flat: jnp.ndarray,
@@ -593,16 +634,24 @@ def fused_nerf_mlp(
     # a params/arch mismatch instead of deep inside Mosaic shape errors.
     mc = mc or cfg.model_config()
     head = "view" if vdirs else "output"
+    head_rows = (
+        mc.bottleneck_ch + mc.input_ch_views if vdirs else mc.width
+    )
     if (
         f"pts_{mc.depth - 1}" not in params
         or f"pts_{mc.depth}" in params
         or head not in params
         or any(not 0 <= s < mc.depth for s in mc.skips)
+        # Width/bottleneck consistency (advisor r4): a same-depth width
+        # mismatch otherwise fails deep inside Mosaic shape errors.
+        or params["pts_0"]["kernel"].shape[1] != mc.width
+        or params[head]["kernel"].shape[0] != head_rows
     ):
         raise NotImplementedError(
             f"params do not match the configured architecture (depth "
-            f"{mc.depth}, skips {mc.skips}, {head} head); set "
-            "use_pallas=False or fix --netdepth/--netwidth/--use_viewdirs"
+            f"{mc.depth}, width {mc.width}, skips {mc.skips}, {head} head "
+            f"rows {head_rows}); set use_pallas=False or fix "
+            "--netdepth/--netwidth/--use_viewdirs"
         )
     if not vdirs:
         # The kernels still take a dirs operand; feed a 1-lane dummy.
@@ -623,8 +672,10 @@ def fused_nerf_mlp(
     # trunk's activation footprint (depth x width) for other shapes; in
     # hi_lo mode activations are fp32 (2x VMEM) — halve again.
     cap = DEFAULT_TILE * 8 * 256 // max(mc.depth * mc.width, 1)
+    if hi_lo:  # fp32 activations double VMEM — halve BEFORE the clamp so
+        cap //= 2  # the 128 floor holds in both modes (advisor r4)
     cap = max(128, 1 << max(cap, 1).bit_length() - 1)  # pow2, floor 128
-    tile = min(tile, cap // 2 if hi_lo else cap, DEFAULT_TILE)
+    tile = min(tile, cap, DEFAULT_TILE)
     pad = (-n) % tile
     if pad:
         pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))

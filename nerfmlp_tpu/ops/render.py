@@ -69,15 +69,20 @@ def _query_mlp(
     # The kernel is generic over the full architecture space (r4):
     # --netdepth/--netwidth/skips and both head variants (view-dependent
     # and the no-viewdirs single output head).
+    _hi_lo = (
+        jnp.dtype(cfg.compute_dtype) == jnp.float32
+        and cfg.fp32_precision == "high"
+    )
+    from nerfmlp_tpu.ops.pallas_mlp import backward_fits_vmem
+
     use_pallas = (
         cfg.use_pallas
-        and (
-            jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
-            or (
-                jnp.dtype(cfg.compute_dtype) == jnp.float32
-                and cfg.fp32_precision == "high"
-            )
-        )
+        and (jnp.dtype(cfg.compute_dtype) == jnp.bfloat16 or _hi_lo)
+        # Wide trunks (~768+) overflow the backward kernel's scoped-VMEM
+        # budget with tile-independent weight+grad-accumulator residents;
+        # route them to XLA instead of a Mosaic allocation error
+        # (advisor r4; backward_fits_vmem docstring has the numbers).
+        and backward_fits_vmem(mc, _hi_lo)
     )
     dirs = None
     if viewdirs_enc is not None:

@@ -22,6 +22,20 @@ def main(argv=None):
     p.add_argument("--n_test", type=int, default=4)
     p.add_argument("--radius", type=float, default=4.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--field", type=str, default="default",
+                   choices=["default", "hard"],
+                   help="analytic radiance field: the smooth default scene"
+                        " or the hard high-frequency benchmark field"
+                        " (thin rods, checker/noise textures, hard edges)")
+    p.add_argument("--aa", type=int, default=1,
+                   help="supersample the GT aa x aa per pixel (use 2 with"
+                        " --field hard: anti-aliased ground truth)")
+    p.add_argument("--gt_samples", type=int, default=192,
+                   help="GT ray-march samples (512 recommended for the"
+                        " hard field's thin geometry)")
+    p.add_argument("--use_jax", action="store_true",
+                   help="jitted GT renderer (same equations, ~100x faster"
+                        " at high res; runs on jax's default backend)")
     p.add_argument("--format", type=str, default="blender",
                    choices=["blender", "llff"],
                    help="blender: transforms_*.json; llff: poses_bounds.npy"
@@ -49,6 +63,8 @@ def main(argv=None):
         args.outdir, n_train=args.n_train, n_val=args.n_val,
         n_test=args.n_test, img_wh=tuple(args.img_wh),
         radius=args.radius, seed=args.seed,
+        field=args.field, aa=args.aa, n_samples=args.gt_samples,
+        use_jax=args.use_jax,
     )
     print(f"wrote scene to {args.outdir} "
           f"({args.n_train} train / {args.n_val} val / {args.n_test} test "
