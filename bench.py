@@ -28,6 +28,49 @@ import time
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 7100.0  # BASELINE.md derived-throughput upper band
+V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
+
+
+def _evals_per_ray(rc) -> int:
+    """MLP queries actually executed per ray by ops/render.py.
+
+    Occupancy path: no coarse MLP pass, N_samples+N_importance merged
+    queries (render.py occupancy branch). Shared-net hierarchical: coarse
+    N_samples + only the N_importance NEW fine depths (the r3 coarse-reuse
+    merge, render.py:315-330). separate_fine re-queries all depths like
+    the official TF scheme (render.py:331-340)."""
+    if rc.separate_fine:
+        return 2 * rc.N_samples + rc.N_importance
+    return rc.N_samples + rc.N_importance
+
+
+def _flops_per_query(rc) -> float:
+    """Matmul FLOPs of ONE network query (2 x weight elements).
+
+    Matmul-only lower bound: the in-kernel encode (trig) and compositing
+    (VPU) are excluded, so reported MFU slightly UNDERSTATES utilization.
+    Useful-work convention: in fp32-high (bf16x3) mode the device runs 3
+    bf16 passes per logical matmul but only the logical FLOPs count."""
+    from nerfmlp_tpu.ops.pallas_mlp import _weight_elems
+
+    return 2.0 * _weight_elems(rc.model_config())
+
+
+def _train_mfu_pct(rc, rays_per_sec: float) -> float:
+    """Model FLOPs utilization of the training step (docs/RESULTS.md
+    speed-of-light model, machine-checked per VERDICT r4): forward +
+    backward = 3x forward FLOPs (the recompute inside the backward kernel
+    is NOT counted as useful work), over the v5e bf16 peak."""
+    return 100.0 * (
+        3.0 * _flops_per_query(rc) * _evals_per_ray(rc) * rays_per_sec
+    ) / V5E_PEAK_FLOPS
+
+
+def _render_mfu_pct(rc, sec_per_frame: float, wh: int = 800) -> float:
+    """MFU of whole-frame rendering (forward only)."""
+    return 100.0 * (
+        _flops_per_query(rc) * _evals_per_ray(rc) * wh * wh / sec_per_frame
+    ) / V5E_PEAK_FLOPS
 
 
 def _train_throughput(rc, batch: int, iters: int = 100) -> float:
@@ -141,7 +184,7 @@ def _multichip_dryrun_ok() -> bool:
         return False
 
 
-def _row(metric, value, unit, vs=None):
+def _row(metric, value, unit, vs=None, mfu=None):
     """Progress rows go to STDERR: stdout carries exactly ONE JSON line in
     every mode (the driver contract — see CLAUDE.md conventions)."""
     import sys
@@ -149,6 +192,8 @@ def _row(metric, value, unit, vs=None):
     row = {"metric": metric, "value": round(value, 3), "unit": unit}
     if vs is not None:
         row["vs_baseline"] = round(vs, 2)
+    if mfu is not None:
+        row["mfu_pct"] = round(mfu, 1)
     print(json.dumps(row), file=sys.stderr, flush=True)
     return row
 
@@ -206,6 +251,7 @@ def main():
             "value": round(rays, 1),
             "unit": "rays/s (batch 1024, 64+128 samples, bf16 compute)",
             "vs_baseline": round(rays / BASELINE_RAYS_PER_SEC, 2),
+            "train_mfu_pct": round(_train_mfu_pct(bf16_pallas, rays), 1),
         }))
         return
 
@@ -217,7 +263,8 @@ def main():
 
     r = _train_throughput(bf16_pallas, batch=1024)
     rows.append(_row("train_bf16_pallas", r, "rays/s (batch 1024, 64+128)",
-                     r / BASELINE_RAYS_PER_SEC))
+                     r / BASELINE_RAYS_PER_SEC,
+                     mfu=_train_mfu_pct(bf16_pallas, r)))
     r = _train_throughput(
         RenderConfig(**flagship, compute_dtype="bfloat16"), batch=1024
     )
@@ -226,14 +273,13 @@ def main():
     r = _train_throughput(RenderConfig(**flagship), batch=1024)
     rows.append(_row("train_fp32_xla", r, "rays/s (batch 1024, 64+128)",
                      r / BASELINE_RAYS_PER_SEC))
-    r = _train_throughput(
-        RenderConfig(**flagship, compute_dtype="float32",
-                     fp32_precision="high", use_pallas=True),
-        batch=1024,
-    )
+    fp32h = RenderConfig(**flagship, compute_dtype="float32",
+                         fp32_precision="high", use_pallas=True)
+    r = _train_throughput(fp32h, batch=1024)
     rows.append(_row("train_fp32_high_pallas", r,
                      "rays/s (batch 1024, 64+128, bf16x3 in-kernel)",
-                     r / BASELINE_RAYS_PER_SEC))
+                     r / BASELINE_RAYS_PER_SEC,
+                     mfu=_train_mfu_pct(fp32h, r)))
     occ = RenderConfig(
         N_samples=16, N_importance=48, near=2.0, far=6.0, perturb=True,
         compute_dtype="bfloat16", use_pallas=True, use_occupancy=True,
@@ -261,11 +307,13 @@ def main():
                      "rays/s (batch 1024, occ grid, bf16x3 in-kernel)",
                      r / BASELINE_RAYS_PER_SEC))
 
-    s = _render_seconds(RenderConfig(
+    rc_render = RenderConfig(
         N_samples=64, N_importance=128, near=2.0, far=6.0, perturb=False,
         compute_dtype="bfloat16", use_pallas=True,
-    ))
-    rows.append(_row("render_800px_bf16_pallas", s, "s/frame (800x800, 64+128)"))
+    )
+    s = _render_seconds(rc_render)
+    rows.append(_row("render_800px_bf16_pallas", s, "s/frame (800x800, 64+128)",
+                     mfu=_render_mfu_pct(rc_render, s)))
     s = _render_seconds(RenderConfig(
         N_samples=64, N_importance=128, near=2.0, far=6.0, perturb=False,
     ))
@@ -340,13 +388,16 @@ def _emit_full_head(rows: list) -> None:
     # The single stdout JSON line (same schema as the default mode), with
     # the full row set attached; per-row progress went to stderr.
     head = next(r for r in rows if r["metric"] == "train_bf16_pallas")
-    print(json.dumps({
+    out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": head["value"],
         "unit": "rays/s (batch 1024, 64+128 samples, bf16 compute)",
         "vs_baseline": head.get("vs_baseline"),
         "full_rows": "bench_full.json",
-    }), flush=True)
+    }
+    if "mfu_pct" in head:
+        out["train_mfu_pct"] = head["mfu_pct"]
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

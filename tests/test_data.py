@@ -235,9 +235,13 @@ class TestHardField:
         surf = np.stack([t, np.full_like(t, 0.1), np.full_like(t, 0.4)], -1)
         _, alb = _hard_density_color(surf)
         # Green carries the checker contrast (0.15 vs 0.85; red is 0.9
-        # vs 0.95 — nearly constant by design).
-        flips = int(np.sum(np.abs(np.diff(alb[:, 1])) > 0.15))
-        assert flips >= 4, f"checker too coarse: {flips=}"
+        # vs 0.95 — nearly constant by design). sin(40x) gives a 0.157
+        # world-unit period -> >= 5 midline crossings over 0.6 units,
+        # with a full-contrast swing.
+        g = alb[:, 1]
+        assert g.max() - g.min() > 0.5, f"checker contrast too low: {g.ptp()=}"
+        flips = int(np.sum(np.diff(g > 0.5).astype(np.int32) != 0))
+        assert flips >= 5, f"checker too coarse: {flips=}"
 
     def test_scene_maker_hard_field(self, tmp_path):
         """make_synthetic_scene(field='hard', aa=2) writes a loadable
