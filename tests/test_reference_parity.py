@@ -321,3 +321,236 @@ def test_pth_export_loads_in_reference(ref, tmp_path):
 
     got = np.asarray(apply_model(params, jnp.asarray(x), jnp.asarray(v)))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Training-step parity (r5, VERDICT item 2): loss, per-leaf gradients, one
+# Adam update, and a 10-step deterministic co-training run against the LIVE
+# torch reference — the last untested parity surface (grad + optimizer
+# wiring). Reference semantics: fine-only MSE on _render_rays + Adam lr 5e-4
+# (torch defaults) + StepLR(250000, 0.1) stepped per iteration, i.e. never
+# firing here (/root/reference/scripts/train.py:258-260, 374-388).
+# ---------------------------------------------------------------------------
+
+
+def _train_parity_setup(ref, shared_weights, n_rays=32, seed=5):
+    import torch
+
+    ref_model = ref.NeRFMLP()
+    ref_model.load_from_numpy(shared_weights)
+    ref_model.train()
+    renderer = ref.NeRFRenderer(
+        ref_model, torch.device("cpu"),
+        N_samples=32, N_importance=16, near=2.0, far=6.0,
+        white_bkgd=True, perturb=0.0, raw_noise_std=0.0,
+    )
+    rng = np.random.default_rng(seed)
+    o = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (n_rays, 1))
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    target = rng.uniform(size=(n_rays, 3)).astype(np.float32)
+    return ref_model, renderer, o, d, target
+
+
+def _our_train_cfg():
+    from nerfmlp_tpu.config import RenderConfig, TrainConfig
+
+    cfg = RenderConfig(N_samples=32, N_importance=16, near=2.0, far=6.0,
+                       white_bkgd=True, perturb=False, raw_noise_std=0.0)
+    # lr_decay_rate=1.0 = constant LR, matching the reference's StepLR
+    # whose 250k horizon never fires in these short runs.
+    tc = TrainConfig(lr=5e-4, lr_decay_rate=1.0)
+    return cfg, tc
+
+
+def _torch_grads_tree(ref_model):
+    from nerfmlp_tpu.models.import_torch import params_from_torch_state_dict
+
+    return params_from_torch_state_dict(
+        {k: p.grad.detach().clone() for k, p in ref_model.named_parameters()}
+    )
+
+
+def test_training_loss_and_grad_parity_coarse_only(ref, shared_weights):
+    """Same weights + same ray batch, N_importance=0 (no importance
+    sampling): loss and every per-leaf gradient must agree ELEMENTWISE
+    between torch autograd and jax.grad — the pure wiring check
+    (measured: worst abs diff 1e-5, relF 1.1e-4)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import RenderConfig
+    from nerfmlp_tpu.models.import_tf import params_from_numpy
+    from nerfmlp_tpu.parallel.train_step import loss_and_metrics
+
+    ref_model, _, o, d, target = _train_parity_setup(ref, shared_weights)
+    renderer = ref.NeRFRenderer(
+        ref_model, torch.device("cpu"),
+        N_samples=32, N_importance=0, near=2.0, far=6.0,
+        white_bkgd=True, perturb=0.0, raw_noise_std=0.0,
+    )
+    rgb = renderer._render_rays(torch.from_numpy(o), torch.from_numpy(d))["rgb_map"]
+    loss_t = torch.mean((rgb - torch.from_numpy(target)) ** 2)
+    loss_t.backward()
+
+    cfg = RenderConfig(N_samples=32, N_importance=0, near=2.0, far=6.0,
+                       white_bkgd=True, perturb=False, raw_noise_std=0.0)
+    _, tc = _our_train_cfg()
+    params = {"coarse": params_from_numpy(shared_weights)}
+    batch = jnp.asarray(np.concatenate([o, d, target], axis=1))
+    (loss_j, _), grads_j = jax.value_and_grad(loss_and_metrics, has_aux=True)(
+        params, batch, jax.random.PRNGKey(0), cfg, tc
+    )
+    assert abs(float(loss_j) - float(loss_t)) < 1e-6
+
+    for name, leaf in _torch_grads_tree(ref_model).items():
+        for part in ("kernel", "bias"):
+            want = np.asarray(leaf[part])
+            got = np.asarray(grads_j["coarse"][name][part])
+            np.testing.assert_allclose(
+                got, want, atol=5e-5,
+                err_msg=f"grad mismatch at {name}.{part}",
+            )
+
+
+def test_training_grad_parity_hierarchical(ref, shared_weights):
+    """Full coarse+fine gradients vs torch. The deterministic inverse-CDF
+    importance samples depend continuously on the coarse MLP output, so
+    framework-level fp32 op-order noise (~2e-4 at the MLP output) shifts
+    the fine sample POSITIONS and perturbs gradients at FIRST order —
+    elementwise comparison is meaningless (torch vs torch with reordered
+    ops shows the same). Per-leaf direction + magnitude is the honest
+    check: relative Frobenius < 5e-2, cosine > 0.995 (measured: 2.1e-2
+    worst relF)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.models.import_tf import params_from_numpy
+    from nerfmlp_tpu.parallel.train_step import loss_and_metrics
+
+    ref_model, renderer, o, d, target = _train_parity_setup(ref, shared_weights)
+    rgb = renderer._render_rays(torch.from_numpy(o), torch.from_numpy(d))["rgb_map"]
+    loss_t = torch.mean((rgb - torch.from_numpy(target)) ** 2)
+    loss_t.backward()
+
+    cfg, tc = _our_train_cfg()
+    params = {"coarse": params_from_numpy(shared_weights)}
+    batch = jnp.asarray(np.concatenate([o, d, target], axis=1))
+    (loss_j, _), grads_j = jax.value_and_grad(loss_and_metrics, has_aux=True)(
+        params, batch, jax.random.PRNGKey(0), cfg, tc
+    )
+    assert abs(float(loss_j) - float(loss_t)) < 1e-5
+
+    for name, leaf in _torch_grads_tree(ref_model).items():
+        for part in ("kernel", "bias"):
+            want = np.asarray(leaf[part]).ravel()
+            got = np.asarray(grads_j["coarse"][name][part]).ravel()
+            nw = np.linalg.norm(want)
+            rel = np.linalg.norm(got - want) / max(nw, 1e-12)
+            cos = float(got @ want) / max(np.linalg.norm(got) * nw, 1e-24)
+            assert rel < 5e-2, f"{name}.{part}: relF {rel:.2e}"
+            assert cos > 0.995, f"{name}.{part}: cosine {cos:.5f}"
+
+
+def test_ten_step_cotraining_parity(ref, shared_weights):
+    """10 deterministic Adam steps in both frameworks: per-step losses
+    track each other and the final weights stay close in relative
+    Frobenius norm (elementwise max is meaningless after Adam's first
+    sign-descent-like step on near-zero grads)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nerfmlp_tpu.models.import_tf import params_from_numpy
+    from nerfmlp_tpu.parallel.train_step import (
+        loss_and_metrics, make_optimizer,
+    )
+
+    ref_model, renderer, o, d, target = _train_parity_setup(ref, shared_weights)
+    opt_t = torch.optim.Adam(ref_model.parameters(), lr=5e-4)
+    sched = torch.optim.lr_scheduler.StepLR(opt_t, step_size=250000, gamma=0.1)
+    tt = torch.from_numpy(target)
+
+    cfg, tc = _our_train_cfg()
+    params = {"coarse": params_from_numpy(shared_weights)}
+    opt_j = make_optimizer(tc)
+    opt_state = opt_j.init(params)
+    batch = jnp.asarray(np.concatenate([o, d, target], axis=1))
+
+    @jax.jit
+    def one_step(params, opt_state):
+        (loss, _), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
+            params, batch, jax.random.PRNGKey(0), cfg, tc
+        )
+        updates, opt_state = opt_j.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses_t, losses_j = [], []
+    for _ in range(10):
+        rgb = renderer._render_rays(
+            torch.from_numpy(o), torch.from_numpy(d)
+        )["rgb_map"]
+        loss_t = torch.mean((rgb - tt) ** 2)
+        opt_t.zero_grad()
+        loss_t.backward()
+        opt_t.step()
+        sched.step()
+        losses_t.append(float(loss_t))
+
+        params, opt_state, loss_j = one_step(params, opt_state)
+        losses_j.append(float(loss_j))
+
+    # Step 0 is tight (one render + one Adam step); later steps compound
+    # the sample-shift gradient noise through Adam's sign-descent-like
+    # first moments — measured divergence reaches ~2% by step 10.
+    assert abs(losses_j[0] - losses_t[0]) / losses_t[0] < 1e-3
+    np.testing.assert_allclose(losses_j, losses_t, rtol=5e-2)
+    # Losses must actually go DOWN (this is a real optimization step, not
+    # two frameworks agreeing on a no-op).
+    assert losses_t[-1] < losses_t[0] * 0.9
+    assert losses_j[-1] < losses_j[0] * 0.9
+
+    sd = ref_model.state_dict()
+    for name, leaf in params["coarse"].items():
+        torch_name = {
+            "bottleneck": "bottleneck_linear", "view": "view_linear",
+            "rgb": "rgb_linear", "sigma": "sigma_linear",
+        }.get(name, f"pts_linears.{name.split('_')[1]}" if name.startswith("pts_") else name)
+        want = sd[f"{torch_name}.weight"].numpy().T
+        got = np.asarray(leaf["kernel"])
+        rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-8)
+        # Measured: 3.8e-3 worst leaf after 10 steps (sample-shift noise
+        # through Adam); 1e-2 bounds it with margin while still failing
+        # on any real wiring bug (wrong lr/beta/loss shows up at >1e-1).
+        assert rel < 1e-2, f"{name}: relative Frobenius drift {rel:.2e}"
+
+
+def test_coarse_loss_variant_parity(ref, shared_weights):
+    """The official two-term loss (img_loss + img_loss0,
+    /root/reference/example/run_nerf.py:820-824) — our --coarse_loss
+    flag must produce the same total loss value."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.config import TrainConfig
+    from nerfmlp_tpu.models.import_tf import params_from_numpy
+    from nerfmlp_tpu.parallel.train_step import loss_and_metrics
+
+    ref_model, renderer, o, d, target = _train_parity_setup(ref, shared_weights)
+    out = renderer._render_rays(torch.from_numpy(o), torch.from_numpy(d))
+    tt = torch.from_numpy(target)
+    loss_t = (torch.mean((out["rgb_map"] - tt) ** 2)
+              + torch.mean((out["rgb_map_coarse"] - tt) ** 2))
+
+    cfg, tc = _our_train_cfg()
+    tc = TrainConfig(lr=5e-4, lr_decay_rate=1.0, coarse_loss=True)
+    params = {"coarse": params_from_numpy(shared_weights)}
+    batch = jnp.asarray(np.concatenate([o, d, target], axis=1))
+    loss_j, _ = loss_and_metrics(
+        params, batch, jax.random.PRNGKey(0), cfg, tc
+    )
+    assert abs(float(loss_j) - float(loss_t)) < 2e-5
