@@ -799,7 +799,7 @@ class Trainer:
                 )
                 del it[:drop]
 
-            if step % tc.log_interval == 0:
+            if tc.log_interval and step % tc.log_interval == 0:
                 m = jax.device_get(pending[0])
                 med_t = float(np.median(self.history["iteration_times"][-200:]))
                 if self._tb is not None:
@@ -816,7 +816,11 @@ class Trainer:
                     f"Time: {med_t * 1e3:.1f}ms (median)"
                 )
 
-            if step % tc.quick_val_interval == 0 and self.quick_val_ds is not None:
+            if (
+                tc.quick_val_interval
+                and step % tc.quick_val_interval == 0
+                and self.quick_val_ds is not None
+            ):  # interval 0 = never, like full_val_interval (r5)
                 self._quick_val_block(
                     step, iters, start_time,
                     float(run_loss), float(run_psnr), run_count,
@@ -849,7 +853,7 @@ class Trainer:
                     self._save_val_image(step)
                 t_prev = time.time()
 
-            if step % tc.ckpt_interval == 0:
+            if tc.ckpt_interval and step % tc.ckpt_interval == 0:
                 ckpt.save_checkpoint(
                     os.path.join(self.save_dir, f"model_{step}.ckpt"),
                     self.state.params,

@@ -102,6 +102,10 @@ _SLOW_TESTS = {
     # r4 worker health-probe tests: real 15s-retry / hang-wait sleeps.
     "test_wait_healthy_gives_up_on_erroring_backend",
     "test_wait_healthy_waits_out_a_hanging_probe",
+    # r5: trains BOTH frameworks (torch CPU + ours), ~1.5 min single-core.
+    "test_head_to_head_convergence_beats_reference",
+    # r5: subprocess SIGKILL/resume property loop, ~3 min.
+    "test_kill_and_resume_property",
 }
 
 
