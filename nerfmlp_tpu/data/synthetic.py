@@ -97,10 +97,17 @@ def _hard_density_color(pts: np.ndarray, xp=np):
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
 
     # (a) Checkered sphere: steep shell, near-binary checker albedo.
+    # Calibrated on-chip (r5): the first cut (w=40, radius-0.02 rods on a
+    # 0.45 grid, two-octave slab noise) put the golden config at 22.3 dB
+    # after 20k steps with a nearly flat trajectory (+1.25 dB from
+    # 3k->20k) — harder than the target band; these parameters land it
+    # in the reference's own 26-34 dB expectation regime while keeping
+    # all three stressors (thin rods ~8px, sharp checker edges, noise
+    # texture).
     r = xp.sqrt(x * x + y * y + z * z)
     s_sph = (f32(60.0) * xp.exp(-((r / f32(0.55)) ** 8))).astype(f32)
-    w = f32(40.0)
-    edge = xp.tanh(f32(6.0) * xp.sin(w * x) * xp.sin(w * y) * xp.sin(w * z))
+    w = f32(28.0)
+    edge = xp.tanh(f32(5.0) * xp.sin(w * x) * xp.sin(w * y) * xp.sin(w * z))
     t = (f32(0.5) + f32(0.5) * edge)[:, None].astype(f32)
     c_sph = t * np.array([0.9, 0.15, 0.1], f32) + (1 - t) * np.array(
         [0.95, 0.85, 0.1], f32
@@ -108,18 +115,18 @@ def _hard_density_color(pts: np.ndarray, xp=np):
     sigma = s_sph
     color_acc = s_sph[:, None] * c_sph
 
-    # (b) Thin vertical rods on a 0.45 grid, outside the sphere.
-    gx = (x + f32(1.125)) % f32(0.45) - f32(0.225)
-    gy = (y + f32(1.125)) % f32(0.45) - f32(0.225)
+    # (b) Thin vertical rods on a 0.6 grid, outside the sphere.
+    gx = (x + f32(1.125)) % f32(0.6) - f32(0.3)
+    gy = (y + f32(1.125)) % f32(0.6) - f32(0.3)
     d_rod = xp.sqrt(gx * gx + gy * gy)
     rod_core = f32(0.5) - f32(0.5) * xp.tanh(
-        (d_rod - f32(0.02)) * f32(400.0)
-    )  # ~1 inside radius 0.02, ~0 outside, ~5e-3 edge width
+        (d_rod - f32(0.03)) * f32(300.0)
+    )  # ~1 inside radius 0.03 (~8 px at 400^2), ~0 outside
     s_rod = (
         f32(160.0) * rod_core * (xp.abs(z) < 0.95) * (r > 0.62)
     ).astype(f32)
     stripe = (f32(0.5) + f32(0.5) * xp.tanh(
-        f32(4.0) * xp.sin(f32(50.0) * z)
+        f32(4.0) * xp.sin(f32(32.0) * z)
     )).astype(f32)
     c_rod = xp.stack(
         [f32(0.05) + f32(0.9) * stripe, f32(0.9) - f32(0.8) * stripe,
@@ -130,13 +137,13 @@ def _hard_density_color(pts: np.ndarray, xp=np):
 
     # (c) Textured ground slab with a sharp top edge.
     in_xy = (xp.abs(x) < 1.05) & (xp.abs(y) < 1.05)
-    edge_top = f32(0.5) - f32(0.5) * xp.tanh((z + f32(0.62)) * f32(200.0))
-    edge_bot = f32(0.5) + f32(0.5) * xp.tanh((z + f32(0.8)) * f32(200.0))
+    edge_top = f32(0.5) - f32(0.5) * xp.tanh((z + f32(0.62)) * f32(150.0))
+    edge_bot = f32(0.5) + f32(0.5) * xp.tanh((z + f32(0.8)) * f32(150.0))
     s_slab = (f32(120.0) * in_xy * edge_top * edge_bot).astype(f32)
     n1 = xp.sin(f32(13.7) * x + f32(1.3)) * xp.sin(f32(17.9) * y + f32(0.7))
     n2 = xp.sin(f32(31.4) * x - f32(2.1)) * xp.sin(f32(27.2) * y + f32(1.9))
     tex = xp.clip(
-        f32(0.55) + f32(0.3) * n1 + f32(0.15) * n2, 0.0, 1.0
+        f32(0.55) + f32(0.3) * n1 + f32(0.08) * n2, 0.0, 1.0
     ).astype(f32)
     c_slab = xp.stack(
         [tex, f32(0.55) * tex + f32(0.2), f32(0.35) + f32(0.25) * (1 - tex)],
