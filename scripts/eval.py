@@ -39,6 +39,10 @@ def main(argv=None):
                    help="write a JSON report here (default: <ckpt>.eval.json)")
     p.add_argument("--save_renders", type=str, default=None,
                    help="optional dir for the rendered PNGs")
+    p.add_argument("--lpips", action="store_true",
+                   help="also report LPIPS (needs the optional `lpips` "
+                        "package + pretrained weights; reported as null "
+                        "when unavailable)")
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=128)
     p.add_argument("--near", type=float, default=None)
@@ -96,6 +100,30 @@ def main(argv=None):
     if args.save_renders:
         os.makedirs(args.save_renders, exist_ok=True)
 
+    # LPIPS (reference benchmarking plan names PSNR/SSIM/LPIPS,
+    # GLSL_BENCHMARKING_PLAN.md:114-134, never executed there). Needs the
+    # `lpips` package + its pretrained AlexNet weights — skip gracefully
+    # when absent (this image has no lpips/torchvision and no egress).
+    lpips_fn = None
+    if args.lpips:
+        try:
+            import lpips as _lpips
+            import torch as _torch
+
+            _net = _lpips.LPIPS(net="alex")
+
+            def lpips_fn(a, b):
+                ta = _torch.from_numpy(
+                    (a.transpose(2, 0, 1)[None] * 2.0 - 1.0).astype(np.float32)
+                )
+                tb = _torch.from_numpy(
+                    (b.transpose(2, 0, 1)[None] * 2.0 - 1.0).astype(np.float32)
+                )
+                with _torch.no_grad():
+                    return float(_net(ta, tb))
+        except Exception as e:  # noqa: BLE001 — any import/weights failure
+            print(f"(LPIPS unavailable: {e} — reporting null)")
+
     per_view = []
     t0 = time.time()
     for i in range(ds.n_images):
@@ -104,8 +132,11 @@ def main(argv=None):
         img = render_frame(args, params, o, d, ds.H, ds.W, rc,
                            occ_grid=occ_grid, viewdirs=vd)
         view = {"view": i, "psnr": psnr_images(img, gt), "ssim": ssim(img, gt)}
+        if lpips_fn is not None:
+            view["lpips"] = lpips_fn(np.asarray(img), np.asarray(gt))
         per_view.append(view)
-        print(f"view {i:3d}: PSNR {view['psnr']:6.2f} dB | SSIM {view['ssim']:.4f}")
+        print(f"view {i:3d}: PSNR {view['psnr']:6.2f} dB | SSIM {view['ssim']:.4f}"
+              + (f" | LPIPS {view['lpips']:.4f}" if "lpips" in view else ""))
         if args.save_renders:
             save_png(os.path.join(args.save_renders, f"eval_{args.split}_{i}.png"), img)
     dt = time.time() - t0
@@ -116,6 +147,10 @@ def main(argv=None):
         "resolution": list(args.img_wh),
         "mean_psnr": float(np.mean([v["psnr"] for v in per_view])),
         "mean_ssim": float(np.nanmean([v["ssim"] for v in per_view])),
+        "mean_lpips": (
+            float(np.mean([v["lpips"] for v in per_view]))
+            if per_view and "lpips" in per_view[0] else None
+        ),
         "sec_per_frame": dt / max(ds.n_images, 1),
         "per_view": per_view,
         "config": {"N_samples": args.N_samples, "N_importance": args.N_importance,

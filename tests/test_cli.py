@@ -338,6 +338,28 @@ def test_eval_cli(cli_scene, trained, tmp_path):
     assert os.path.exists(str(tmp_path / "eval.json"))
 
 
+def test_eval_cli_lpips_degrades_gracefully(cli_scene, trained, tmp_path):
+    """--lpips without the optional `lpips` package (this image has none
+    and no egress to fetch weights): the eval must complete and report
+    mean_lpips as null, not crash."""
+    from scripts.eval import main as eval_main
+
+    report = eval_main([
+        "--datadir", cli_scene, "--split", "test", "--img_wh", "32", "32",
+        "--ckpt", os.path.join(trained, "model_final.ckpt"),
+        "--out", str(tmp_path / "eval_lpips.json"),
+        "--N_samples", "8", "--N_importance", "8", "--no_pallas",
+        "--compute_dtype", "float32", "--tile", "256", "--lpips",
+    ])
+    assert np.isfinite(report["mean_psnr"])
+    try:
+        import lpips  # noqa: F401
+
+        assert report["mean_lpips"] is not None
+    except ImportError:
+        assert report["mean_lpips"] is None
+
+
 def test_eval_cli_shard_render(cli_scene, trained, tmp_path):
     """--shard_render (utils/cli.py::render_frame): the same eval over the
     8-fake-device mesh reproduces the local renderer's per-view metrics
