@@ -9,7 +9,11 @@ Preprocessing parity with nerfmlp/data.py:24-104:
   * all rays for all images pre-generated on host and flattened
     (data.py:76-94) — kept, because the whole Lego ray pool at 800^2 is
     ~1.2 GB of host RAM and streaming shuffled batches from it is exactly
-    the access pattern TPU input pipelines want.
+    the access pattern TPU input pipelines want. MEASURED at full scale
+    (r5, docs/RESULTS.md "800x800 full-scale run"): a 64-view 800^2 pool
+    (40.96M rays, ~1.5 GB) sits device-resident through the device pool
+    for a 50k-step certified-recipe run — 2.5 ms/iter median dispatch,
+    flat host RSS, full-val 43.9 dB.
 
 This is a plain-numpy class (no torch Dataset): batching is done by
 :class:`nerfmlp_tpu.data.pipeline.RayBatchLoader`.
