@@ -106,8 +106,8 @@ def _hard_density_color(pts: np.ndarray, xp=np):
     # texture).
     r = xp.sqrt(x * x + y * y + z * z)
     s_sph = (f32(60.0) * xp.exp(-((r / f32(0.55)) ** 8))).astype(f32)
-    w = f32(28.0)
-    edge = xp.tanh(f32(5.0) * xp.sin(w * x) * xp.sin(w * y) * xp.sin(w * z))
+    w = f32(16.0)
+    edge = xp.tanh(f32(4.0) * xp.sin(w * x) * xp.sin(w * y) * xp.sin(w * z))
     t = (f32(0.5) + f32(0.5) * edge)[:, None].astype(f32)
     c_sph = t * np.array([0.9, 0.15, 0.1], f32) + (1 - t) * np.array(
         [0.95, 0.85, 0.1], f32
@@ -126,7 +126,7 @@ def _hard_density_color(pts: np.ndarray, xp=np):
         f32(160.0) * rod_core * (xp.abs(z) < 0.95) * (r > 0.62)
     ).astype(f32)
     stripe = (f32(0.5) + f32(0.5) * xp.tanh(
-        f32(4.0) * xp.sin(f32(32.0) * z)
+        f32(4.0) * xp.sin(f32(20.0) * z)
     )).astype(f32)
     c_rod = xp.stack(
         [f32(0.05) + f32(0.9) * stripe, f32(0.9) - f32(0.8) * stripe,
