@@ -106,7 +106,7 @@ def _hard_density_color(pts: np.ndarray, xp=np):
     # texture).
     r = xp.sqrt(x * x + y * y + z * z)
     s_sph = (f32(60.0) * xp.exp(-((r / f32(0.55)) ** 8))).astype(f32)
-    w = f32(16.0)
+    w = f32(20.0)
     edge = xp.tanh(f32(4.0) * xp.sin(w * x) * xp.sin(w * y) * xp.sin(w * z))
     t = (f32(0.5) + f32(0.5) * edge)[:, None].astype(f32)
     c_sph = t * np.array([0.9, 0.15, 0.1], f32) + (1 - t) * np.array(
@@ -116,14 +116,14 @@ def _hard_density_color(pts: np.ndarray, xp=np):
     color_acc = s_sph[:, None] * c_sph
 
     # (b) Thin vertical rods on a 0.6 grid, outside the sphere.
-    gx = (x + f32(1.125)) % f32(0.6) - f32(0.3)
-    gy = (y + f32(1.125)) % f32(0.6) - f32(0.3)
+    gx = (x + f32(1.35)) % f32(0.9) - f32(0.45)
+    gy = (y + f32(1.35)) % f32(0.9) - f32(0.45)
     d_rod = xp.sqrt(gx * gx + gy * gy)
     rod_core = f32(0.5) - f32(0.5) * xp.tanh(
         (d_rod - f32(0.03)) * f32(300.0)
     )  # ~1 inside radius 0.03 (~8 px at 400^2), ~0 outside
     s_rod = (
-        f32(160.0) * rod_core * (xp.abs(z) < 0.95) * (r > 0.62)
+        f32(160.0) * rod_core * (xp.abs(z) < 0.85) * (r > 0.62)
     ).astype(f32)
     stripe = (f32(0.5) + f32(0.5) * xp.tanh(
         f32(4.0) * xp.sin(f32(20.0) * z)

@@ -229,12 +229,12 @@ class TestHardField:
         from nerfmlp_tpu.data.synthetic import _hard_density_color
 
         # Horizontal probe along a rod row (rods sit where
-        # (y+1.125) % 0.6 == 0.3, e.g. y=0.375; z=0.8 keeps r > 0.62).
+        # (y+1.35) % 0.9 == 0.45, e.g. y=0; z=0.8 keeps r > 0.62).
         x = np.linspace(-1.1, 1.1, 4096, dtype=np.float32)
-        line = np.stack([x, np.full_like(x, 0.375), np.full_like(x, 0.8)], -1)
+        line = np.stack([x, np.zeros_like(x), np.full_like(x, 0.8)], -1)
         s, _ = _hard_density_color(line)
         crossings = int(np.sum(np.diff(s > 50.0).astype(np.int32) != 0))
-        assert crossings >= 6, f"expected >=3 rods on the probe, {crossings=}"
+        assert crossings >= 4, f"expected >=2 rods on the probe, {crossings=}"
 
         # Albedo flips at sub-0.4-world-unit scale inside the sphere
         # (y=0.1, z=0.3 sit near the checker's antinodes for w=16;
