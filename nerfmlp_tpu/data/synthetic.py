@@ -80,30 +80,32 @@ def _hard_density_color(pts: np.ndarray, xp=np):
     Contents, all inside |x| < 1.2 (same AABB as the default scene so the
     occupancy-grid protocol carries over unchanged):
       * a checkered sphere (r 0.55) — 3-D checker albedo with steep tanh
-        edges (w=40: half-period ~0.08 world units ~ 11 px from the
+        edges (w=20: half-period ~0.16 world units ~ 22 px from the
         radius-4 cameras at 400^2),
-      * a lattice of thin vertical rods (radius 0.02 ~ 5 px diameter) on
-        a 0.45 grid with high-frequency stripe coloring — the classic
-        thin-structure stressor,
+      * thin vertical rods (radius 0.03 ~ 8 px diameter) on a 0.9 grid
+        with striped coloring — the classic thin-structure stressor,
       * a ground slab with two-octave sinusoid "noise" texture and a
-        sharp-edged top surface for hard shadow-like occlusion boundaries.
+        sharp-edged top surface for hard occlusion boundaries.
 
-    Edges use steep-but-finite transitions (tanh, pow-8 shells) so the
-    ground truth stays near-band-limited: the benchmark's difficulty is
-    the content, not sampling noise in the GT renderer.
+    The parameters are the product of an on-chip calibration loop (r5,
+    five golden-config runs; docs/RESULTS.md "hard-scene certification"):
+    v1 (w=40, 16 radius-0.02 rods, AA2 ground truth) measured 21.1 dB at
+    3k steps / 22.3 at 20k with a flat trajectory; the error map showed
+    ~all residual on ROD SILHOUETTES — silhouette error scales with rod
+    count x edge length, not edge sharpness, and the AA2 ground truth
+    additionally imposed a 29.1 dB point-sampling ceiling a PERFECT model
+    cannot beat (measured; aa=1 GT is exactly 3D-consistent and removes
+    it). Softening texture alone (v2-v4: w 40->16, thicker rods) moved
+    <2 dB; halving the rod count (0.6 -> 0.9 grid, v5) moved +2.8 dB.
+    Final calibration: golden = 25.7 dB @ 3k, 26.8 @ 10k, ~27.5 @ 20k.
+    Generate with aa=1 and n_samples=512 (thin geometry needs the dense
+    GT march).
     """
     f32 = np.float32
     pts = pts.astype(f32)
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
 
     # (a) Checkered sphere: steep shell, near-binary checker albedo.
-    # Calibrated on-chip (r5): the first cut (w=40, radius-0.02 rods on a
-    # 0.45 grid, two-octave slab noise) put the golden config at 22.3 dB
-    # after 20k steps with a nearly flat trajectory (+1.25 dB from
-    # 3k->20k) — harder than the target band; these parameters land it
-    # in the reference's own 26-34 dB expectation regime while keeping
-    # all three stressors (thin rods ~8px, sharp checker edges, noise
-    # texture).
     r = xp.sqrt(x * x + y * y + z * z)
     s_sph = (f32(60.0) * xp.exp(-((r / f32(0.55)) ** 8))).astype(f32)
     w = f32(20.0)
