@@ -117,7 +117,7 @@ def _hard_density_color(pts: np.ndarray, xp=np):
     sigma = s_sph
     color_acc = s_sph[:, None] * c_sph
 
-    # (b) Thin vertical rods on a 0.6 grid, outside the sphere.
+    # (b) Thin vertical rods on a 0.9 grid, outside the sphere.
     gx = (x + f32(1.35)) % f32(0.9) - f32(0.45)
     gy = (y + f32(1.35)) % f32(0.9) - f32(0.45)
     d_rod = xp.sqrt(gx * gx + gy * gy)
