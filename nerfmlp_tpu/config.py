@@ -96,6 +96,15 @@ class RenderConfig:
     # the EMA'd grid changes far slower than the weights — and saves the
     # amortized 262k-point refresh: +5-6% train throughput, docs/RESULTS.md)
     occ_threshold: float = 1e-2   # density -> occupied cutoff
+    occ_warmup_steps: int = 1024  # refreshes before this step use decay=1.0
+    # (no pruning): the grid's init density otherwise decays below
+    # threshold in ~14 refreshes (~900 steps at every=64), and content the
+    # model has not yet learned — thin structure emerges around 3k steps
+    # on the hard benchmark — gets pruned before it exists, a death
+    # spiral (pruned -> never sampled -> never learned). r5, measured:
+    # without warmup the certified recipe collapses 27.3 -> 16.8 dB on
+    # the thin-rod scene. Raise toward the content's emergence time for
+    # hard scenes (4096 recommended); harmless on smooth ones.
 
     @property
     def input_ch(self) -> int:

@@ -53,16 +53,15 @@ def make_multi_scene_grid_update(rc: RenderConfig, mesh: Mesh, axis: str = "data
     """Jitted per-scene grid refresh over the stacked states/grids."""
     from nerfmlp_tpu.ops.occupancy import update_grid
 
-    def one(grid, params, rng):
-        return update_grid(grid, params, rc, rng)
-
-    def local(grid_stack, params_stack, rng_stack):
-        return jax.vmap(one)(grid_stack, params_stack, rng_stack)
+    def local(grid_stack, params_stack, rng_stack, decay):
+        return jax.vmap(
+            lambda g, p, r: update_grid(g, p, rc, r, decay=decay)
+        )(grid_stack, params_stack, rng_stack)
 
     sharded = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P()),
         out_specs=P(axis),
         check_vma=False,
     )
@@ -204,13 +203,14 @@ def make_multi_scene_dp_grid_update(rc: RenderConfig, mesh: Mesh):
     (the 2-D counterpart of :func:`make_multi_scene_grid_update`)."""
     from nerfmlp_tpu.ops.occupancy import update_grid
 
-    def upd(grid_stack, params_stack, rng_stack):
+    def upd(grid_stack, params_stack, rng_stack, decay):
         return jax.vmap(
-            lambda g, p, r: update_grid(g, p, rc, r)
+            lambda g, p, r: update_grid(g, p, rc, r, decay=decay)
         )(grid_stack, params_stack, rng_stack)
 
     sh = NamedSharding(mesh, P("scene"))
+    rep = NamedSharding(mesh, P())
     return jax.jit(
-        upd, in_shardings=(sh, sh, sh), out_shardings=sh,
+        upd, in_shardings=(sh, sh, sh, rep), out_shardings=sh,
         donate_argnums=(0,),
     )

@@ -740,10 +740,15 @@ class Trainer:
             occ_args = ()
             if self.occ_grid is not None:
                 if (s - 1) % self.rc.occ_update_every == 0:
+                    # decay=1.0 during warmup: cells only accumulate, so
+                    # the whole box stays sampled until the model has had
+                    # a chance to place density (occ_warmup_steps doc in
+                    # config.py — prevents the thin-structure pruning
+                    # death spiral, measured -10.5 dB on the hard scene).
                     self.occ_grid = self._occ_update(
                         self.occ_grid, self.state.params,
                         jax.random.fold_in(jax.random.PRNGKey(17), s),
-                        0.95,
+                        1.0 if s <= self.rc.occ_warmup_steps else 0.95,
                     )
                 occ_args = (self.occ_grid,)
             if pool_active:

@@ -304,6 +304,13 @@ def build_parser():
                         "pass with a cached density grid (requires --aabb)")
     p.add_argument("--occ_grid_size", type=int, default=64)
     p.add_argument("--occ_update_every", type=int, default=64)
+    p.add_argument("--occ_warmup_steps", type=int, default=1024,
+                   help="grid refreshes before this step never prune "
+                        "(decay=1.0): prevents the thin-structure death "
+                        "spiral — content the model has not learned yet "
+                        "gets pruned and then can never be sampled. Raise "
+                        "toward the content's emergence time (~4096) for "
+                        "thin/high-frequency scenes")
     p.add_argument("--occ_dense_samples", type=int, default=128,
                    help="grid-scored depths per ray before the inverse-CDF "
                         "draw (no MLP cost; 64 is the bf16 'turbo' recipe — "
@@ -458,6 +465,7 @@ def main(argv=None):
         use_occupancy=args.use_occupancy,
         occ_grid_size=args.occ_grid_size,
         occ_update_every=args.occ_update_every,
+        occ_warmup_steps=args.occ_warmup_steps,
         occ_dense_samples=args.occ_dense_samples,
     )
     tc = TrainConfig(

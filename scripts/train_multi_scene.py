@@ -213,7 +213,10 @@ def main(argv=None):
                     ),
                     shard,
                 )
-                grids = grid_update(grids, state.params, rngs)
+                grids = grid_update(
+                    grids, state.params, rngs,
+                    jnp.float32(1.0 if it <= rc.occ_warmup_steps else 0.95),
+                )
             extra = (grids,)
         state, metrics = step(
             state, jax.device_put(jnp.asarray(batch), batch_shard),

@@ -101,7 +101,7 @@ def test_multi_scene_with_occupancy():
         jax.vmap(jax.random.PRNGKey)(jnp.arange(8, dtype=jnp.uint32)),
         scene_sharding(mesh),
     )
-    grids = upd(grids, state.params, rngs)
+    grids = upd(grids, state.params, rngs, jnp.float32(0.95))
     assert jax.tree.leaves(grids)[0].shape == (8, 8, 8, 8)
 
     step = make_multi_scene_step(rc, tc, mesh)
@@ -309,7 +309,8 @@ def test_dp_2d_mesh_with_occupancy_matches_unsharded():
     state = jax.device_put(create_multi_scene_state(2, rc, tc), state_sh)
     grids = jax.device_put(create_multi_scene_grids(2, rc), state_sh)
     upd = make_multi_scene_dp_grid_update(rc, mesh)
-    grids = upd(grids, state.params, jax.device_put(rngs, state_sh))
+    grids = upd(grids, state.params, jax.device_put(rngs, state_sh),
+                jnp.float32(0.95))
     np.testing.assert_allclose(
         np.asarray(grids.density), np.asarray(ref_grids.density), atol=1e-5
     )
