@@ -98,13 +98,16 @@ class RenderConfig:
     occ_threshold: float = 1e-2   # density -> occupied cutoff
     occ_warmup_steps: int = 1024  # refreshes before this step use decay=1.0
     # (no pruning): the grid's init density otherwise decays below
-    # threshold in ~14 refreshes (~900 steps at every=64), and content the
-    # model has not yet learned — thin structure emerges around 3k steps
-    # on the hard benchmark — gets pruned before it exists, a death
-    # spiral (pruned -> never sampled -> never learned). r5, measured:
-    # without warmup the certified recipe collapses 27.3 -> 16.8 dB on
-    # the thin-rod scene. Raise toward the content's emergence time for
-    # hard scenes (4096 recommended); harmless on smooth ones.
+    # threshold in ~14 refreshes (~900 steps at every=64) — before the
+    # model has placed density anywhere — so slow-to-emerge content risks
+    # being pruned and then never sampled (the NerfAcc-style guard).
+    # Honest r5 measurement on the hard thin-rod scene: the occ-16+48
+    # collapse there is NOT this spiral — warmup 4096 and a 128^3 grid
+    # both measured neutral (16.8 -> 16.7/16.8 dB); the binding constraint
+    # is the PROBE BUDGET (16 uniform probes miss thin content on ~24% of
+    # content rays vs 6% at 64; docs/RESULTS.md). Warmup stays as cheap
+    # insurance for content the model learns late; it cannot substitute
+    # for samples.
 
     @property
     def input_ch(self) -> int:

@@ -743,8 +743,7 @@ class Trainer:
                     # decay=1.0 during warmup: cells only accumulate, so
                     # the whole box stays sampled until the model has had
                     # a chance to place density (occ_warmup_steps doc in
-                    # config.py — prevents the thin-structure pruning
-                    # death spiral, measured -10.5 dB on the hard scene).
+                    # config.py for what this does and does NOT fix).
                     self.occ_grid = self._occ_update(
                         self.occ_grid, self.state.params,
                         jax.random.fold_in(jax.random.PRNGKey(17), s),

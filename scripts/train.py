@@ -306,11 +306,12 @@ def build_parser():
     p.add_argument("--occ_update_every", type=int, default=64)
     p.add_argument("--occ_warmup_steps", type=int, default=1024,
                    help="grid refreshes before this step never prune "
-                        "(decay=1.0): prevents the thin-structure death "
-                        "spiral — content the model has not learned yet "
-                        "gets pruned and then can never be sampled. Raise "
-                        "toward the content's emergence time (~4096) for "
-                        "thin/high-frequency scenes")
+                        "(decay=1.0): guards content the model has not "
+                        "placed density on yet from being pruned and then "
+                        "never sampled (NerfAcc-style). Insurance, not a "
+                        "substitute for samples — thin content needs the "
+                        "probe budget (see docs/RESULTS.md hard-scene "
+                        "certification)")
     p.add_argument("--occ_dense_samples", type=int, default=128,
                    help="grid-scored depths per ray before the inverse-CDF "
                         "draw (no MLP cost; 64 is the bf16 'turbo' recipe — "

@@ -242,10 +242,11 @@ def test_missing_grid_raises_not_silent_fallback():
 
 def test_occ_warmup_decay_schedule(synthetic_scene, tmp_path):
     """Refreshes at steps <= occ_warmup_steps must use decay=1.0 (no
-    pruning) and later refreshes 0.95 (r5: without the warmup, content
-    the model has not learned yet — thin structure — is pruned before it
-    exists and can then never be sampled; measured -10.5 dB on the hard
-    benchmark scene)."""
+    pruning) and later refreshes 0.95 (r5: the NerfAcc-style guard
+    against pruning content the model has not placed density on yet;
+    see config.py's occ_warmup_steps doc for what it does and does not
+    fix — the hard-scene occ collapse is probe-budget-bound, not
+    pruning-bound)."""
     from nerfmlp_tpu.data.blender import BlenderDataset
     from nerfmlp_tpu.train.loop import Trainer
 
