@@ -96,6 +96,17 @@ class RenderConfig:
     # the EMA'd grid changes far slower than the weights — and saves the
     # amortized 262k-point refresh: +5-6% train throughput, docs/RESULTS.md)
     occ_threshold: float = 1e-2   # density -> occupied cutoff
+    occ_one_shot: bool = False    # r4 behavior: draw ALL N_samples +
+    # N_importance depths from the grid prior in one pass. The r5 default
+    # is HIERARCHICAL occupancy: N_samples grid-guided probes -> composite
+    # -> importance-resample N_importance from the probes' actual
+    # compositing weights -> merge (same total MLP evals — the merge
+    # queries only the new depths). One-shot sampling spreads depths over
+    # ALL occupied cells along the ray, which starves thin structure at
+    # any budget (measured: 16.8 dB vs golden 27.3 on the hard scene,
+    # budget-independent); the probe weights re-concentrate the
+    # N_importance samples on the surfaces the ray actually sees. Pass
+    # --occ_one_shot to reproduce r4-protocol renders exactly.
     occ_warmup_steps: int = 1024  # refreshes before this step use decay=1.0
     # (no pruning): the grid's init density otherwise decays below
     # threshold in ~14 refreshes (~900 steps at every=64) — before the

@@ -254,20 +254,55 @@ def render_rays(
         # path's w[1:-1] convention would drop surfaces at the interval
         # boundaries, exactly the rays an aabb-tightened near/far creates).
         w_int = 0.5 * (w[..., 1:] + w[..., :-1])
-        n_total = cfg.N_samples + cfg.N_importance
-        # stratified=True yields monotone samples -> no per-ray sort.
-        z_vals = sample_pdf(
-            k_pdf, z_dense, w_int, n_total,
-            det=not cfg.perturb, stratified=True,
-        )
-        z_vals = jax.lax.stop_gradient(z_vals)
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        # Occupancy mode runs ONE network. With separate_fine that is the
-        # fine net (it renders the final image and is also the grid's
-        # density source, ops/occupancy.py::update_grid); the coarse net is
+        # With separate_fine the single occupancy network is the FINE net
+        # (it renders the final image and is also the grid's density
+        # source, ops/occupancy.py::update_grid); the coarse net is
         # unused — its whole job was sample placement, now the grid's.
         net, is_fine = _final_net(params, cfg)
-        raw = _query_mlp(net, pts, viewdirs_enc_pre, cfg, fine=is_fine)
+        one_shot = cfg.occ_one_shot or cfg.N_importance <= 0
+        if one_shot:
+            # r4 protocol: ALL depths from the grid prior, one MLP pass.
+            n_total = cfg.N_samples + cfg.N_importance
+            # stratified=True yields monotone samples -> no per-ray sort.
+            z_vals = sample_pdf(
+                k_pdf, z_dense, w_int, n_total,
+                det=not cfg.perturb, stratified=True,
+            )
+            z_vals = jax.lax.stop_gradient(z_vals)
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+            raw = _query_mlp(net, pts, viewdirs_enc_pre, cfg, fine=is_fine)
+        else:
+            # r5 default — HIERARCHICAL occupancy, same total MLP evals:
+            # the grid places N_samples probes in occupied space, the
+            # probes' actual compositing weights place the N_importance
+            # refinement samples on the surfaces the ray sees (one-shot
+            # grid sampling spreads depths over ALL occupied cells, which
+            # starves thin structure at any budget — docs/RESULTS.md
+            # hard-scene root-cause table).
+            k_pdf_a = k_pdf_b = None
+            if k_pdf is not None:
+                k_pdf_a, k_pdf_b = jax.random.split(k_pdf)
+            z_probe = sample_pdf(
+                k_pdf_a, z_dense, w_int, cfg.N_samples,
+                det=not cfg.perturb, stratified=True,
+            )
+            z_probe = jax.lax.stop_gradient(z_probe)
+            pts_p = rays_o[:, None, :] + rays_d[:, None, :] * z_probe[..., None]
+            raw_p = _query_mlp(net, pts_p, viewdirs_enc_pre, cfg, fine=is_fine)
+            probe = composite_rays(
+                raw_p, z_probe, rays_d,
+                rng=k_noise_c, raw_noise_std=cfg.raw_noise_std,
+                white_bkgd=cfg.white_bkgd,
+            )
+            z_mids = 0.5 * (z_probe[..., 1:] + z_probe[..., :-1])
+            z_new = sample_pdf(
+                k_pdf_b, z_mids, probe["weights"][..., 1:-1],
+                cfg.N_importance, det=not cfg.perturb,
+            )
+            z_new = jax.lax.stop_gradient(z_new)
+            pts_n = rays_o[:, None, :] + rays_d[:, None, :] * z_new[..., None]
+            raw_n = _query_mlp(net, pts_n, viewdirs_enc_pre, cfg, fine=is_fine)
+            z_vals, raw = _merge_by_depth(z_probe, raw_p, z_new, raw_n)
         out = composite_rays(
             raw, z_vals, rays_d,
             rng=k_noise_f, raw_noise_std=cfg.raw_noise_std,

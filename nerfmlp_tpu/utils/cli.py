@@ -70,6 +70,12 @@ def add_occupancy_flags(p) -> None:
                    help="scene box for --use_occupancy")
     p.add_argument("--occ_grid_size", type=int, default=64)
     p.add_argument("--occ_dense_samples", type=int, default=128)
+    p.add_argument("--occ_one_shot", action="store_true",
+                   help="r4 occupancy protocol: draw every depth from the "
+                        "grid prior in one pass (the r5 default is "
+                        "hierarchical — grid-guided probes + importance "
+                        "resampling at the same MLP cost; see "
+                        "RenderConfig.occ_one_shot)")
 
 
 def occupancy_fields(args) -> dict:
@@ -79,6 +85,7 @@ def occupancy_fields(args) -> dict:
         "aabb": tuple(args.aabb) if args.aabb else None,
         "occ_grid_size": args.occ_grid_size,
         "occ_dense_samples": args.occ_dense_samples,
+        "occ_one_shot": args.occ_one_shot,
     }
 
 

@@ -303,6 +303,11 @@ def build_parser():
                    help="occupancy-grid sampling: replaces the coarse MLP "
                         "pass with a cached density grid (requires --aabb)")
     p.add_argument("--occ_grid_size", type=int, default=64)
+    p.add_argument("--occ_one_shot", action="store_true",
+                   help="r4 occupancy protocol: every depth from the grid "
+                        "prior in one pass (default r5: hierarchical — "
+                        "grid probes + importance resampling, same MLP "
+                        "cost; RenderConfig.occ_one_shot)")
     p.add_argument("--occ_update_every", type=int, default=64)
     p.add_argument("--occ_warmup_steps", type=int, default=1024,
                    help="grid refreshes before this step never prune "
@@ -465,6 +470,7 @@ def main(argv=None):
         aabb=tuple(args.aabb) if args.aabb else None,
         use_occupancy=args.use_occupancy,
         occ_grid_size=args.occ_grid_size,
+        occ_one_shot=args.occ_one_shot,
         occ_update_every=args.occ_update_every,
         occ_warmup_steps=args.occ_warmup_steps,
         occ_dense_samples=args.occ_dense_samples,
