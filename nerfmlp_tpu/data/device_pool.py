@@ -80,7 +80,16 @@ class DeviceRayPool:
 
         def shuffle(flat: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
             perm = jax.random.permutation(key, flat.shape[0])[:n_use]
-            return jnp.take(flat, perm, axis=0).reshape(spe, batch_size, feat)
+            # flat[perm], NOT jnp.take: on the TPU backend the jitted
+            # permutation+take MISCOMPILES at mid-size pools (r5,
+            # 2026-08-20, measured: 1.92M and 2.56M rows x 9 feats
+            # fabricate thousands of NaNs from clean inputs — every
+            # training config at 200^2-pool sizes diverged at step 1 —
+            # while 0.48M and 7.68M are clean; the permutation itself is
+            # valid, and bracket indexing at the same shapes is bit-exact
+            # against a host-computed pool[perm] at ALL sizes;
+            # tools/pool_miscompile_probe.py reproduces it standalone).
+            return flat[perm].reshape(spe, batch_size, feat)
 
         kwargs = {}
         if stack_sharding is not None:

@@ -280,3 +280,26 @@ def test_device_pool_scan_occupancy_refresh_cadence(synthetic_scene,
     assert len(f1) == len(f5) == 3  # steps 1, 11, 21
     for x, y in zip(f1, f5):
         np.testing.assert_array_equal(x, y)
+
+
+def test_epoch_shuffle_matches_host_truth():
+    """The pool's jitted epoch shuffle must equal pool[perm] computed on
+    host — bit-exact (r5: the jnp.take formulation MISCOMPILED on the TPU
+    backend at mid-size pools, fabricating NaNs from clean inputs and
+    NaN-ing every 200^2-class training at step 1; the bracket-index
+    formulation validated clean at all probed sizes;
+    tools/pool_miscompile_probe.py). On CPU both forms are fine — this
+    test pins the formulation's SEMANTICS; the standalone probe guards
+    the backend."""
+    import jax
+
+    n, B, F = 10_240, 256, 9
+    rng = np.random.default_rng(3)
+    pool_h = rng.uniform(0.1, 1.0, size=(n, F)).astype(np.float32)
+    p = DeviceRayPool(pool_h, batch_size=B, seed=5)
+    stack = np.asarray(p.ensure_epoch(2))
+    key = jax.random.fold_in(jax.random.PRNGKey(5), 2)
+    perm = np.asarray(jax.random.permutation(key, n))[: (n // B) * B]
+    want = pool_h[perm].reshape(n // B, B, F)
+    np.testing.assert_array_equal(stack, want)
+    assert not np.isnan(stack).any()
