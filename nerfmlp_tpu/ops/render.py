@@ -197,9 +197,16 @@ def render_rays(
     n_rays = rays_o.shape[0]
     near = cfg.near if near is None else near
     far = cfg.far if far is None else far
+    far_cap = None
     if cfg.aabb is not None:
         from nerfmlp_tpu.ops.rays import intersect_aabb
 
+        # Under tightening, the last sample sits at the box EXIT, not
+        # scene infinity — cap its interval at the pre-tightening far so
+        # beyond-box space contributes nothing instead of amplifying
+        # boundary density noise through the reference's 1e10 convention
+        # (composite_rays docstring; measured -4.2 dB without it, r5).
+        far_cap = far
         # Tighten within the RESOLVED bounds so explicit near/far overrides
         # (zoom/look-at tooling) are respected, not cfg's globals.
         near, far = intersect_aabb(
@@ -292,7 +299,7 @@ def render_rays(
             probe = composite_rays(
                 raw_p, z_probe, rays_d,
                 rng=k_noise_c, raw_noise_std=cfg.raw_noise_std,
-                white_bkgd=cfg.white_bkgd,
+                white_bkgd=cfg.white_bkgd, far_cap=far_cap,
             )
             z_mids = 0.5 * (z_probe[..., 1:] + z_probe[..., :-1])
             z_new = sample_pdf(
@@ -306,7 +313,7 @@ def render_rays(
         out = composite_rays(
             raw, z_vals, rays_d,
             rng=k_noise_f, raw_noise_std=cfg.raw_noise_std,
-            white_bkgd=cfg.white_bkgd,
+            white_bkgd=cfg.white_bkgd, far_cap=far_cap,
         )
         return {
             "rgb_map": out["rgb_map"],
@@ -326,7 +333,7 @@ def render_rays(
     coarse = composite_rays(
         raw, z_vals, rays_d,
         rng=k_noise_c, raw_noise_std=cfg.raw_noise_std,
-        white_bkgd=cfg.white_bkgd,
+        white_bkgd=cfg.white_bkgd, far_cap=far_cap,
     )
 
     if cfg.N_importance <= 0:
@@ -375,7 +382,7 @@ def render_rays(
     fine = composite_rays(
         raw_fine, z_vals_fine, rays_d,
         rng=k_noise_f, raw_noise_std=cfg.raw_noise_std,
-        white_bkgd=cfg.white_bkgd,
+        white_bkgd=cfg.white_bkgd, far_cap=far_cap,
     )
 
     return {
