@@ -79,3 +79,42 @@ def test_direction_norm_scales_alpha():
     w1 = float(composite_rays(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(d1))["weights"][0, 0])
     w2 = float(composite_rays(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(d2))["weights"][0, 0])
     assert w2 > w1
+
+
+def test_far_cap_bounds_last_interval():
+    """far_cap replaces the reference's semi-infinite last dist with
+    (far_cap - z_last): trailing density then contributes alpha
+    1-exp(-sigma*(far-z_last)) instead of 1.0 (r5 — under AABB
+    tightening the 1e10 convention turned boundary density noise into an
+    opaque backdrop, measured -4.2 dB; render.py passes the
+    pre-tightening far)."""
+    import jax.numpy as jnp
+
+    from nerfmlp_tpu.ops.integrate import composite_rays
+
+    z = jnp.asarray([[1.0, 2.0, 3.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    # Only the LAST sample carries density; rgb logit 0 -> sigmoid 0.5.
+    raw = jnp.zeros((1, 3, 4)).at[0, 2, 3].set(2.0)
+
+    ref = composite_rays(raw, z, d, white_bkgd=True)
+    capped = composite_rays(raw, z, d, white_bkgd=True, far_cap=3.5)
+    # 1e10 convention: the last sample composites fully (alpha ~ 1).
+    np.testing.assert_allclose(float(ref["acc_map"][0]), 1.0, atol=1e-5)
+    # Capped: alpha = 1 - exp(-2.0 * 0.5).
+    want = 1.0 - np.exp(-2.0 * 0.5)
+    np.testing.assert_allclose(float(capped["acc_map"][0]), want, rtol=1e-5)
+
+    # Per-ray caps broadcast; a cap at/below z_last zeroes the interval.
+    capped2 = composite_rays(
+        raw, jnp.tile(z, (2, 1)), jnp.tile(d, (2, 1)), white_bkgd=True,
+        far_cap=jnp.asarray([3.5, 3.0]),
+    )
+    np.testing.assert_allclose(float(capped2["acc_map"][0]), want, rtol=1e-5)
+    np.testing.assert_allclose(float(capped2["acc_map"][1]), 0.0, atol=1e-6)
+
+    # far_cap=None preserves the reference semantics bit-for-bit.
+    again = composite_rays(raw, z, d, white_bkgd=True, far_cap=None)
+    np.testing.assert_array_equal(
+        np.asarray(ref["rgb_map"]), np.asarray(again["rgb_map"])
+    )
