@@ -124,8 +124,15 @@ def _hard_density_color(pts: np.ndarray, xp=np):
     rod_core = f32(0.5) - f32(0.5) * xp.tanh(
         (d_rod - f32(0.03)) * f32(300.0)
     )  # ~1 inside radius 0.03 (~8 px at 400^2), ~0 outside
+    # |x|,|y| < 1.15: the modulo lattice repeats FOREVER without this
+    # mask, planting visible rods OUTSIDE the documented |x| < 1.2 scene
+    # bound — which silently made every AABB-restricted sampler unable
+    # to represent parts of the image (r5: the entire 4-10 dB "occupancy
+    # collapse" on this scene was THIS, diagnosed via the
+    # hier-with-aabb-but-no-grid control matching the occ scores).
+    in_lattice = (xp.abs(x) < 1.15) & (xp.abs(y) < 1.15)
     s_rod = (
-        f32(160.0) * rod_core * (xp.abs(z) < 0.85) * (r > 0.62)
+        f32(160.0) * rod_core * in_lattice * (xp.abs(z) < 0.85) * (r > 0.62)
     ).astype(f32)
     stripe = (f32(0.5) + f32(0.5) * xp.tanh(
         f32(4.0) * xp.sin(f32(20.0) * z)
