@@ -101,24 +101,22 @@ class RenderConfig:
     # is HIERARCHICAL occupancy: N_samples grid-guided probes -> composite
     # -> importance-resample N_importance from the probes' actual
     # compositing weights -> merge (same total MLP evals — the merge
-    # queries only the new depths). One-shot sampling spreads depths over
-    # ALL occupied cells along the ray, which starves thin structure at
-    # any budget (measured: 16.8 dB vs golden 27.3 on the hard scene,
-    # budget-independent); the probe weights re-concentrate the
-    # N_importance samples on the surfaces the ray actually sees. Pass
-    # --occ_one_shot to reproduce r4-protocol renders exactly.
+    # queries only the new depths). Content-dependent, measured at 20k
+    # steps (docs/RESULTS.md hard-scene certification): hierarchical
+    # +1.18 dB on the smooth scene (41.18 vs 40.00; golden 41.34),
+    # one-shot +1.44 on the thin-rod hard scene (37.04 — above golden's
+    # 36.89 — vs 35.60; a tight grid is itself the best prior there).
+    # Both are within ~1.4 dB of golden everywhere measured at 3-5x the
+    # speed. Pass --occ_one_shot for the r4 protocol.
     occ_warmup_steps: int = 1024  # refreshes before this step use decay=1.0
     # (no pruning): the grid's init density otherwise decays below
     # threshold in ~14 refreshes (~900 steps at every=64) — before the
     # model has placed density anywhere — so slow-to-emerge content risks
     # being pruned and then never sampled (the NerfAcc-style guard).
-    # Honest r5 measurement on the hard thin-rod scene: the occ-16+48
-    # collapse there is NOT this spiral — warmup 4096 and a 128^3 grid
-    # both measured neutral (16.8 -> 16.7/16.8 dB); the binding constraint
-    # is the PROBE BUDGET (16 uniform probes miss thin content on ~24% of
-    # content rays vs 6% at 64; docs/RESULTS.md). Warmup stays as cheap
-    # insurance for content the model learns late; it cannot substitute
-    # for samples.
+    # Measured neutral on every r5 A/B (the apparent hard-scene collapse
+    # it was built against turned out to be a scene bug — RESULTS.md
+    # "diagnostic arc"); kept as cheap insurance for late-emerging
+    # content.
 
     @property
     def input_ch(self) -> int:

@@ -72,10 +72,12 @@ def _hard_density_color(pts: np.ndarray, xp=np):
     The default scene (``_scene_density_color``) is three smooth blobs and
     a box — every training configuration saturates 40+ dB on it, which
     compresses real quality differences into tenths of a dB. This field
-    puts the golden config in the reference's own expectation band for
-    real content (20-25+ dB at high res, /root/reference/README.md:223;
-    26-34 dB here at 400^2) with the three ingredients that band comes
-    from: high-frequency albedo, thin repeated geometry, hard edges.
+    de-saturates the benchmark with the three ingredients real content's
+    difficulty comes from (cf. the reference's own 20-25+ dB expectation
+    for real scenes, /root/reference/README.md:223): high-frequency
+    albedo, thin repeated geometry, hard edges. Final operating points
+    at 400^2/20k steps: golden 36.9 dB, grid-less same-budget 25.7 — an
+    11 dB discrimination range where the smooth scene gives tenths.
 
     Contents, all inside |x| < 1.2 (same AABB as the default scene so the
     occupancy-grid protocol carries over unchanged):
@@ -88,18 +90,23 @@ def _hard_density_color(pts: np.ndarray, xp=np):
         sharp-edged top surface for hard occlusion boundaries.
 
     The parameters are the product of an on-chip calibration loop (r5,
-    five golden-config runs; docs/RESULTS.md "hard-scene certification"):
-    v1 (w=40, 16 radius-0.02 rods, AA2 ground truth) measured 21.1 dB at
-    3k steps / 22.3 at 20k with a flat trajectory; the error map showed
-    ~all residual on ROD SILHOUETTES — silhouette error scales with rod
-    count x edge length, not edge sharpness, and the AA2 ground truth
-    additionally imposed a 29.1 dB point-sampling ceiling a PERFECT model
-    cannot beat (measured; aa=1 GT is exactly 3D-consistent and removes
-    it). Softening texture alone (v2-v4: w 40->16, thicker rods) moved
-    <2 dB; halving the rod count (0.6 -> 0.9 grid, v5) moved +2.8 dB.
-    Final calibration: golden = 25.7 dB @ 3k, 26.8 @ 10k, ~27.5 @ 20k.
-    Generate with aa=1 and n_samples=512 (thin geometry needs the dense
-    GT march).
+    docs/RESULTS.md "hard-scene certification"): v1 (w=40, 16
+    radius-0.02 rods, AA2 ground truth) measured 21.1 dB at 3k steps /
+    22.3 at 20k with a flat trajectory; the error map showed ~all
+    residual on ROD SILHOUETTES — silhouette error scales with rod count
+    x edge length, not edge sharpness, and the AA2 ground truth
+    additionally imposed a 29.1 dB point-sampling ceiling a PERFECT
+    model cannot beat (measured; aa=1 GT is exactly 3D-consistent and
+    removes it). Softening texture alone (v2-v4: w 40->16, thicker rods)
+    moved <2 dB; halving the rod count (0.6 -> 0.9 grid) moved +2.8 dB;
+    and bounding the previously INFINITE modulo rod lattice to the
+    documented scene box (v6 — the unbounded lattice put visible rods
+    outside every AABB, deflating all box-restricted samplers by up to
+    10 dB) set the final operating points: golden 64+128 = 36.9 dB at
+    20k; same-budget 16+48 WITHOUT a grid = 25.7 (the 11 dB spread the
+    benchmark exists to expose); occupancy recipes 35.6-37.0. Generate
+    with aa=1 and n_samples=512 (thin geometry needs the dense GT
+    march).
     """
     f32 = np.float32
     pts = pts.astype(f32)
