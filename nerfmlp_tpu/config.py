@@ -103,11 +103,11 @@ class RenderConfig:
     # compositing weights -> merge (same total MLP evals — the merge
     # queries only the new depths). Content-dependent, measured at 20k
     # steps (docs/RESULTS.md hard-scene certification): hierarchical
-    # +1.18 dB on the smooth scene (41.18 vs 40.00; golden 41.34),
+    # +1.97 dB on the smooth scene (41.09 vs 39.12; golden 41.34),
     # one-shot +1.44 on the thin-rod hard scene (37.04 — above golden's
     # 36.89 — vs 35.60; a tight grid is itself the best prior there).
-    # Both are within ~1.4 dB of golden everywhere measured at 3-5x the
-    # speed. Pass --occ_one_shot for the r4 protocol.
+    # Each stays within ~1.4 dB of golden on its favorable content at
+    # 3-5x the speed. Pass --occ_one_shot for the r4 protocol.
     occ_warmup_steps: int = 1024  # refreshes before this step use decay=1.0
     # (no pruning): the grid's init density otherwise decays below
     # threshold in ~14 refreshes (~900 steps at every=64) — before the
